@@ -1,0 +1,936 @@
+package graft.core.detect
+
+import scala.collection.mutable
+import graft.core.grid.{A1, Cell, CellGrid, Span, TableHit}
+
+/** A connected region of data (reference: detectors/island_detector.py:22-539).
+  */
+final class DataIsland extends Serializable {
+  val cells: mutable.HashSet[Long] = mutable.HashSet.empty
+  var minRow: Int = -1
+  var maxRow: Int = -1
+  var minCol: Int = -1
+  var maxCol: Int = -1
+  var density: Double = 0.0
+  var hasHeaders: Boolean = false
+  var confidence: Double = 0.0
+  var totalSheetCells: Int = 0
+  var borderCellRatio: Double = 0.0
+  var isSubsetOf: DataIsland = null
+
+  @inline private def key(r: Int, c: Int): Long = (r.toLong << 32) | (c & 0xffffffffL)
+
+  def addCell(r: Int, c: Int): Unit = {
+    cells += key(r, c)
+    if (minRow < 0 || r < minRow) minRow = r
+    if (maxRow < 0 || r > maxRow) maxRow = r
+    if (minCol < 0 || c < minCol) minCol = c
+    if (maxCol < 0 || c > maxCol) maxCol = c
+  }
+
+  def copyShell(): DataIsland = {
+    val d = new DataIsland
+    d.cells ++= cells
+    d.minRow = minRow; d.maxRow = maxRow; d.minCol = minCol; d.maxCol = maxCol
+    d.totalSheetCells = totalSheetCells
+    d
+  }
+
+  def absorb(other: DataIsland): Unit = {
+    cells ++= other.cells
+    if (other.minRow >= 0) minRow = math.min(minRow, other.minRow)
+    if (other.maxRow >= 0) maxRow = math.max(maxRow, other.maxRow)
+    if (other.minCol >= 0) minCol = math.min(minCol, other.minCol)
+    if (other.maxCol >= 0) maxCol = math.max(maxCol, other.maxCol)
+  }
+
+  def toRange: String =
+    if (minRow < 0) "" else Span(minRow, minCol, maxRow, maxCol).a1
+
+  /** reference: island_detector.py:53-103. */
+  def calculateMetrics(g: CellGrid): Unit = {
+    if (cells.isEmpty || minRow < 0) return
+    val total = (maxRow - minRow + 1).toLong * (maxCol - minCol + 1)
+    density = if (total > 0) cells.size.toDouble / total else 0.0
+
+    var allText = true
+    var anyBold = false
+    var c = minCol
+    while (c <= maxCol) {
+      val cell = g.get(minRow, c)
+      if (cell == null || cell.value == null || cell.dataType != "string") allText = false
+      if (cell != null && cell.isBold) anyBold = true
+      c += 1
+    }
+    hasHeaders = allText && anyBold
+    if (!hasHeaders && allText && maxRow > minRow) {
+      var hasNumeric = false
+      var c2 = minCol
+      while (c2 <= maxCol && !hasNumeric) {
+        val cell = g.get(minRow + 1, c2)
+        if (cell != null && (cell.dataType == "number" || cell.dataType == "datetime"))
+          hasNumeric = true
+        c2 += 1
+      }
+      if (hasNumeric) hasHeaders = true
+    }
+
+    borderCellRatio = analyzeBorderCells(g, IslandConst.BorderWidth)
+    confidence = calculateConfidence(g)
+  }
+
+  /** 7-component weighted confidence (reference: island_detector.py:105-209).
+    */
+  private def calculateConfidence(g: CellGrid): Double = {
+    val cellCount = cells.size
+    val relativeSize = if (totalSheetCells > 0) cellCount.toDouble / totalSheetCells else 0.0
+
+    var sizeScore = 0.5
+    if (relativeSize >= IslandConst.RelativeSizeLarge) sizeScore = 1.0
+    else if (relativeSize >= IslandConst.RelativeSizeMedium) sizeScore = 0.8
+    else if (relativeSize >= IslandConst.RelativeSizeSmall) sizeScore = 0.6
+    else if (relativeSize < IslandConst.RelativeSizeTiny) sizeScore = 0.2
+    if (cellCount >= IslandConst.MinCellsGood) sizeScore = math.min(1.0, sizeScore + 0.1)
+    else if (cellCount < IslandConst.MinCellsSmall) sizeScore = math.max(0.0, sizeScore - 0.2)
+
+    var densityScore = 0.5
+    if (density > IslandConst.DensityHigh) densityScore = 1.0
+    else if (density > IslandConst.DensityMedium) densityScore = 0.7
+    else if (density < IslandConst.DensityLow) densityScore = 0.3
+
+    var shapeScore = 0.5
+    if (minRow >= 0) {
+      val height = maxRow - minRow + 1
+      val width = maxCol - minCol + 1
+      if (height > 0) {
+        val ar = width.toDouble / height
+        if (ar >= IslandConst.AspectRatioMin && ar <= IslandConst.AspectRatioMax) shapeScore = 0.9
+        else if (ar < 0.05 || ar > 20) shapeScore = 0.2
+      }
+    }
+
+    val headerScore = if (hasHeaders) 0.8 else 0.4
+
+    var borderScore = 1.0
+    if (borderCellRatio > IslandConst.BorderCellThreshold) {
+      borderScore = 0.5
+      if (borderCellRatio > 0.5) borderScore = 0.2
+    }
+
+    val formattingScore = calcFormattingScore(g)
+    val isolationScore = if (isSubsetOf != null) 0.2 else 1.0
+
+    // same accumulation order as the Python dict iteration (insertion order)
+    var totalScore = 0.0
+    var totalWeight = 0.0
+    def add(s: Double, w: Double): Unit = { totalScore += s * w; totalWeight += w }
+    add(sizeScore, 0.20); add(densityScore, 0.15); add(shapeScore, 0.10)
+    add(headerScore, 0.15); add(borderScore, 0.15); add(formattingScore, 0.15)
+    add(isolationScore, 0.10)
+    val conf = if (totalWeight > 0) totalScore / totalWeight else IslandConst.BaseConfidence
+    math.min(math.max(conf, 0.0), 1.0)
+  }
+
+  /** reference: island_detector.py:211-253. */
+  private def calcFormattingScore(g: CellGrid): Double = {
+    if (minRow < 0) return 0.5
+    val s1 = analyzeBorderConsistency(g)
+    val s2 = analyzeColumnTypeConsistency(g)
+    val s3 = analyzeAlignmentPatterns(g)
+    val s4 = analyzeFormatUniformity(g)
+    (s1 + s2 + s3 + s4) / 4.0
+  }
+
+  /** reference: island_detector.py:255-297. */
+  private def analyzeBorderConsistency(g: CellGrid): Double = {
+    val patterns = mutable.HashMap.empty[Int, Int]
+    var total = 0
+    var r = minRow
+    while (r <= maxRow) {
+      var c = minCol
+      while (c <= maxCol) {
+        val cell = g.get(r, c)
+        if (cell != null) {
+          total += 1
+          var sig = 0
+          if (cell.borderTop != null) sig |= 1
+          if (cell.borderBottom != null) sig |= 2
+          if (cell.borderLeft != null) sig |= 4
+          if (cell.borderRight != null) sig |= 8
+          patterns(sig) = patterns.getOrElse(sig, 0) + 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    if (patterns.isEmpty) return 0.5
+    val mostCommon = patterns.values.max
+    var consistency = if (total > 0) mostCommon.toDouble / total else 0.0
+    val hasBorders = patterns.keys.exists(_ != 0)
+    if (hasBorders) consistency = math.min(1.0, consistency + 0.1)
+    consistency
+  }
+
+  /** reference: island_detector.py:299-334. */
+  private def analyzeColumnTypeConsistency(g: CellGrid): Double = {
+    var sum = 0.0
+    var n = 0
+    val startRow = if (hasHeaders) minRow + 1 else minRow
+    var c = minCol
+    while (c <= maxCol) {
+      val counts = mutable.HashMap.empty[String, Int]
+      var total = 0
+      var r = startRow
+      while (r <= maxRow) {
+        val cell = g.get(r, c)
+        if (cell != null && cell.value != null) {
+          total += 1
+          counts(cell.dataType) = counts.getOrElse(cell.dataType, 0) + 1
+        }
+        r += 1
+      }
+      if (total > 0 && counts.nonEmpty) {
+        sum += counts.values.max.toDouble / total
+        n += 1
+      }
+      c += 1
+    }
+    if (n > 0) sum / n else 0.5
+  }
+
+  /** reference: island_detector.py:336-373. */
+  private def analyzeAlignmentPatterns(g: CellGrid): Double = {
+    var correct = 0
+    var total = 0
+    var r = minRow
+    while (r <= maxRow) {
+      var c = minCol
+      while (c <= maxCol) {
+        val cell = g.get(r, c)
+        if (cell != null && cell.alignment != null) {
+          total += 1
+          val dt = cell.dataType
+          val al = cell.alignment
+          val ok = (dt == "number" && al == "right") ||
+            (dt == "string" && (al == "left" || al == "center")) ||
+            (dt == "datetime" && (al == "left" || al == "center"))
+          if (ok) correct += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    if (total == 0) 0.7 else correct.toDouble / total
+  }
+
+  /** reference: island_detector.py:375-451. */
+  private def analyzeFormatUniformity(g: CellGrid): Double = {
+    val fontSizes = mutable.HashSet.empty[Double]
+    val fontColors = mutable.HashSet.empty[String]
+    val bgColors = mutable.HashSet.empty[String]
+    var boldCount = 0
+    var total = 0
+    val startRow = if (hasHeaders) minRow + 1 else minRow
+    var r = startRow
+    while (r <= maxRow) {
+      var c = minCol
+      while (c <= maxCol) {
+        val cell = g.get(r, c)
+        if (cell != null) {
+          total += 1
+          if (cell.fontSize > 0.0) fontSizes += cell.fontSize
+          if (cell.fontColor != null) fontColors += cell.fontColor
+          if (cell.backgroundColor != null) bgColors += cell.backgroundColor
+          if (cell.isBold) boldCount += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    if (total == 0) return 0.5
+    var sum = 0.0
+    sum += (if (fontSizes.size <= 1) 1.0 else if (fontSizes.size == 2) 0.8 else 0.5)
+    sum += (if (fontColors.size <= 1) 1.0 else if (fontColors.size <= 2) 0.7 else 0.4)
+    sum += (if (bgColors.isEmpty) 0.9 else if (bgColors.size == 1) 1.0 else 0.5)
+    val boldRatio = boldCount.toDouble / total
+    sum += (if (boldRatio == 0.0 || boldRatio == 1.0) 1.0
+            else if (boldRatio < 0.1 || boldRatio > 0.9) 0.8
+            else 0.5)
+    sum / 4.0
+  }
+
+  /** Populated ratio of the frame around the island
+    * (reference: island_detector.py:453-526).
+    */
+  private def analyzeBorderCells(g: CellGrid, borderWidth: Int): Double = {
+    if (minRow < 0) return 0.0
+    val bMinRow = math.max(0, minRow - borderWidth)
+    val bMaxRow = math.min(g.maxRow, maxRow + borderWidth)
+    val bMinCol = math.max(0, minCol - borderWidth)
+    val bMaxCol = math.min(g.maxCol, maxCol + borderWidth)
+    var borderCells = 0
+    var populated = 0
+    def check(r: Int, c: Int): Unit = {
+      borderCells += 1
+      if (g.contains(r, c)) populated += 1
+    }
+    var r = bMinRow
+    while (r < minRow) { var c = bMinCol; while (c <= bMaxCol) { check(r, c); c += 1 }; r += 1 }
+    r = maxRow + 1
+    while (r <= bMaxRow) { var c = bMinCol; while (c <= bMaxCol) { check(r, c); c += 1 }; r += 1 }
+    r = minRow
+    while (r <= maxRow) {
+      var c = bMinCol
+      while (c < minCol) { check(r, c); c += 1 }
+      c = maxCol + 1
+      while (c <= bMaxCol) { check(r, c); c += 1 }
+      r += 1
+    }
+    if (borderCells > 0) populated.toDouble / borderCells else 0.0
+  }
+}
+
+/** Connected-component table detection
+  * (reference: detectors/island_detector.py:542-2223).
+  */
+final class IslandDetector(
+    val maxGap: Int = IslandConst.DefaultMaxGap,
+    val minIslandSize: Int = 4,
+    val includeDiagonal: Boolean = true,
+    val columnConsistencyThreshold: Double = IslandConst.ColumnConsistencyThreshold,
+    val minEmptyRowsToSplit: Int = IslandConst.MinEmptyRowsToSplit,
+    val useStructuralAnalysis: Boolean = false,
+    val adaptiveThresholds: Boolean = true,
+    val useFormattingBoundaries: Boolean = true,
+    val emptyRowTolerance: Int = 1
+) extends Serializable {
+
+  @inline private def rowOf(k: Long): Int = (k >> 32).toInt
+  @inline private def colOf(k: Long): Int = k.toInt
+  @inline private def key(r: Int, c: Int): Long = (r.toLong << 32) | (c & 0xffffffffL)
+
+  /** reference: island_detector.py:594-732. */
+  def detectIslands(g: CellGrid): Vector[DataIsland] = {
+    if (!g.hasData) return Vector.empty
+
+    val totalSheetCells = g.size
+    val effectiveMinSize =
+      if (adaptiveThresholds) {
+        val adaptive =
+          if (totalSheetCells > 10000) math.max(20, (totalSheetCells * 0.001).toInt)
+          else if (totalSheetCells > 1000) math.max(10, (totalSheetCells * 0.005).toInt)
+          else minIslandSize
+        math.max(minIslandSize, adaptive)
+      } else minIslandSize
+
+    if (useStructuralAnalysis) return detectIslandsStructural(g)
+
+    val dataCells = new java.util.HashSet[java.lang.Long]()
+    val coords = g.coordsSorted
+    coords.foreach(k => dataCells.add(k))
+
+    val visited = new java.util.HashSet[java.lang.Long]()
+    var islands = Vector.newBuilder[DataIsland]
+    var i = 0
+    while (i < coords.length) {
+      val k = coords(i)
+      if (!visited.contains(k)) {
+        val island = floodFill(k, dataCells, visited)
+        if (island.cells.size >= effectiveMinSize) {
+          island.totalSheetCells = totalSheetCells
+          island.calculateMetrics(g)
+          islands += island
+        }
+      }
+      i += 1
+    }
+    var out = islands.result().sortBy(isl => (-isl.cells.size, isl.minRow, isl.minCol))
+
+    var formattingSplitsApplied = false
+    if (useFormattingBoundaries && out.nonEmpty) {
+      val originalCount = out.size
+      out = applyFormattingSplits(out, g)
+      formattingSplitsApplied = out.size > originalCount
+    }
+
+    if (emptyRowTolerance > 0 && out.size > 1)
+      out = reconnectGapSeparated(out, g)
+
+    if (out.size > 1) {
+      val wellSeparated = areWellSeparated(out, g)
+      val sheetDensity = g.size.toDouble / ((g.maxRow + 1).toLong * (g.maxCol + 1))
+      val mergeDistance =
+        if (wellSeparated) 0
+        else if (formattingSplitsApplied) 1
+        else if (sheetDensity < 0.3) 5
+        else if (sheetDensity < 0.6) 3
+        else 2
+      if (mergeDistance > 0) {
+        out = mergeNearby(out, mergeDistance, g)
+        out.foreach { isl =>
+          isl.totalSheetCells = totalSheetCells
+          isl.calculateMetrics(g)
+        }
+      }
+    }
+
+    if (out.size > 1) checkSubsets(out)
+    out.foreach(_.calculateMetrics(g))
+    out
+  }
+
+  /** BFS flood fill (reference: island_detector.py:734-844). */
+  private def floodFill(start: Long, dataCells: java.util.HashSet[java.lang.Long],
+      visited: java.util.HashSet[java.lang.Long]): DataIsland = {
+    val island = new DataIsland
+    val queue = new java.util.ArrayDeque[java.lang.Long]()
+    queue.add(start)
+    visited.add(start)
+    while (!queue.isEmpty) {
+      val k = queue.poll()
+      val r = rowOf(k)
+      val c = colOf(k)
+      island.addCell(r, c)
+      var dr = -maxGap
+      while (dr <= maxGap) {
+        var dc = -maxGap
+        while (dc <= maxGap) {
+          if (!(dr == 0 && dc == 0) && (includeDiagonal || dr == 0 || dc == 0)) {
+            val nk = key(r + dr, c + dc)
+            if (dataCells.contains(nk) && !visited.contains(nk)) {
+              visited.add(nk)
+              queue.add(nk)
+            }
+          }
+          dc += 1
+        }
+        dr += 1
+      }
+    }
+    island
+  }
+
+  /** reference: island_detector.py:846-915. */
+  def mergeNearby(islands: Vector[DataIsland], mergeDistance: Int, g: CellGrid)
+      : Vector[DataIsland] = {
+    if (islands.size <= 1) return islands
+    val merged = Vector.newBuilder[DataIsland]
+    val used = mutable.HashSet.empty[Int]
+    var i = 0
+    while (i < islands.size) {
+      if (!used.contains(i)) {
+        val island1 = islands(i)
+        val acc = island1.copyShell()
+        var j = i + 1
+        while (j < islands.size) {
+          if (!used.contains(j)) {
+            val island2 = islands(j)
+            var shouldMerge = shouldMergePair(island1, island2, mergeDistance)
+            if (shouldMerge) shouldMerge = gapIsEmpty(acc, island2, g)
+            if (shouldMerge) {
+              acc.absorb(island2)
+              used += j
+            }
+          }
+          j += 1
+        }
+        acc.calculateMetrics(g)
+        merged += acc
+        used += i
+      }
+      i += 1
+    }
+    merged.result()
+  }
+
+  /** reference: island_detector.py:917-977. */
+  private def areWellSeparated(islands: Vector[DataIsland], g: CellGrid): Boolean = {
+    if (islands.size <= 1) return false
+    val sorted = islands.sortBy(i => (math.max(i.minRow, 0), math.max(i.minCol, 0)))
+    var i = 0
+    while (i < sorted.size - 1) {
+      val a = sorted(i)
+      val b = sorted(i + 1)
+      if (a.maxRow >= 0 && b.minRow >= 0) {
+        if (b.minRow > a.maxRow + 1) {
+          val gapStart = a.maxRow + 1
+          val gapEnd = b.minRow - 1
+          val c0 = math.min(math.max(a.minCol, 0), math.max(b.minCol, 0))
+          val c1 = math.max(math.max(a.maxCol, 0), math.max(b.maxCol, 0))
+          if (g.anyIn(gapStart, gapEnd, c0, c1)) return false
+        } else return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** reference: island_detector.py:979-1082. */
+  def shouldMergePair(a: DataIsland, b: DataIsland, maxDistance: Int): Boolean = {
+    if (a.minRow < 0 || b.minRow < 0) return false
+    val vDist = math.max(0, math.max(b.minRow - a.maxRow - 1, a.minRow - b.maxRow - 1))
+    val hDist = math.max(0, math.max(b.minCol - a.maxCol - 1, a.minCol - b.maxCol - 1))
+    if (hDist > 0) {
+      if (hDist >= 2) return false
+      val overlapStart = math.max(a.minRow, b.minRow)
+      val overlapEnd = math.min(a.maxRow, b.maxRow)
+      if (overlapStart <= overlapEnd) {
+        val overlapRows = overlapEnd - overlapStart + 1
+        val minRows = math.min(a.maxRow - a.minRow + 1, b.maxRow - b.minRow + 1)
+        val ratio = if (minRows > 0) overlapRows.toDouble / minRows else 0.0
+        if (ratio < 0.5) return false
+      }
+    }
+    if (vDist == 0 && hDist <= maxDistance) return true
+    if (hDist == 0 && vDist <= maxDistance) return true
+    vDist <= maxDistance && hDist <= maxDistance
+  }
+
+  /** reference: island_detector.py:1084-1176. */
+  def gapIsEmpty(a: DataIsland, b: DataIsland, g: CellGrid): Boolean = {
+    if (a.minRow < 0 || b.minRow < 0) return true
+    var gapColStart = -1
+    var gapColEnd = -1
+    var gapRowStart = 0
+    var gapRowEnd = -1
+    if (a.maxCol < b.minCol) {
+      gapColStart = a.maxCol + 1; gapColEnd = b.minCol - 1
+      gapRowStart = math.max(a.minRow, b.minRow); gapRowEnd = math.min(a.maxRow, b.maxRow)
+    } else if (b.maxCol < a.minCol) {
+      gapColStart = b.maxCol + 1; gapColEnd = a.minCol - 1
+      gapRowStart = math.max(a.minRow, b.minRow); gapRowEnd = math.min(a.maxRow, b.maxRow)
+    }
+    if (a.maxRow < b.minRow) {
+      gapRowStart = a.maxRow + 1; gapRowEnd = b.minRow - 1
+      gapColStart = math.max(a.minCol, b.minCol); gapColEnd = math.min(a.maxCol, b.maxCol)
+    } else if (b.maxRow < a.minRow) {
+      gapRowStart = b.maxRow + 1; gapRowEnd = a.minRow - 1
+      gapColStart = math.max(a.minCol, b.minCol); gapColEnd = math.min(a.maxCol, b.maxCol)
+    }
+    if (gapColStart >= 0 && gapColEnd >= gapColStart && gapRowEnd >= gapRowStart) {
+      if (g.anyIn(gapRowStart, gapRowEnd, gapColStart, gapColEnd)) return false
+    }
+    true
+  }
+
+  /** reference: island_detector.py:1559-1620. */
+  private def checkSubsets(islands: Vector[DataIsland]): Unit = {
+    var i = 0
+    while (i < islands.size) {
+      val smaller = islands(i)
+      if (smaller.isSubsetOf == null) {
+        var j = 0
+        var break = false
+        while (j < i && !break) {
+          val larger = islands(j)
+          if (isSubset(smaller, larger)) {
+            smaller.isSubsetOf = larger
+            break = true
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+  }
+
+  private def isSubset(a: DataIsland, b: DataIsland): Boolean = {
+    if (a.minRow < 0 || b.minRow < 0) return false
+    if (!(b.minRow <= a.minRow && a.maxRow <= b.maxRow &&
+        b.minCol <= a.minCol && a.maxCol <= b.maxCol)) return false
+    a.cells.subsetOf(b.cells)
+  }
+
+  // ---------- structural analysis (text files) ----------
+
+  /** reference: island_detector.py:1357-1398. */
+  def detectIslandsStructural(g: CellGrid): Vector[DataIsland] = {
+    val rowPatterns = analyzeRowPatterns(g)
+    val rowGroups = groupRowsByPattern(rowPatterns)
+
+    val totalSheetCells = g.size
+    val effectiveMinSize =
+      if (adaptiveThresholds && totalSheetCells > 1000)
+        math.max(minIslandSize, (totalSheetCells * 0.005).toInt)
+      else minIslandSize
+
+    val islands = Vector.newBuilder[DataIsland]
+    rowGroups.foreach { group =>
+      if (group.size >= effectiveMinSize) {
+        val island = islandFromRows(g, group)
+        if (island != null && island.cells.size >= effectiveMinSize) {
+          island.totalSheetCells = totalSheetCells
+          island.calculateMetrics(g)
+          islands += island
+        }
+      }
+    }
+    islands.result().sortBy(i => (i.minRow, i.minCol))
+  }
+
+  /** reference: island_detector.py:1400-1427. */
+  private def analyzeRowPatterns(g: CellGrid): Vector[(Int, (Int, Int, Set[Int]))] = {
+    val rows = mutable.TreeMap.empty[Int, mutable.ArrayBuffer[Int]]
+    g.cellsSorted.foreach { cell =>
+      rows.getOrElseUpdate(cell.row, mutable.ArrayBuffer.empty) += cell.col
+    }
+    rows.iterator.map { case (r, cols) =>
+      (r, (cols.min, cols.max, cols.toSet))
+    }.toVector
+  }
+
+  /** reference: island_detector.py:1429-1498. */
+  private def groupRowsByPattern(patterns: Vector[(Int, (Int, Int, Set[Int]))])
+      : Vector[Vector[Int]] = {
+    if (patterns.isEmpty) return Vector.empty
+    val groups = Vector.newBuilder[Vector[Int]]
+    var current = Vector.newBuilder[Int]
+    current += patterns.head._1
+    var prevRow = patterns.head._1
+    var prevPattern = patterns.head._2
+    var currentSize = 1
+    patterns.tail.foreach { case (row, pattern) =>
+      val gap = row - prevRow - 1
+      if (gap > emptyRowTolerance) {
+        val similarity = columnSimilarity(prevPattern, pattern)
+        if (similarity < columnConsistencyThreshold || gap > minEmptyRowsToSplit) {
+          groups += current.result()
+          current = Vector.newBuilder[Int]
+          current += row
+          currentSize = 1
+        } else { current += row; currentSize += 1 }
+      } else {
+        val similarity = columnSimilarity(prevPattern, pattern)
+        if (similarity >= columnConsistencyThreshold) { current += row; currentSize += 1 }
+        else {
+          groups += current.result()
+          current = Vector.newBuilder[Int]
+          current += row
+          currentSize = 1
+        }
+      }
+      prevRow = row
+      prevPattern = pattern
+    }
+    if (currentSize > 0) groups += current.result()
+    groups.result()
+  }
+
+  /** 0.5·range-overlap + 0.5·colset-Jaccard
+    * (reference: island_detector.py:1500-1535).
+    */
+  def columnSimilarity(p1: (Int, Int, Set[Int]), p2: (Int, Int, Set[Int])): Double = {
+    val (min1, max1, cols1) = p1
+    val (min2, max2, cols2) = p2
+    val rangeOverlap = math.min(max1, max2) - math.max(min1, min2) + 1
+    val rangeUnion = math.max(max1, max2) - math.min(min1, min2) + 1
+    if (rangeUnion <= 0) return 0.0
+    val rangeSim = rangeOverlap.toDouble / rangeUnion
+    val colsSim =
+      if (cols1.isEmpty && cols2.isEmpty) 1.0
+      else if (cols1.isEmpty || cols2.isEmpty) 0.0
+      else {
+        val inter = cols1.intersect(cols2).size
+        val union = cols1.union(cols2).size
+        if (union > 0) inter.toDouble / union else 0.0
+      }
+    0.5 * rangeSim + 0.5 * colsSim
+  }
+
+  private def islandFromRows(g: CellGrid, rows: Vector[Int]): DataIsland = {
+    val island = new DataIsland
+    val rowSet = rows.toSet
+    g.cellsSorted.foreach { cell =>
+      if (rowSet.contains(cell.row)) island.addCell(cell.row, cell.col)
+    }
+    if (island.cells.nonEmpty) island else null
+  }
+
+  // ---------- formatting-based splitting ----------
+
+  private final case class RowFmt(
+      hasData: Boolean,
+      boldRatio: Double,
+      bgColors: Set[String],
+      fontColors: Set[String],
+      isLikelyHeader: Boolean,
+      consistency: Double,
+      borderSignature: String,
+      cellCount: Int
+  )
+
+  /** reference: island_detector.py:1622-1694. */
+  private def analyzeRowFormatting(g: CellGrid, row: Int): RowFmt = {
+    val rowCells = mutable.ArrayBuffer.empty[Cell]
+    var c = 0
+    while (c <= g.maxCol) {
+      val cell = g.get(row, c)
+      if (cell != null && !cell.isEmpty) rowCells += cell
+      c += 1
+    }
+    if (rowCells.isEmpty)
+      return RowFmt(hasData = false, 0.0, Set.empty, Set.empty, isLikelyHeader = false, 0.0,
+        FmtConst.NoBorders, 0)
+
+    val boldCount = rowCells.count(_.isBold)
+    val boldRatio = boldCount.toDouble / rowCells.size
+    val bgColors = rowCells.iterator.map(_.backgroundColor).filter(_ != null).toSet
+    val fontColors = rowCells.iterator.map(_.fontColor).filter(_ != null).toSet
+    val isLikelyHeader = boldRatio >= FmtConst.HeaderBoldThreshold ||
+      (bgColors.size == 1 && rowCells.size > 1)
+
+    val factors = mutable.ArrayBuffer.empty[Double]
+    if (boldCount == 0 || boldCount == rowCells.size) factors += 1.0
+    else factors += math.max(boldCount, rowCells.size - boldCount).toDouble / rowCells.size
+    factors += (if (bgColors.size <= 1) 1.0 else 0.5)
+    factors += (if (fontColors.size <= 1) 1.0 else 0.5)
+    val consistency = factors.sum / factors.size
+
+    RowFmt(hasData = true, boldRatio, bgColors, fontColors, isLikelyHeader, consistency,
+      borderSignatureOf(rowCells.toSeq), rowCells.size)
+  }
+
+  /** reference: island_detector.py:1858-1938. */
+  private def borderSignatureOf(rowCells: Seq[Cell]): String = {
+    if (rowCells.isEmpty) return FmtConst.NoBorders
+    val counts = mutable.HashMap(
+      "all" -> 0, "none" -> 0, "horizontal" -> 0, "vertical" -> 0, "mixed" -> 0, "outer" -> 0)
+    var isFirst = true
+    rowCells.zipWithIndex.foreach { case (cell, i) =>
+      val isLast = i == rowCells.size - 1
+      val hasTop = cell.hasBorder(cell.borderTop)
+      val hasBottom = cell.hasBorder(cell.borderBottom)
+      val hasLeft = cell.hasBorder(cell.borderLeft)
+      val hasRight = cell.hasBorder(cell.borderRight)
+      val n = Seq(hasTop, hasBottom, hasLeft, hasRight).count(identity)
+      val bucket =
+        if (n == 0) "none"
+        else if (n == 4) "all"
+        else if (isFirst && hasLeft && (hasTop || hasBottom)) "outer"
+        else if (isLast && hasRight && (hasTop || hasBottom)) "outer"
+        else if (hasTop || hasBottom) {
+          if (!hasLeft && !hasRight) "horizontal" else "mixed"
+        } else if (hasLeft || hasRight) {
+          if (!hasTop && !hasBottom) "vertical" else "mixed"
+        } else "mixed"
+      counts(bucket) += 1
+      isFirst = false
+    }
+    val maxCount = counts.values.max
+    if (maxCount == 0) return FmtConst.NoBorders
+    // match Python dict insertion order for ties
+    val order = Seq("all", "none", "horizontal", "vertical", "mixed", "outer")
+    val mapping = Map("all" -> FmtConst.AllBorders, "none" -> FmtConst.NoBorders,
+      "horizontal" -> FmtConst.HorizontalOnly, "vertical" -> FmtConst.VerticalOnly,
+      "mixed" -> FmtConst.MixedBorders, "outer" -> FmtConst.OuterOnly)
+    order.find(k => counts(k) == maxCount).map(mapping).getOrElse(FmtConst.MixedBorders)
+  }
+
+  /** reference: island_detector.py:1940-1985. */
+  def borderSimilarity(s1: String, s2: String): Double = {
+    if (s1 == s2) return 1.0
+    import FmtConst._
+    val m: Map[(String, String), Double] = Map(
+      (HorizontalOnly, AllBorders) -> 0.7,
+      (VerticalOnly, AllBorders) -> 0.7,
+      (HorizontalOnly, MixedBorders) -> 0.6,
+      (VerticalOnly, MixedBorders) -> 0.6,
+      (AllBorders, MixedBorders) -> 0.8,
+      (OuterOnly, AllBorders) -> 0.8,
+      (OuterOnly, MixedBorders) -> 0.7,
+      (NoBorders, AllBorders) -> 0.2,
+      (NoBorders, HorizontalOnly) -> 0.3,
+      (NoBorders, VerticalOnly) -> 0.3,
+      (NoBorders, MixedBorders) -> 0.2,
+      (NoBorders, OuterOnly) -> 0.2,
+      (HorizontalOnly, VerticalOnly) -> 0.5,
+      (HorizontalOnly, OuterOnly) -> 0.6,
+      (VerticalOnly, OuterOnly) -> 0.6
+    )
+    m.getOrElse((s1, s2), m.getOrElse((s2, s1), 0.3))
+  }
+
+  /** reference: island_detector.py:1178-1241. */
+  private def hasTableEndBorderPattern(prevRow: Int, currentRow: Int, g: CellGrid): Boolean = {
+    val prevCells = mutable.ArrayBuffer.empty[Cell]
+    var colStart = -1
+    var colEnd = -1
+    var c = 0
+    while (c <= g.maxCol) {
+      val cell = g.get(prevRow, c)
+      if (cell != null && !cell.isEmpty) {
+        if (colStart < 0) colStart = c
+        colEnd = c
+        prevCells += cell
+      }
+      c += 1
+    }
+    if (prevCells.isEmpty || colStart < 0) return false
+    val bottomCount = prevCells.count(cl => cl.hasBorder(cl.borderBottom))
+    if (bottomCount < prevCells.size * 0.7) return false
+    val currentCells = mutable.ArrayBuffer.empty[Cell]
+    c = colStart
+    while (c <= colEnd) {
+      val cell = g.get(currentRow, c)
+      if (cell != null && !cell.isEmpty) currentCells += cell
+      c += 1
+    }
+    if (currentCells.isEmpty) return true
+    val topCount = currentCells.count(cl => cl.hasBorder(cl.borderTop))
+    topCount < currentCells.size * 0.3
+  }
+
+  /** reference: island_detector.py:1696-1799. */
+  private def detectFormattingBoundaries(g: CellGrid, rowStart: Int, rowEnd: Int): Vector[Int] = {
+    val analysis = (rowStart to rowEnd).map(r => r -> analyzeRowFormatting(g, r)).toMap
+    val boundaries = Vector.newBuilder[Int]
+    var prevRow = -1
+    var currentTableStart = -1
+    var row = rowStart
+    while (row <= rowEnd) {
+      val current = analysis(row)
+      if (current.hasData) {
+        if (prevRow >= 0) {
+          val prev = analysis(prevRow)
+          var isNewTableStart = false
+          if (!prev.isLikelyHeader && current.isLikelyHeader) isNewTableStart = true
+          if (borderSimilarity(current.borderSignature, prev.borderSignature) <
+              FmtConst.BorderConsistencyThreshold) isNewTableStart = true
+          if (hasTableEndBorderPattern(prevRow, row, g)) isNewTableStart = true
+          var changeScore = 0.0
+          if (math.abs(current.boldRatio - prev.boldRatio) > 0.5) changeScore += 0.3
+          if (math.abs(current.consistency - prev.consistency) > 0.4) changeScore += 0.2
+          if (current.bgColors != prev.bgColors) changeScore += 0.2
+          if (current.fontColors != prev.fontColors) changeScore += 0.1
+          if (changeScore >= FmtConst.BackgroundChangeThreshold && current.isLikelyHeader &&
+              !prev.isLikelyHeader) isNewTableStart = true
+          if (isNewTableStart && currentTableStart >= 0) boundaries += row
+        }
+        if (currentTableStart < 0) currentTableStart = row
+        prevRow = row
+      }
+      row += 1
+    }
+    boundaries.result()
+  }
+
+  /** reference: island_detector.py:1987-2035. */
+  private def applyFormattingSplits(islands: Vector[DataIsland], g: CellGrid)
+      : Vector[DataIsland] = {
+    val out = Vector.newBuilder[DataIsland]
+    islands.foreach { island =>
+      val size = if (island.minRow >= 0) island.maxRow - island.minRow else 0
+      if (island.minRow >= 0 && size > 3) {
+        val boundaries = detectFormattingBoundaries(g, island.minRow, island.maxRow)
+        if (boundaries.nonEmpty) out ++= splitAtBoundaries(island, boundaries, g)
+        else out += island
+      } else out += island
+    }
+    out.result()
+  }
+
+  /** reference: island_detector.py:2037-2086. */
+  private def splitAtBoundaries(island: DataIsland, boundaries: Vector[Int], g: CellGrid)
+      : Vector[DataIsland] = {
+    if (boundaries.isEmpty || island.minRow < 0) return Vector(island)
+    val ranges = mutable.ArrayBuffer.empty[(Int, Int)]
+    var startRow = island.minRow
+    boundaries.sorted.foreach { b =>
+      if (startRow < b) ranges += ((startRow, b - 1))
+      startRow = b
+    }
+    if (startRow <= island.maxRow) ranges += ((startRow, island.maxRow))
+    val newIslands = Vector.newBuilder[DataIsland]
+    var count = 0
+    ranges.foreach { case (r0, r1) =>
+      val ni = new DataIsland
+      ni.totalSheetCells = island.totalSheetCells
+      island.cells.foreach { k =>
+        val r = rowOf(k)
+        if (r >= r0 && r <= r1) ni.addCell(r, colOf(k))
+      }
+      if (ni.cells.size >= minIslandSize) {
+        ni.calculateMetrics(g)
+        newIslands += ni
+        count += 1
+      }
+    }
+    val res = newIslands.result()
+    if (res.nonEmpty) res else Vector(island)
+  }
+
+  /** reference: island_detector.py:2088-2154. */
+  private def reconnectGapSeparated(islands: Vector[DataIsland], g: CellGrid)
+      : Vector[DataIsland] = {
+    if (islands.size <= 1) return islands
+    val sorted = islands.sortBy(i => (math.max(i.minRow, 0), math.max(i.minCol, 0)))
+    val out = Vector.newBuilder[DataIsland]
+    val skip = mutable.HashSet.empty[Int]
+    var i = 0
+    while (i < sorted.size) {
+      if (!skip.contains(i)) {
+        val acc = sorted(i).copyShell()
+        var j = i + 1
+        while (j < sorted.size) {
+          if (!skip.contains(j)) {
+            val island2 = sorted(j)
+            if (shouldReconnect(acc, island2, g)) {
+              acc.absorb(island2)
+              skip += j
+            }
+          }
+          j += 1
+        }
+        acc.calculateMetrics(g)
+        out += acc
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** reference: island_detector.py:2156-2223. */
+  def shouldReconnect(a: DataIsland, b: DataIsland, g: CellGrid): Boolean = {
+    if (a.minRow < 0 || b.minRow < 0) return false
+    if (b.minRow <= a.maxRow) return false
+    val vGap = b.minRow - a.maxRow - 1
+    if (vGap > emptyRowTolerance || vGap < 1) return false
+    val colStart = math.max(a.minCol, b.minCol)
+    val colEnd = math.min(a.maxCol, b.maxCol)
+    if (colStart > colEnd) return false
+    val overlapCols = colEnd - colStart + 1
+    val minCols = math.min(a.maxCol - a.minCol + 1, b.maxCol - b.minCol + 1)
+    val overlapRatio = if (minCols > 0) overlapCols.toDouble / minCols else 0.0
+    if (overlapRatio < 0.5) return false
+    var gapCells = 0
+    var r = a.maxRow + 1
+    while (r < b.minRow) {
+      var c = colStart
+      while (c <= colEnd) {
+        if (g.contains(r, c)) gapCells += 1
+        c += 1
+      }
+      r += 1
+    }
+    gapCells <= overlapCols * 0.2
+  }
+
+  /** reference: island_detector.py:1243-1304. */
+  def toTableHits(islands: Vector[DataIsland], minConfidence: Double, g: CellGrid)
+      : Vector[TableHit] = {
+    islands.flatMap { island =>
+      if (island.confidence < minConfidence || island.minRow < 0) None
+      else {
+        val span = Span(island.minRow, island.minCol, island.maxRow, island.maxCol)
+        Some(TableHit(
+          id = s"island_${island.minRow}_${island.minCol}",
+          span = span,
+          confidence = island.confidence,
+          method = "island_detection",
+          hasHeaders = island.hasHeaders,
+          headers = SimpleCase.extractHeaders(g, span)
+        ))
+      }
+    }
+  }
+}

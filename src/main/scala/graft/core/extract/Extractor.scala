@@ -1,0 +1,109 @@
+package graft.core.extract
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import graft.core.detect.{Cascade, DetectConfig, DetectionOutcome, GridKind}
+import graft.core.grid.{CellGrid, PyFloat, TableHit}
+import graft.core.html.{GridRegion, PageParser, ParsedPage}
+
+/** One detected table with its region index, ready for serialization. */
+final case class DetectedTable(regionIdx: Int, kind: GridKind, origin: String,
+    methodUsed: String, hit: TableHit)
+
+/** Full per-page result of the core (non-Spark) extraction. */
+final case class PageExtract(
+    text: String,
+    sha256: String,
+    tables: Vector[DetectedTable],
+    regions: Int,
+    bytesStripped: Long
+)
+
+/** Page-level extraction: parse → detect per region → canonical text.
+  *
+  * The canonical text layout is this engine's deterministic contract (the
+  * reference has no page concept): boilerplate-stripped text blocks joined
+  * by newlines, then one block per detected table in document order —
+  * a marker line carrying method/range/confidence (confidence rendered with
+  * the same shortest-repr rules as Python `repr(float)` so goldens generated
+  * from the reference semantics match byte-for-byte), the header row when
+  * detected, then the data rows tab-joined using the Python-`str()` cell
+  * values the reference's own extraction surface exposes
+  * (reference: extractors/dataframe_extractor.py:118-155 values matrix).
+  */
+object Extractor {
+
+  def extract(page: ParsedPage, config: DetectConfig = DetectConfig()): PageExtract = {
+    val detected = Vector.newBuilder[DetectedTable]
+    var regionIdx = 0
+    page.regions.foreach { region =>
+      val outcome = Cascade.detect(region.grid, region.kind, config)
+      outcome.tables.take(config.maxTablesPerSheet).foreach { hit =>
+        detected += DetectedTable(regionIdx, region.kind, region.origin, outcome.methodUsed, hit)
+      }
+      regionIdx += 1
+    }
+    val tables = detected.result()
+    val text = canonicalText(page, tables)
+    PageExtract(text, sha256Hex(text), tables, page.regions.size, page.bytesStripped)
+  }
+
+  def canonicalText(page: ParsedPage, tables: Vector[DetectedTable]): String = {
+    val sb = new StringBuilder
+    page.textBlocks.foreach { b =>
+      if (sb.nonEmpty) sb.append('\n')
+      sb.append(b)
+    }
+    tables.foreach { dt =>
+      val grid = page.regions(dt.regionIdx).grid
+      if (sb.nonEmpty) sb.append('\n')
+      appendTable(sb, grid, dt)
+    }
+    sb.toString
+  }
+
+  private def appendTable(sb: StringBuilder, grid: CellGrid, dt: DetectedTable): Unit = {
+    val t = dt.hit
+    sb.append("[table:").append(t.method)
+      .append(" range=").append(t.span.a1)
+      .append(" conf=").append(PyFloat.repr(t.confidence))
+      .append(" headers=").append(if (t.hasHeaders) "1" else "0")
+      .append(']')
+    var firstDataRow = t.span.r0
+    if (t.hasHeaders) {
+      sb.append('\n')
+      var i = 0
+      while (i < t.headers.length) {
+        if (i > 0) sb.append('\t')
+        sb.append(t.headers(i))
+        i += 1
+      }
+      firstDataRow = t.span.r0 + 1
+    }
+    var r = firstDataRow
+    while (r <= t.span.r1) {
+      sb.append('\n')
+      var c = t.span.c0
+      while (c <= t.span.c1) {
+        if (c > t.span.c0) sb.append('\t')
+        val cell = grid.get(r, c)
+        if (cell != null && cell.value != null) sb.append(cell.value)
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  def sha256Hex(s: String): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new StringBuilder(d.length * 2)
+    d.foreach { b => sb.append(f"${b & 0xff}%02x") }
+    sb.toString
+  }
+
+  /** End-to-end for raw HTML bytes. */
+  def extractHtml(html: Array[Byte], config: DetectConfig = DetectConfig()): PageExtract =
+    extract(PageParser.parseBytes(html), config)
+}

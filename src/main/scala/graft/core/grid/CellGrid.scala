@@ -1,0 +1,129 @@
+package graft.core.grid
+
+import java.util.{HashMap => JHashMap}
+
+/** Sparse cell grid keyed by packed (row,col) longs.
+  *
+  * Mirrors the reference's sparse dict-of-cells sheet model
+  * (reference: models/sheet_data.py:109-325) with O(1) random access and a
+  * deterministic sorted iteration order (the reference re-sorts before any
+  * order-sensitive step, island_detector.py:658).
+  */
+final class CellGrid extends Serializable {
+  private val map = new JHashMap[Long, Cell]()
+  private var _maxRow: Int = 0
+  private var _maxCol: Int = 0
+  private var sortedCache: Array[Cell] = null
+
+  @inline private def key(r: Int, c: Int): Long = (r.toLong << 32) | (c & 0xffffffffL)
+
+  def maxRow: Int = _maxRow
+  def maxCol: Int = _maxCol
+  def size: Int = map.size
+  def hasData: Boolean = !map.isEmpty
+
+  /** Store a cell; empty cells are skipped (reference only stores non-empty,
+    * csv_reader.py:248, text_reader.py:337).
+    */
+  def put(cell: Cell): Unit = {
+    if (cell != null && !cell.isEmpty) {
+      map.put(key(cell.row, cell.col), cell)
+      if (cell.row > _maxRow) _maxRow = cell.row
+      if (cell.col > _maxCol) _maxCol = cell.col
+      sortedCache = null
+    }
+  }
+
+  def get(r: Int, c: Int): Cell =
+    if (r < 0 || c < 0) null else map.get(key(r, c))
+
+  def contains(r: Int, c: Int): Boolean = {
+    val cell = get(r, c)
+    cell != null && !cell.isEmpty
+  }
+
+  /** All stored cells, sorted by (row, col) for deterministic traversal. */
+  def cellsSorted: Array[Cell] = {
+    if (sortedCache == null) {
+      val arr = new Array[Cell](map.size)
+      val it = map.values().iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(arr, (a: Cell, b: Cell) => {
+        val dr = Integer.compare(a.row, b.row)
+        if (dr != 0) dr else Integer.compare(a.col, b.col)
+      })
+      sortedCache = arr
+    }
+    sortedCache
+  }
+
+  /** Packed coordinates of all (non-empty) cells, sorted. */
+  def coordsSorted: Array[Long] = {
+    val cs = cellsSorted
+    val out = new Array[Long](cs.length)
+    var i = 0
+    while (i < cs.length) { out(i) = key(cs(i).row, cs(i).col); i += 1 }
+    out
+  }
+
+  /** Count of non-empty cells inside a closed rectangle. */
+  def countIn(r0: Int, r1: Int, c0: Int, c1: Int): Int = {
+    val area = (r1 - r0 + 1).toLong * (c1 - c0 + 1)
+    if (area > map.size.toLong * 2) {
+      // sparse: iterate stored cells
+      var n = 0
+      val cs = cellsSorted
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        if (c.row >= r0 && c.row <= r1 && c.col >= c0 && c.col <= c1) n += 1
+        i += 1
+      }
+      n
+    } else {
+      var n = 0
+      var r = r0
+      while (r <= r1) {
+        var c = c0
+        while (c <= c1) { if (contains(r, c)) n += 1; c += 1 }
+        r += 1
+      }
+      n
+    }
+  }
+
+  /** Any non-empty cell in the rectangle? */
+  def anyIn(r0: Int, r1: Int, c0: Int, c1: Int): Boolean = {
+    var r = r0
+    while (r <= r1) {
+      var c = c0
+      while (c <= c1) { if (contains(r, c)) return true; c += 1 }
+      r += 1
+    }
+    false
+  }
+}
+
+object CellGrid {
+  /** Build from rows of string cells with type inference (delimited path). */
+  def fromRows(rows: IndexedSeq[IndexedSeq[String]], infer: Boolean): CellGrid = {
+    val g = new CellGrid
+    var r = 0
+    while (r < rows.length) {
+      val row = rows(r)
+      var c = 0
+      while (c < row.length) {
+        val v = row(c)
+        if (v != null && v.trim.nonEmpty) {
+          // text path stores stripped strings (text_reader.py:339-346);
+          // csv path infers types (csv_reader.py:307-327)
+          g.put(if (infer) Cell.inferred(v, r, c) else Cell.str(v.trim, r, c))
+        }
+        c += 1
+      }
+      r += 1
+    }
+    g
+  }
+}

@@ -1,0 +1,148 @@
+package graft.core.grid
+
+/** Cell value type inference replicating the reference's Python semantics
+  * exactly (reference: readers/csv_reader.py:329-409): booleans first
+  * (including "1"/"0"), then int (comma-stripped), then float, then a
+  * date-likeness heuristic, else string. The returned string is the
+  * Python-`str()` rendering of the converted value because header extraction
+  * in the reference does `str(cell.value).strip()`
+  * (island_detector.py:1343-1355).
+  */
+object TypeInfer {
+
+  private val BoolTrue = Set("true", "yes", "1")
+  private val BoolAll = Set("true", "false", "yes", "no", "1", "0")
+  private val IntRe = "^[+-]?\\d+$".r
+  private val FloatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+  private val MonthWords = Array("jan", "feb", "mar", "apr", "may", "jun", "jul",
+    "aug", "sep", "oct", "nov", "dec")
+
+  /** Returns (pythonStrOfConvertedValue, dataType). For "empty" the value is
+    * null.
+    */
+  def infer(value: String): (String, String) = {
+    val stripped = value.trim
+    if (stripped.isEmpty) return (null, "empty")
+
+    val low = stripped.toLowerCase
+    if (BoolAll.contains(low))
+      return (if (BoolTrue.contains(low)) "True" else "False", "boolean")
+
+    // int path: no '.' and no 'e' in the original, thousands separators stripped
+    if (!stripped.contains('.') && !low.contains('e')) {
+      val noComma = stripped.replace(",", "")
+      if (IntRe.matches(noComma)) {
+        try {
+          val bi = BigInt(noComma)
+          return (bi.toString, "number")
+        } catch { case _: NumberFormatException => () }
+      }
+    }
+
+    // float path
+    val noComma = stripped.replace(",", "")
+    if (FloatRe.matches(noComma)) {
+      try {
+        val d = java.lang.Double.parseDouble(noComma)
+        return (PyFloat.repr(d), "number")
+      } catch { case _: NumberFormatException => () }
+    }
+
+    if (looksLikeDate(stripped)) return (stripped, "date")
+    (stripped, "string")
+  }
+
+  /** reference: csv_reader.py:371-409. */
+  def looksLikeDate(value: String): Boolean = {
+    val hasSeparator = value.exists(c => c == '-' || c == '/' || c == '.' || c == ' ')
+    val hasDigits = value.exists(_.isDigit)
+    if (!hasSeparator || !hasDigits) return false
+    val low = value.toLowerCase
+    val p1 = value.length == 10 && value.count(_ == '-') == 2
+    val p2 = value.length == 10 && value.count(_ == '/') == 2
+    val p3 = value.length >= 8 && MonthWords.exists(low.contains)
+    p1 || p2 || p3
+  }
+
+  /** Extractor-side cell typing (reference: dataframe_extractor.py:786-819).
+    * Operates on the python-str value + dataType pair we carry.
+    */
+  def extractorType(c: Cell): String = {
+    if (c == null || c.isEmpty) return "empty"
+    c.dataType match {
+      case "boolean" => "boolean"
+      case "number" => "numeric"
+      case _ =>
+        val v = c.value.trim
+        val noComma = v.replace(",", "")
+        if (FloatRe.matches(noComma)) "numeric"
+        else if (v.length >= 6 && v.exists(ch => ch == '-' || ch == '/' || ch == ':')) "date"
+        else if (Set("true", "false", "yes", "no", "y", "n").contains(v.toLowerCase)) "boolean"
+        else "text"
+    }
+  }
+}
+
+/** Python `repr(float)`-compatible rendering: shortest round-tripping
+  * decimal, positional when the decimal exponent is in [-4, 16), else
+  * scientific with a signed two-digit exponent.
+  */
+object PyFloat {
+  def repr(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+
+    val neg = d < 0
+    val ad = math.abs(d)
+    // shortest digit string that round-trips
+    var digits: String = null
+    var exp10 = 0
+    var p = 1
+    var found = false
+    while (!found && p <= 17) {
+      val s = String.format("%." + (p - 1) + "e", Double.box(ad))
+      if (java.lang.Double.parseDouble(s) == ad) {
+        val eIdx = s.indexOf('e')
+        val mant = s.substring(0, eIdx).replace(".", "")
+        exp10 = Integer.parseInt(s.substring(eIdx + 1))
+        // strip trailing zeros from mantissa (keep at least one digit)
+        var end = mant.length
+        while (end > 1 && mant.charAt(end - 1) == '0') end -= 1
+        digits = mant.substring(0, end)
+        found = true
+      }
+      p += 1
+    }
+    if (digits == null) { // should not happen
+      return d.toString
+    }
+    val sb = new StringBuilder
+    if (neg) sb.append('-')
+    if (exp10 >= -4 && exp10 < 16) {
+      if (exp10 >= digits.length - 1) {
+        // integral-ish: digits then zeros then ".0"
+        sb.append(digits)
+        var i = digits.length - 1
+        while (i < exp10) { sb.append('0'); i += 1 }
+        sb.append(".0")
+      } else if (exp10 >= 0) {
+        sb.append(digits.substring(0, exp10 + 1)).append('.').append(digits.substring(exp10 + 1))
+      } else {
+        sb.append("0.")
+        var i = -1
+        while (i > exp10) { sb.append('0'); i -= 1 }
+        sb.append(digits)
+      }
+    } else {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits.substring(1))
+      sb.append('e')
+      if (exp10 >= 0) sb.append('+') else sb.append('-')
+      val ae = math.abs(exp10)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+    }
+    sb.toString
+  }
+}

