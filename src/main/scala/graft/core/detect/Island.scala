@@ -1,12 +1,12 @@
 package graft.core.detect
 
 import scala.collection.mutable
-import graft.core.grid.{A1, Cell, CellGrid, Span, TableHit}
+import graft.core.grid.{A1, Cell, CellGrid, LongHashSet, Span, TableHit}
 
 /** A connected region of data (reference: detectors/island_detector.py:22-539).
   */
 final class DataIsland extends Serializable {
-  val cells: mutable.HashSet[Long] = mutable.HashSet.empty
+  val cells: LongHashSet = new LongHashSet()
   var minRow: Int = -1
   var maxRow: Int = -1
   var minCol: Int = -1
@@ -21,7 +21,7 @@ final class DataIsland extends Serializable {
   @inline private def key(r: Int, c: Int): Long = (r.toLong << 32) | (c & 0xffffffffL)
 
   def addCell(r: Int, c: Int): Unit = {
-    cells += key(r, c)
+    cells.add(key(r, c))
     if (minRow < 0 || r < minRow) minRow = r
     if (maxRow < 0 || r > maxRow) maxRow = r
     if (minCol < 0 || c < minCol) minCol = c
@@ -30,14 +30,14 @@ final class DataIsland extends Serializable {
 
   def copyShell(): DataIsland = {
     val d = new DataIsland
-    d.cells ++= cells
+    d.cells.addAll(cells)
     d.minRow = minRow; d.maxRow = maxRow; d.minCol = minCol; d.maxCol = maxCol
     d.totalSheetCells = totalSheetCells
     d
   }
 
   def absorb(other: DataIsland): Unit = {
-    cells ++= other.cells
+    cells.addAll(other.cells)
     if (other.minRow >= 0) minRow = math.min(minRow, other.minRow)
     if (other.maxRow >= 0) maxRow = math.max(maxRow, other.maxRow)
     if (other.minCol >= 0) minCol = math.min(minCol, other.minCol)
@@ -325,11 +325,11 @@ final class IslandDetector(
 
     if (useStructuralAnalysis) return detectIslandsStructural(g)
 
-    val dataCells = new java.util.HashSet[java.lang.Long]()
     val coords = g.coordsSorted
+    val dataCells = new LongHashSet(coords.length)
     coords.foreach(k => dataCells.add(k))
 
-    val visited = new java.util.HashSet[java.lang.Long]()
+    val visited = new LongHashSet(coords.length)
     var islands = Vector.newBuilder[DataIsland]
     var i = 0
     while (i < coords.length) {
@@ -379,15 +379,21 @@ final class IslandDetector(
     out
   }
 
-  /** BFS flood fill (reference: island_detector.py:734-844). */
-  private def floodFill(start: Long, dataCells: java.util.HashSet[java.lang.Long],
-      visited: java.util.HashSet[java.lang.Long]): DataIsland = {
+  /** Flood fill over the connected component (reference:
+    * island_detector.py:734-844 — BFS there; traversal order does not
+    * affect island content, and we use a primitive stack to avoid boxing).
+    */
+  private def floodFill(start: Long, dataCells: LongHashSet,
+      visited: LongHashSet): DataIsland = {
     val island = new DataIsland
-    val queue = new java.util.ArrayDeque[java.lang.Long]()
-    queue.add(start)
+    var stack = new Array[Long](64)
+    var top = 0
+    stack(top) = start
+    top += 1
     visited.add(start)
-    while (!queue.isEmpty) {
-      val k = queue.poll()
+    while (top > 0) {
+      top -= 1
+      val k = stack(top)
       val r = rowOf(k)
       val c = colOf(k)
       island.addCell(r, c)
@@ -396,10 +402,14 @@ final class IslandDetector(
         var dc = -maxGap
         while (dc <= maxGap) {
           if (!(dr == 0 && dc == 0) && (includeDiagonal || dr == 0 || dc == 0)) {
-            val nk = key(r + dr, c + dc)
-            if (dataCells.contains(nk) && !visited.contains(nk)) {
-              visited.add(nk)
-              queue.add(nk)
+            if (r + dr >= 0 && c + dc >= 0) {
+              val nk = key(r + dr, c + dc)
+              if (dataCells.contains(nk) && !visited.contains(nk)) {
+                visited.add(nk)
+                if (top == stack.length) stack = java.util.Arrays.copyOf(stack, top * 2)
+                stack(top) = nk
+                top += 1
+              }
             }
           }
           dc += 1

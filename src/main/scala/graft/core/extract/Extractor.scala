@@ -95,12 +95,24 @@ object Extractor {
     }
   }
 
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val md = MessageDigest.getInstance("SHA-256")
+    val md = digests.get()
+    md.reset()
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(d.length * 2)
-    d.foreach { b => sb.append(f"${b & 0xff}%02x") }
-    sb.toString
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(i * 2) = HexChars(b >> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** End-to-end for raw HTML bytes. */

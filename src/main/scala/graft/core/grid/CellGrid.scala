@@ -1,16 +1,15 @@
 package graft.core.grid
 
-import java.util.{HashMap => JHashMap}
-
 /** Sparse cell grid keyed by packed (row,col) longs.
   *
   * Mirrors the reference's sparse dict-of-cells sheet model
   * (reference: models/sheet_data.py:109-325) with O(1) random access and a
   * deterministic sorted iteration order (the reference re-sorts before any
-  * order-sensitive step, island_detector.py:658).
+  * order-sensitive step, island_detector.py:658). Backed by a primitive
+  * open-addressing map — the kernel is allocation-bound otherwise.
   */
 final class CellGrid extends Serializable {
-  private val map = new JHashMap[Long, Cell]()
+  private val map = new LongObjMap[Cell]()
   private var _maxRow: Int = 0
   private var _maxCol: Int = 0
   private var sortedCache: Array[Cell] = null
@@ -46,9 +45,8 @@ final class CellGrid extends Serializable {
   def cellsSorted: Array[Cell] = {
     if (sortedCache == null) {
       val arr = new Array[Cell](map.size)
-      val it = map.values().iterator()
       var i = 0
-      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      map.foreachValue { c => arr(i) = c; i += 1 }
       java.util.Arrays.sort(arr, (a: Cell, b: Cell) => {
         val dr = Integer.compare(a.row, b.row)
         if (dr != 0) dr else Integer.compare(a.col, b.col)

@@ -24,6 +24,25 @@ object TypeInfer {
     val stripped = value.trim
     if (stripped.isEmpty) return (null, "empty")
 
+    // fast path: plain ASCII digits (the dominant numeric-cell case) —
+    // same result as the int path below, no regex/BigInt
+    if (stripped.length <= 18) {
+      var allDigits = true
+      var i = 0
+      while (allDigits && i < stripped.length) {
+        val ch = stripped.charAt(i)
+        if (ch < '0' || ch > '9') allDigits = false
+        i += 1
+      }
+      if (allDigits) {
+        if (stripped.length == 1 && (stripped.charAt(0) == '0' || stripped.charAt(0) == '1')) {
+          // "0"/"1" are booleans in the reference (csv_reader.py:344-346)
+          return (if (stripped.charAt(0) == '1') "True" else "False", "boolean")
+        }
+        return (java.lang.Long.parseLong(stripped).toString, "number")
+      }
+    }
+
     val low = stripped.toLowerCase
     if (BoolAll.contains(low))
       return (if (BoolTrue.contains(low)) "True" else "False", "boolean")

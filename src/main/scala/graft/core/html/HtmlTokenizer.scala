@@ -103,7 +103,8 @@ object HtmlTokenizer {
     val nameStart = i
     while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-')) i += 1
     val name = html.substring(nameStart, i).toLowerCase
-    val attrs = mutable.Map.empty[String, String]
+    // fast path: attribute-less tag (the overwhelmingly common <td>/<tr>)
+    var attrs: mutable.Map[String, String] = null
     var selfClosing = false
     var done = false
     while (i < n && !done) {
@@ -113,6 +114,7 @@ object HtmlTokenizer {
         selfClosing = true; done = true; i += 2
       } else if (c.isWhitespace) i += 1
       else {
+        if (attrs == null) attrs = mutable.Map.empty[String, String]
         // attribute
         val aStart = i
         while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
@@ -139,8 +141,10 @@ object HtmlTokenizer {
         if (aName.nonEmpty) attrs(aName) = decodeEntities(aVal)
       }
     }
-    (StartTag(name, attrs.toMap, selfClosing), i)
+    (StartTag(name, if (attrs == null) EmptyAttrs else attrs.toMap, selfClosing), i)
   }
+
+  private val EmptyAttrs: Map[String, String] = Map.empty
 
   private val Named: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",

@@ -86,19 +86,25 @@ object PageGen {
     paras.foreach { p => sb.append("<p>").append(escape(p)).append("</p>") }
 
     // embedded tabular regions, variant keyed by doc_id
-    val variant = (docId % 8).toInt
+    // variant mix approximates the reference's observed method rates
+    // (detection.py:99,149,170 — simple ~23%, island/multi-table ~74%):
+    // 0-1 simple/dense fast path, 2-4 island path, 5 box path, 6-7 pre,
+    // 8 plate, 9 prose-only
+    val variant = (docId % 10).toInt
     variant match {
       case 0 => appendSimpleTable(sb, rng, 4 + rng.nextInt(6))
       case 1 => appendDenseTable(sb, rng, 30 + rng.nextInt(40), 8 + rng.nextInt(5))
-      case 2 =>
-        appendSimpleTable(sb, rng, 4 + rng.nextInt(4))
-        sb.append("<p>").append(escape(paras.headOption.getOrElse("and then some more prose to separate the two tables"))).append("</p>")
-        appendDenseTable(sb, rng, 6 + rng.nextInt(6), 4)
-      case 3 => appendBoxTable(sb, rng, 5 + rng.nextInt(5))
-      case 4 => appendPre(sb, rng, '\t', 8 + rng.nextInt(10))
-      case 5 => appendPre(sb, rng, ',', 8 + rng.nextInt(10))
-      case 6 => () // boilerplate + prose only
-      case 7 => appendPlate96(sb, rng)
+      case 2 | 3 | 4 =>
+        // one <table> with two islands separated by empty rows/cols →
+        // island detection (flood fill + merge rules), the heavy path
+        appendIslandsTable(sb, rng, 6 + rng.nextInt(12), 4 + rng.nextInt(4))
+      case 5 =>
+        // bordered table offset from A1 (empty leading row/col) → box path
+        appendBoxTable(sb, rng, 5 + rng.nextInt(5))
+      case 6 => appendPre(sb, rng, '\t', 8 + rng.nextInt(10))
+      case 7 => appendPre(sb, rng, ',', 8 + rng.nextInt(10))
+      case 8 => appendPlate96(sb, rng)
+      case 9 => () // boilerplate + prose only
     }
     sb.append("</main>")
     sb.append("<footer><p>(c) example corp</p><a href=\"/tos\">terms</a> <a href=\"/privacy\">privacy</a></footer>")
@@ -155,15 +161,70 @@ object PageGen {
     sb.append("</table>")
   }
 
+  /** Two data islands inside one table element, separated by empty rows and
+    * offset columns → exercises flood fill, merge predicates and the
+    * adaptive size filter (the reference's dominant path).
+    */
+  private def appendIslandsTable(sb: StringBuilder, rng: Rng, rows1: Int, rows2: Int): Unit = {
+    val cols1 = 4
+    val cols2 = 3
+    val gapRows = 2 + rng.nextInt(2) // ≥2 empty rows → distinct islands
+    val offset2 = cols1 + 2 // ≥2 empty columns → never merged
+    val totalCols = offset2 + cols2
+    sb.append("<table>")
+    // island 1 header + data at (0,0)
+    sb.append("<tr>")
+    (0 until cols1).foreach(c => sb.append("<th>k").append(c).append("</th>"))
+    (cols1 until totalCols).foreach(_ => sb.append("<td></td>"))
+    sb.append("</tr>")
+    (0 until rows1).foreach { _ =>
+      sb.append("<tr>")
+      (0 until cols1).foreach { c =>
+        sb.append("<td>")
+        if (c == 0) sb.append(Products(rng.nextInt(Products.length)))
+        else sb.append(rng.nextInt(10000))
+        sb.append("</td>")
+      }
+      (cols1 until totalCols).foreach(_ => sb.append("<td></td>"))
+      sb.append("</tr>")
+    }
+    (0 until gapRows).foreach { _ =>
+      sb.append("<tr>")
+      (0 until totalCols).foreach(_ => sb.append("<td></td>"))
+      sb.append("</tr>")
+    }
+    // island 2 at (rows1+1+gap, offset2)
+    sb.append("<tr>")
+    (0 until offset2).foreach(_ => sb.append("<td></td>"))
+    (0 until cols2).foreach(c => sb.append("<th>m").append(c).append("</th>"))
+    sb.append("</tr>")
+    (0 until rows2).foreach { _ =>
+      sb.append("<tr>")
+      (0 until offset2).foreach(_ => sb.append("<td></td>"))
+      (0 until cols2).foreach { c =>
+        sb.append("<td>")
+        if (c == 0) sb.append(Cities(rng.nextInt(Cities.length)))
+        else sb.append(rng.nextInt(500))
+        sb.append("</td>")
+      }
+      sb.append("</tr>")
+    }
+    sb.append("</table>")
+  }
+
   private def appendBoxTable(sb: StringBuilder, rng: Rng, rows: Int): Unit = {
-    sb.append("<table><tr>")
+    sb.append("<table>")
+    // leading empty row + column push the box off A1 so the simple-case
+    // fast path declines and box detection does the work
+    sb.append("<tr><td></td><td></td><td></td><td></td></tr>")
+    sb.append("<tr><td></td>")
     Seq("Name", "Role", "Score").foreach { h =>
       sb.append("<th style=\"border: 1px solid black\">").append(h).append("</th>")
     }
     sb.append("</tr>")
     var r = 0
     while (r < rows) {
-      sb.append("<tr>")
+      sb.append("<tr><td></td>")
       sb.append("<td style=\"border: 1px solid black\">")
         .append(Names(rng.nextInt(Names.length))).append("</td>")
       sb.append("<td style=\"border: 1px solid black\">")
