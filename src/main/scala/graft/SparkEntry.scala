@@ -144,6 +144,37 @@ object SparkEntry {
     }),
     "x_extract_metrics" -> ((s, dir) =>
       Pipeline.metrics(Pipeline.extract(s, PageGen.pages(s, dir)))),
+    "x_extract_tables" -> ((s, dir) => {
+      // per-span DataFrame extraction (reference §3.3 surface) in the kernel
+      import s.implicits._
+      import graft.core.extract.{Extractor, TableExtractor}
+      import graft.core.grid.{PyFloat, Span}
+      PageGen.pages(s, dir).mapPartitions { it =>
+        val ext = new TableExtractor()
+        it.flatMap { p =>
+          try {
+            val parsed = graft.core.html.PageParser.parseBytes(p.html)
+            val cfg = graft.core.detect.DetectConfig()
+            parsed.regions.zipWithIndex.flatMap { case (region, idx) =>
+              val outcome = graft.core.detect.Cascade.detect(region.grid, region.kind, cfg)
+              outcome.tables.map { hit =>
+                val (table, hi, quality) = ext.extract(region.grid, hit.span)
+                (p.url, idx, hit.span.a1,
+                  hi.map(_.orientation).getOrElse(""),
+                  hi.map(_.headerRows).getOrElse(0),
+                  hi.exists(_.hasHeaders),
+                  hi.map(_.tableType).getOrElse(""),
+                  math.rint(quality * 10000) / 10000,
+                  table.map(_.rowCount).getOrElse(0),
+                  table.map(_.colCount).getOrElse(0))
+              }
+            }
+          } catch { case _: Throwable => Seq.empty }
+        }
+      }.toDF("url", "region", "a1", "orientation", "header_rows", "has_headers",
+        "table_type", "quality", "data_rows", "data_cols")
+        .orderBy(col("url"), col("region"), col("a1"))
+    }),
 
     // ---- non-SQL training-data ops (rows-only check; sbt-test gated) ----
     "x_dedup_minhash" -> ((s, dir) =>

@@ -115,7 +115,52 @@ object Extractor {
     new String(out)
   }
 
-  /** End-to-end for raw HTML bytes. */
-  def extractHtml(html: Array[Byte], config: DetectConfig = DetectConfig()): PageExtract =
-    extract(PageParser.parseBytes(html), config)
+  /** Payload content classifier — the in-kernel analogue of the reference's
+    * format sniffing (utils/file_magic.py:247-338 content-analysis tier):
+    * decide HTML vs plain/delimited text from the payload itself, never
+    * from metadata.
+    */
+  def looksLikeHtml(s: String): Boolean = {
+    val n = math.min(s.length, 4096)
+    val head = s.substring(0, n)
+    val low = head.toLowerCase
+    if (low.contains("<!doctype") || low.contains("<html") || low.contains("<body") ||
+        low.contains("<table") || low.contains("<div") || low.contains("<p>")) return true
+    // generic: several tag-like openings
+    var tags = 0
+    var i = 0
+    while (i < n - 1 && tags < 3) {
+      if (head.charAt(i) == '<' && (head.charAt(i + 1).isLetter || head.charAt(i + 1) == '/'))
+        tags += 1
+      i += 1
+    }
+    tags >= 3
+  }
+
+  /** Plain-text payload → page: delimited content becomes a grid region
+    * (reference TextReader path), prose becomes text blocks.
+    */
+  def parsePlainText(text: String): ParsedPage = {
+    graft.core.html.DelimitedText.detectFormat(text) match {
+      case Some((delim, _)) =>
+        val (g, kind) = graft.core.html.DelimitedText.parse(text, delim)
+        if (g.hasData) ParsedPage(Vector.empty, Vector(GridRegion(g, kind, "text")), 0L)
+        else ParsedPage(textBlocksOf(text), Vector.empty, 0L)
+      case None => ParsedPage(textBlocksOf(text), Vector.empty, 0L)
+    }
+  }
+
+  private def textBlocksOf(text: String): Vector[String] =
+    text.split("\n\\s*\n").iterator.map(PageParser.normalizeWs).filter(_.nonEmpty).toVector
+
+  /** End-to-end for a raw payload: sniff HTML vs text, parse, detect,
+    * serialize.
+    */
+  def extractHtml(html: Array[Byte], config: DetectConfig = DetectConfig()): PageExtract = {
+    val decoded = graft.core.html.Encoding.decode(html)
+    val page =
+      if (looksLikeHtml(decoded)) PageParser.parse(decoded)
+      else parsePlainText(decoded)
+    extract(page, config)
+  }
 }

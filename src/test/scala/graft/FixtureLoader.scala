@@ -14,7 +14,7 @@ object FixtureLoader {
   private val mapper = new ObjectMapper()
 
   final case class FixCell(r: Int, c: Int, v: String, bold: Boolean,
-      bt: String, bb: String, bl: String, br: String)
+      bt: String, bb: String, bl: String, br: String, mr: String)
   final case class Fixture(name: String, kind: String, cells: Vector[FixCell])
   final case class GoldenTable(id: String, method: String, a1: String, confidence: String,
       hasHeaders: Boolean, headers: Vector[String])
@@ -35,7 +35,7 @@ object FixtureLoader {
           f.get("cells").elements().asScala.map { c =>
             FixCell(c.get("r").asInt(), c.get("c").asInt(), c.get("v").asText(),
               if (c.has("bold")) c.get("bold").asBoolean() else false,
-              opt(c, "bt"), opt(c, "bb"), opt(c, "bl"), opt(c, "br"))
+              opt(c, "bt"), opt(c, "bb"), opt(c, "bl"), opt(c, "br"), opt(c, "mr"))
           }.toVector
         else expandGen(f.get("gen"))
       Fixture(name, kind, cells)
@@ -51,24 +51,24 @@ object FixtureLoader {
       case "dense" =>
         val rows = gen.get("rows").asInt()
         val cols = gen.get("cols").asInt()
-        (0 until cols).foreach(c => out += FixCell(0, c, s"h$c", bold = true, null, null, null, null))
+        (0 until cols).foreach(c => out += FixCell(0, c, s"h$c", bold = true, null, null, null, null, null))
         (1 until rows).foreach { r =>
           (0 until cols).foreach { c =>
-            out += FixCell(r, c, ((r * 31 + c * 7) % 1000).toString, bold = false, null, null, null, null)
+            out += FixCell(r, c, ((r * 31 + c * 7) % 1000).toString, bold = false, null, null, null, null, null)
           }
         }
       case "plate96" =>
-        (1 to 12).foreach(c => out += FixCell(0, c, c.toString, bold = false, null, null, null, null))
+        (1 to 12).foreach(c => out += FixCell(0, c, c.toString, bold = false, null, null, null, null, null))
         (1 to 8).foreach { r =>
-          out += FixCell(r, 0, ('A' + r - 1).toChar.toString, bold = false, null, null, null, null)
+          out += FixCell(r, 0, ('A' + r - 1).toChar.toString, bold = false, null, null, null, null, null)
           (1 to 12).foreach { c =>
-            out += FixCell(r, c, ((r * 127 + c * 31) % 9000).toString, bold = false, null, null, null, null)
+            out += FixCell(r, c, ((r * 127 + c * 31) % 9000).toString, bold = false, null, null, null, null, null)
           }
         }
       case "wide" =>
         (0 until 60).foreach { c =>
-          out += FixCell(0, c, s"w$c", bold = false, null, null, null, null)
-          out += FixCell(1, c, ((c * 13) % 500).toString, bold = false, null, null, null, null)
+          out += FixCell(0, c, s"w$c", bold = false, null, null, null, null, null)
+          out += FixCell(1, c, ((c * 13) % 500).toString, bold = false, null, null, null, null, null)
         }
       case t => throw new IllegalArgumentException(t)
     }
@@ -87,6 +87,14 @@ object FixtureLoader {
     }.toMap
   }
 
+  /** Raw golden JSON per fixture (extraction / multi_header / structure
+    * sections).
+    */
+  lazy val goldenNodes: Map[String, JsonNode] = {
+    resource("/golden/expected.json").get("goldens").elements().asScala
+      .map(g => g.get("name").asText() -> g).toMap
+  }
+
   def kindOf(fix: Fixture): GridKind = fix.kind match {
     case "formatted" => GridKind.Formatted
     case "csv" => GridKind.Csv
@@ -103,7 +111,8 @@ object FixtureLoader {
         else TypeInfer.infer(fc.v)
       if (value != null) {
         g.put(new Cell(value, fc.v, dt, fc.r, fc.c, isBold = fc.bold,
-          borderTop = fc.bt, borderBottom = fc.bb, borderLeft = fc.bl, borderRight = fc.br))
+          borderTop = fc.bt, borderBottom = fc.bb, borderLeft = fc.bl, borderRight = fc.br,
+          isMerged = fc.mr != null, mergeRange = fc.mr))
       }
     }
     g
@@ -118,11 +127,21 @@ object FixtureLoader {
     val byPos = fix.cells.map(c => (c.r, c.c) -> c).toMap
     val sb = new StringBuilder
     if (fix.kind == "formatted") {
+      // positions covered by a merge (not the anchor) are not emitted
+      val covered = fix.cells.filter(_.mr != null).flatMap { fc =>
+        val span = graft.core.grid.A1.parseRange(fc.mr)
+        for {
+          r <- span.r0 to span.r1
+          c <- span.c0 to span.c1
+          if !(r == fc.r && c == fc.c)
+        } yield (r, c)
+      }.toSet
       sb.append("<table>")
       (0 to maxRow).foreach { r =>
         sb.append("<tr>")
         (0 to maxCol).foreach { c =>
-          byPos.get((r, c)) match {
+          if (covered.contains((r, c))) ()
+          else byPos.get((r, c)) match {
             case Some(fc) =>
               val styles = Seq(
                 Option(fc.bt).map(l => s"border-top: ${px(l)} solid #000"),
@@ -131,6 +150,11 @@ object FixtureLoader {
                 Option(fc.br).map(l => s"border-right: ${px(l)} solid #000")
               ).flatten
               sb.append("<td")
+              if (fc.mr != null) {
+                val span = graft.core.grid.A1.parseRange(fc.mr)
+                if (span.colCount > 1) sb.append(" colspan=\"").append(span.colCount).append('"')
+                if (span.rowCount > 1) sb.append(" rowspan=\"").append(span.rowCount).append('"')
+              }
               if (styles.nonEmpty) sb.append(" style=\"").append(styles.mkString("; ")).append('"')
               sb.append('>')
               if (fc.bold) sb.append("<b>").append(esc(fc.v)).append("</b>")

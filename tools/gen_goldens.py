@@ -18,8 +18,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, "/root/reference/src")
 
 from gridgulp.detection import TableDetectionAgent  # noqa: E402
+from gridgulp.detectors.format_analyzer import SemanticFormatAnalyzer  # noqa: E402
+from gridgulp.detectors.multi_header_detector import MultiHeaderDetector  # noqa: E402
+from gridgulp.extractors.dataframe_extractor import DataFrameExtractor  # noqa: E402
 from gridgulp.models.file_info import FileType  # noqa: E402
 from gridgulp.models.sheet_data import CellData, SheetData  # noqa: E402
+from gridgulp.models.table import TableRange  # noqa: E402
 from gridgulp.readers.csv_reader import CSVReader  # noqa: E402
 
 # Reuse the reference's own type inference so fixture typing is by-construction
@@ -80,6 +84,8 @@ def build_sheet(fix):
                 formatted_value=raw,
                 data_type=dt,
                 is_bold=bool(cell.get("bold", False)),
+                is_merged=bool(cell.get("mr")),
+                merge_range=cell.get("mr"),
                 border_top=cell.get("bt"),
                 border_bottom=cell.get("bb"),
                 border_left=cell.get("bl"),
@@ -116,13 +122,53 @@ def main():
                     "headers": t.headers if t.headers else [],
                 }
             )
-        out.append(
-            {
-                "name": fix["name"],
-                "method_used": res.processing_metadata["method_used"],
-                "tables": tables,
+        entry = {
+            "name": fix["name"],
+            "method_used": res.processing_metadata["method_used"],
+            "tables": tables,
+        }
+        # pin the extractor / multi-header / structure operators over the
+        # first detected table range (reference public API surface)
+        if res.tables:
+            tr = res.tables[0].range
+            rng = TableRange(
+                start_row=tr.start_row, start_col=tr.start_col,
+                end_row=tr.end_row, end_col=tr.end_col,
+            )
+            df, hi, quality = DataFrameExtractor().extract_dataframe(sd, rng)
+            entry["extraction"] = {
+                "has_headers": hi.has_headers if hi else False,
+                "header_rows": hi.header_rows if hi else 0,
+                "header_columns": hi.header_columns if hi else 0,
+                "orientation": hi.orientation if hi else "vertical",
+                "headers": (hi.headers if hi else []) or [],
+                "confidence": repr(hi.confidence) if hi else "0.0",
+                "title_rows": (hi.title_rows if hi else []) or [],
+                "column_types": {str(k): v for k, v in (hi.column_types if hi else {}).items()},
+                "table_type": hi.table_type if hi else "standard",
+                "quality": repr(quality),
+                "df_shape": list(df.shape) if df is not None else None,
             }
-        )
+            mh = MultiHeaderDetector().detect_multi_row_headers(sd, rng)
+            entry["multi_header"] = (
+                None if mh is None else {
+                    "start_row": mh.start_row,
+                    "end_row": mh.end_row,
+                    "confidence": repr(mh.confidence),
+                    "column_mappings": {str(k): v for k, v in sorted(mh.column_mappings.items())},
+                    "n_cells": len(mh.cells),
+                }
+            )
+            st = SemanticFormatAnalyzer().analyze_table_structure(sd, rng, header_rows=1)
+            entry["structure"] = {
+                "row_types": [r.row_type.value for r in st.semantic_rows],
+                "sections": [list(sc) for sc in st.sections],
+                "has_subtotals": st.has_subtotals,
+                "has_grand_total": st.has_grand_total,
+                "preserve_blank_rows": st.preserve_blank_rows,
+                "n_patterns": len(st.format_patterns),
+            }
+        out.append(entry)
         print(
             fix["name"],
             "->",
