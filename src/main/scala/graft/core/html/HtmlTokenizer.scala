@@ -113,6 +113,7 @@ object HtmlTokenizer {
       else if (c == '/' && i + 1 < n && html.charAt(i + 1) == '>') {
         selfClosing = true; done = true; i += 2
       } else if (c.isWhitespace) i += 1
+      else if (c == '/') i += 1 // stray slash not followed by '>': skip (malformed markup)
       else {
         if (attrs == null) attrs = mutable.Map.empty[String, String]
         // attribute

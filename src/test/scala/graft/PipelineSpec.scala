@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.{Page, PageGen, Pipeline, Snapshots}
+
+/** Distributed-pipeline behaviour: determinism, error isolation, metrics,
+  * skew keys, snapshot resume.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("extraction is deterministic and parse failures are isolated") {
+    import spark.implicits._
+    val pages = PageGen.pages(spark, sfDir)
+    val a = Pipeline.extract(spark, pages).select("url", "text_sha256")
+      .orderBy("url").collect().map(_.toString).toVector
+    val b = Pipeline.extract(spark, pages).select("url", "text_sha256")
+      .orderBy("url").collect().map(_.toString).toVector
+    assert(a == b, "two runs over the same corpus must be byte-identical")
+    assert(a.size == 500)
+
+    val bad = Seq(
+      Page("u:null", new java.sql.Timestamp(0), null, "", "en"),
+      Page("u:garbage", new java.sql.Timestamp(0), Array.fill[Byte](64)(0x81.toByte), "", "en")
+    ).toDS()
+    val out = Pipeline.extract(spark, bad).collect()
+    assert(out.length == 2)
+    assert(out.count(_.parse_failed) == 1) // null html fails; garbage decodes via fallback
+  }
+
+  test("metrics rollup accounts every doc exactly once") {
+    val pages = PageGen.pages(spark, sfDir)
+    val extracted = Pipeline.extract(spark, pages)
+    val m = Pipeline.metrics(extracted).collect()
+    assert(m.map(_.getLong(1)).sum == 500L)
+    // columns: partition_id, docs, tables_found, regions_found, bytes_stripped, parse_failures
+    assert(m.map(_.getLong(5)).sum == 0L, "no parse failures in clean corpus")
+    assert(m.length > 1, "work must spread over multiple partitions")
+  }
+
+  test("skew key spreads the hot hosts") {
+    import org.apache.spark.sql.functions._
+    val keyed = Pipeline.withSkewKey(PageGen.pages(spark, sfDir))
+    val hotHostKeys = keyed.filter(col("_host") === "host-1.example")
+      .select(col("_salt")).distinct().count()
+    assert(hotHostKeys > 1, "hot host must fan out over multiple salt buckets")
+  }
+
+  test("snapshot run is resumable and equals a direct run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap_spec").toString
+    val pages = PageGen.pages(spark, sfDir)
+    intercept[RuntimeException] {
+      Snapshots.runResumable(spark, pages, dir, buckets = 4, failAfterBuckets = 2)
+    }
+    val afterCrash = Snapshots.readCurrent(dir).get
+    assert(afterCrash.committed.size == 2)
+
+    val (processed, skipped) = Snapshots.runResumable(spark, pages, dir, buckets = 4)
+    assert(processed == 2 && skipped == 2)
+
+    val viaSnapshots = Snapshots.readTable(spark, dir).get
+      .select("url", "text_sha256").orderBy("url").collect().map(_.toString).toVector
+    val direct = Pipeline.extract(spark, pages)
+      .select("url", "text_sha256").orderBy("url").collect().map(_.toString).toVector
+    assert(viaSnapshots == direct, "snapshot-planned read must equal a direct run")
+
+    // lineage table carries per-bucket rows
+    val lineage = Snapshots.lineage(spark, dir).get.collect()
+    assert(lineage.length == 4)
+    assert(lineage.map(_.getLong(1)).sum == 500L)
+
+    // time travel: the crash-time snapshot is still readable by id
+    val old = Snapshots.readSnapshot(dir, afterCrash.snapshotId).get
+    assert(old.committed.size == 2)
+  }
+
+  test("amplified corpus pages are unique and deterministic") {
+    val p2 = PageGen.pages(spark, sfDir, factor = 2)
+    assert(p2.count() == 1000)
+    assert(p2.select("url").distinct().count() == 1000)
+  }
+}
