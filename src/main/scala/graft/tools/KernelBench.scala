@@ -40,5 +40,44 @@ object KernelBench {
     val t8 = run(8)
     val t32 = run(32)
     println(f"kernel scaling efficiency 8->32: ${(t8 / t32) / 4.0}%.3f")
+
+    // phase breakdown + cells/s on one thread (reference publishes
+    // 1M+ cells/s simple path, 100K+ cells/s island path — BASELINE.md)
+    var tParse = 0L
+    var tDetect = 0L
+    var tSerialize = 0L
+    var totalCells = 0L
+    var totalTables = 0L
+    val cfg = graft.core.detect.DetectConfig()
+    val sample = pages.take(8000)
+    sample.foreach { html =>
+      var t0 = System.nanoTime()
+      val page = graft.core.html.PageParser.parseBytes(html)
+      var t1 = System.nanoTime()
+      tParse += t1 - t0
+      page.regions.foreach(r => totalCells += r.grid.size)
+      t0 = System.nanoTime()
+      val detected = Vector.newBuilder[graft.core.extract.DetectedTable]
+      var idx = 0
+      page.regions.foreach { region =>
+        val outcome = graft.core.detect.Cascade.detect(region.grid, region.kind, cfg)
+        outcome.tables.take(cfg.maxTablesPerSheet).foreach { hit =>
+          detected += graft.core.extract.DetectedTable(idx, region.kind, region.origin, outcome.methodUsed, hit)
+        }
+        idx += 1
+      }
+      val tabs = detected.result()
+      totalTables += tabs.size
+      t1 = System.nanoTime()
+      tDetect += t1 - t0
+      t0 = System.nanoTime()
+      val text = graft.core.extract.Extractor.canonicalText(page, tabs)
+      graft.core.extract.Extractor.sha256Hex(text)
+      t1 = System.nanoTime()
+      tSerialize += t1 - t0
+    }
+    val tot = (tParse + tDetect + tSerialize) / 1e9
+    println(f"phases over ${sample.length} docs: parse=${tParse / 1e9}%.2fs detect=${tDetect / 1e9}%.2fs serialize=${tSerialize / 1e9}%.2fs")
+    println(f"single-thread: ${sample.length / tot}%.0f docs/s, ${totalCells / tot}%.0f cells/s (grid cells=${totalCells}, tables=${totalTables})")
   }
 }
