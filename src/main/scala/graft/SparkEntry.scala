@@ -147,9 +147,9 @@ object SparkEntry {
     "x_extract_tables" -> ((s, dir) => {
       // per-span DataFrame extraction (reference §3.3 surface) in the kernel
       import s.implicits._
-      import graft.core.extract.{Extractor, TableExtractor}
-      import graft.core.grid.{PyFloat, Span}
-      PageGen.pages(s, dir).mapPartitions { it =>
+      import graft.core.extract.TableExtractor
+      val n = s.sessionState.conf.numShufflePartitions
+      PageGen.pages(s, dir).repartition(n).mapPartitions { it =>
         val ext = new TableExtractor()
         it.flatMap { p =>
           try {
@@ -187,7 +187,7 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, queries, k = 5)
     }),
     "x_ann_lsh" -> ((s, dir) =>
-      Similarity.lshNearNeighbors(s, t(s, dir, "embeddings"), nBits = 10, minCosine = 0.95)),
+      Similarity.lshNearNeighbors(s, t(s, dir, "embeddings"), nBits = 4, minCosine = 0.3)),
     "x_lang_id" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
