@@ -14,13 +14,8 @@ import graft.core.html.PageParser
   */
 class HtmlRoundTripSpec extends AnyFunSuite {
 
-  private val boilerplate =
-    """<html><head><title>t</title></head><body>
-      |<nav><a href="/a">aaaa</a> <a href="/b">bbbb</a> <a href="/c">cccc</a></nav>
-      |<p>This paragraph is long enough to be kept by the block classifier.</p>
-      |%s
-      |<footer><a href="/tos">terms of service</a></footer>
-      |</body></html>""".stripMargin
+  // shared with the pin generator so pins and tests see identical pages
+  private val boilerplate = graft.tools.GenShaPins.boilerplate
 
   FixtureLoader.fixtures.foreach { fix =>
     test(s"round-trip grid: ${fix.name}") {
@@ -87,15 +82,21 @@ class HtmlRoundTripSpec extends AnyFunSuite {
     assert(a.contains("café"))
   }
 
-  test("canonical serialization is stable (sha pinned per fixture corpus)") {
-    // regression pin: any change to the text contract must be a conscious one
-    val shas = FixtureLoader.fixtures.map { fix =>
+  test("canonical serialization matches the committed per-fixture SHA pins") {
+    // byte-identity regression gate: any change to the text contract must be
+    // deliberate — regenerate via `sbt "Test/runMain graft.tools.GenShaPins"`
+    // and explain the diff in the commit
+    import scala.jdk.CollectionConverters._
+    val in = getClass.getResourceAsStream("/golden/text_sha_pins.json")
+    require(in != null, "missing text_sha_pins.json")
+    val pins = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    in.close()
+    FixtureLoader.fixtures.foreach { fix =>
       val html = boilerplate.format(FixtureLoader.renderHtml(fix))
-      fix.name -> Extractor.extractHtml(html.getBytes("UTF-8")).sha256
+      val got = Extractor.extractHtml(html.getBytes("UTF-8")).sha256
+      assert(pins.has(fix.name), s"no pin for ${fix.name} — regenerate pins")
+      assert(got == pins.get(fix.name).asText(),
+        s"canonical text changed for ${fix.name}")
     }
-    val combined = Extractor.sha256Hex(shas.map(p => p._1 + ":" + p._2).mkString("\n"))
-    // if this changes intentionally, update the pin and note it in the commit
-    assert(combined.nonEmpty)
-    info(s"corpus pin: $combined")
   }
 }
