@@ -102,7 +102,7 @@ object HtmlTokenizer {
     var i = start + 1
     val nameStart = i
     while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-')) i += 1
-    val name = html.substring(nameStart, i).toLowerCase
+    val name = internTagName(html, nameStart, i)
     // fast path: attribute-less tag (the overwhelmingly common <td>/<tr>)
     var attrs: mutable.Map[String, String] = null
     var selfClosing = false
@@ -146,6 +146,36 @@ object HtmlTokenizer {
   }
 
   private val EmptyAttrs: Map[String, String] = Map.empty
+
+  private val CommonTags: Array[String] = Array("td", "tr", "th", "table", "p", "div",
+    "a", "b", "i", "li", "ul", "ol", "span", "pre", "nav", "h1", "h2", "h3", "h4",
+    "h5", "h6", "br", "em", "strong", "header", "footer", "main", "body", "html",
+    "head", "title", "section", "article", "aside", "form", "img", "script",
+    "style", "meta", "link")
+
+  /** Return the canonical lowercase tag-name string without allocating for
+    * the common tags (a page has hundreds of td/tr tags).
+    */
+  private def internTagName(html: String, from: Int, until: Int): String = {
+    val len = until - from
+    var t = 0
+    while (t < CommonTags.length) {
+      val cand = CommonTags(t)
+      if (cand.length == len) {
+        var i = 0
+        var ok = true
+        while (ok && i < len) {
+          val c = html.charAt(from + i)
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+          if (lc != cand.charAt(i)) ok = false
+          i += 1
+        }
+        if (ok) return cand
+      }
+      t += 1
+    }
+    html.substring(from, until).toLowerCase
+  }
 
   private val Named: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",

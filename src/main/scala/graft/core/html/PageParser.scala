@@ -192,6 +192,17 @@ object PageParser {
 
   /** Collapse whitespace runs to single spaces, trim. */
   def normalizeWs(s: String): String = {
+    // fast path: already normalized (no leading/trailing/double/odd ws)
+    var clean = s.nonEmpty && s.charAt(0) != ' ' && s.charAt(s.length - 1) != ' '
+    var j = 0
+    while (clean && j < s.length) {
+      val c = s.charAt(j)
+      if (c.isWhitespace && (c != ' ' || (j + 1 < s.length && s.charAt(j + 1) == ' ')))
+        clean = false
+      j += 1
+    }
+    if (clean) return s
+    if (s.isEmpty) return s
     val sb = new StringBuilder(s.length)
     var lastWs = true
     var i = 0
