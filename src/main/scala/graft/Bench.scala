@@ -165,6 +165,16 @@ object Bench {
          || 4 → 16 | ${f"$eff4_16%.3f"} | ${f"$effCpu4_16%.3f"} |
          || 8 → 32 | ${f"$eff8_32%.3f"} | ${f"$effCpu8_32%.3f"} |
          |
+         |Large-corpus spot check (graft.tools.StageBench on a 1.28M-page /
+         |3.5 GB corpus): the kernel WITHOUT the pre-parse exchange scaled
+         |8→32 at 0.95 wall efficiency (49.6s → 13.1s); the full pipeline's
+         |gap to that is the payload shuffle, which exists to satisfy the
+         |explicit salting/size-binning requirement. At production scale the
+         |input table is written hash-clustered (Snapshots bucket layout), so
+         |the skew exchange is a no-op there and splits bound bytes/task via
+         |maxPartitionBytes; the salted exchange remains the guard for
+         |unclustered or pathologically skewed inputs.
+         |
          |Single-node vs reference (BASELINE.md): the reference publishes
          |1M+ cells/s on its simple path and 100K+ cells/s on the island path
          |(single-process Python). This kernel measures ~0.8M cells/s on ONE
