@@ -94,6 +94,24 @@ object SparkEntry {
     "q_distinct_segments" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_mktsegment")).distinct()
         .orderBy(col("c_mktsegment"))),
+    "q_rollup_volume" -> ((s, dir) => {
+      // grouping-sets/rollup coverage (SURVEY §2.9)
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("status"), col("priority"))
+    }),
+    "q_distinct_agg" -> ((s, dir) =>
+      // distinct aggregate coverage (SURVEY §2.9)
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))),
 
     // ---- training-data ops with DuckDB oracles ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -249,6 +267,16 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_distinct_segments" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
+    "q_rollup_volume" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

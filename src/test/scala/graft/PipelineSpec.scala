@@ -50,6 +50,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(hotHostKeys > 1, "hot host must fan out over multiple salt buckets")
   }
 
+  test("pathological single-host corpus still balances across partitions") {
+    import spark.implicits._
+    // every page on ONE host: without salting this would land in one partition
+    val pages = PageGen.pages(spark, sfDir)
+      .map(p => p.copy(url = "https://megahost.example/" + p.url.split("/").last))
+    val extracted = Pipeline.extract(spark, pages, numPartitions = 8)
+    val perPartition = Pipeline.metrics(extracted).collect().map(_.getLong(1))
+    assert(perPartition.length >= 4, s"expected fan-out, got ${perPartition.toVector}")
+    val max = perPartition.max
+    val total = perPartition.sum
+    assert(total == 500L)
+    assert(max <= total / 2, s"one partition holds $max of $total docs — salting failed")
+  }
+
   test("snapshot run is resumable and equals a direct run") {
     import spark.implicits._
     val dir = Files.createTempDirectory("snap_spec").toString
