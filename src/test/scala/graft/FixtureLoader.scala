@@ -14,7 +14,7 @@ object FixtureLoader {
   private val mapper = new ObjectMapper()
 
   final case class FixCell(r: Int, c: Int, v: String, bold: Boolean,
-      bt: String, bb: String, bl: String, br: String, mr: String)
+      bt: String, bb: String, bl: String, br: String, mr: String, bg: String = null)
   final case class Fixture(name: String, kind: String, cells: Vector[FixCell])
   final case class GoldenTable(id: String, method: String, a1: String, confidence: String,
       hasHeaders: Boolean, headers: Vector[String])
@@ -35,7 +35,8 @@ object FixtureLoader {
           f.get("cells").elements().asScala.map { c =>
             FixCell(c.get("r").asInt(), c.get("c").asInt(), c.get("v").asText(),
               if (c.has("bold")) c.get("bold").asBoolean() else false,
-              opt(c, "bt"), opt(c, "bb"), opt(c, "bl"), opt(c, "br"), opt(c, "mr"))
+              opt(c, "bt"), opt(c, "bb"), opt(c, "bl"), opt(c, "br"), opt(c, "mr"),
+              opt(c, "bg"))
           }.toVector
         else expandGen(f.get("gen"))
       Fixture(name, kind, cells)
@@ -112,7 +113,7 @@ object FixtureLoader {
       if (value != null) {
         g.put(new Cell(value, fc.v, dt, fc.r, fc.c, isBold = fc.bold,
           borderTop = fc.bt, borderBottom = fc.bb, borderLeft = fc.bl, borderRight = fc.br,
-          isMerged = fc.mr != null, mergeRange = fc.mr))
+          isMerged = fc.mr != null, mergeRange = fc.mr, backgroundColor = fc.bg))
       }
     }
     g
@@ -147,7 +148,8 @@ object FixtureLoader {
                 Option(fc.bt).map(l => s"border-top: ${px(l)} solid #000"),
                 Option(fc.bb).map(l => s"border-bottom: ${px(l)} solid #000"),
                 Option(fc.bl).map(l => s"border-left: ${px(l)} solid #000"),
-                Option(fc.br).map(l => s"border-right: ${px(l)} solid #000")
+                Option(fc.br).map(l => s"border-right: ${px(l)} solid #000"),
+                Option(fc.bg).map(b => s"background-color: $b")
               ).flatten
               sb.append("<td")
               if (fc.mr != null) {
