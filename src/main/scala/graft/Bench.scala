@@ -39,7 +39,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "64").toInt
+    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "128").toInt
 
     // ---- phase 1: materialize the page corpus once (deterministic) ----
     val corpusDir = Files.createTempDirectory("graft_bench_pages").toString
@@ -89,6 +89,11 @@ object Bench {
     // repeat and keep the best wall time per level: the sandbox VM has
     // noisy CPU (hypervisor steal spikes showed 5-10x wall variance on
     // identical runs); min-of-k isolates the engine's own scaling
+    // one discarded full-corpus run first: the first full-size pass in the
+    // JVM pays a large one-time cost (JIT tiers + heap growth — measured
+    // ~20x slower than warm) that would otherwise poison whichever level
+    // runs first
+    timedExtraction(32)
     // each N→4N pair is measured back-to-back inside one noise window so
     // the RATIO is comparable; repeated pairs, best ratio kept (the
     // hypervisor showed 5-10x wall variance across windows)

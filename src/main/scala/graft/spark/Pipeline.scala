@@ -29,18 +29,41 @@ object Pipeline {
       .withColumn("_szbin", least(lit(3), floor(log2(length(col("html")) + 1) / 4)))
   }
 
+  /** Skew policy. Auto: shuffle on the salted key only when the input's own
+    * partitioning is too coarse to feed the target parallelism. When the
+    * input is a well-split table (Iceberg/parquet scans bound bytes-per-task
+    * via maxPartitionBytes, and P2 caps bytes-per-document), per-task parse
+    * work is already balanced by construction and moving the payload through
+    * an exchange would only add cost — at 100 TB that exchange IS the job.
+    * Force: always shuffle (unclustered inputs, pathological hosts).
+    */
+  sealed trait SkewMode
+  case object Auto extends SkewMode
+  case object ForceShuffle extends SkewMode
+  case object NoShuffle extends SkewMode
+
   def extract(spark: SparkSession, pages: Dataset[Page],
       config: DetectConfig = DetectConfig(),
-      numPartitions: Int = 0): Dataset[Extracted] = {
+      numPartitions: Int = 0,
+      skewMode: SkewMode = Auto): Dataset[Extracted] = {
     import spark.implicits._
     val n =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val keyed = withSkewKey(pages)
-      .repartition(n, col("_host"), col("_salt"), col("_szbin"))
-      .drop("_host", "_salt", "_szbin")
-      .as[Page]
-    keyed.mapPartitions { it =>
+    val inputParts = pages.rdd.getNumPartitions
+    val shuffle = skewMode match {
+      case ForceShuffle => true
+      case NoShuffle => false
+      case Auto => inputParts < math.max(2, n / 2)
+    }
+    val balanced =
+      if (shuffle)
+        withSkewKey(pages)
+          .repartition(n, col("_host"), col("_salt"), col("_szbin"))
+          .drop("_host", "_salt", "_szbin")
+          .as[Page]
+      else pages
+    balanced.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       it.map(p => extractOne(p, config, pid))
     }
