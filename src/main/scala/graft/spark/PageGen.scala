@@ -17,11 +17,16 @@ object PageGen {
 
   final case class Doc(doc_id: Long, text: String, lang: String)
 
-  def pages(spark: SparkSession, sfDir: String, factor: Int = 1): Dataset[Page] = {
+  def pages(spark: SparkSession, sfDir: String, factor: Int = 1,
+      genParallelism: Int = 0): Dataset[Page] = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    var docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "text", "lang")
       .as[Doc]
+    // documents.parquet is one small file; repartition the (tiny) docs BEFORE
+    // amplification so page generation itself parallelizes instead of one
+    // task building gigabytes of HTML
+    if (genParallelism > 0) docs = docs.repartition(genParallelism)
     if (factor <= 1) docs.map(d => makePage(d.doc_id, d.text, d.lang))
     else docs.flatMap { d =>
       (0 until factor).iterator.map(i => makePage(d.doc_id * factor + i, d.text, d.lang))
