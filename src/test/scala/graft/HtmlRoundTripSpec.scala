@@ -62,6 +62,26 @@ class HtmlRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("plain-text payload (no HTML) routes through the TextReader path") {
+    // raw TSV bytes: content classifier must NOT see HTML, the delimited
+    // region must be detected exactly like the pre_tab fixture grid
+    val tsv = "sample\twell\tvalue\tresult\ns1\tA1\t102\tpass\ns2\tA2\t88\tfail\n" +
+      "s3\tB1\t240\tpass\ns4\tB2\t55\tpass\n"
+    val res = Extractor.extractHtml(tsv.getBytes("UTF-8"))
+    assert(res.tables.size == 1)
+    assert(res.tables.head.hit.method == "simple_case_fast")
+    assert(res.tables.head.hit.span.a1 == "A1:D5")
+    assert(res.tables.head.hit.headers == Vector("sample", "well", "value", "result"))
+
+    // prose-only plain text: no regions, text preserved as blocks
+    val prose = "First paragraph with enough text to keep around.\n\n" +
+      "Second paragraph, also long enough to keep."
+    val res2 = Extractor.extractHtml(prose.getBytes("UTF-8"))
+    assert(res2.tables.isEmpty)
+    assert(res2.text.contains("First paragraph"))
+    assert(res2.text.contains("Second paragraph"))
+  }
+
   test("boilerplate-only page yields no regions and empty-ish text") {
     val html = boilerplate.format("")
     val res = Extractor.extractHtml(html.getBytes("UTF-8"))
