@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.html.PageParser
+
+/** Pins the parser's behaviour on the messy markup shapes a real crawl
+  * serves: section tags inside tables, nested layout tables, uppercase
+  * tags, unquoted attributes, implicit row/cell closure.
+  */
+class MessyHtmlSpec extends AnyFunSuite {
+
+  test("thead/tbody/tfoot wrappers are transparent") {
+    val html = "<table><thead><tr><th>H1</th><th>H2</th></tr></thead>" +
+      "<tbody><tr><td>a</td><td>1</td></tr><tr><td>b</td><td>2</td></tr></tbody></table>"
+    val page = PageParser.parse(html)
+    assert(page.regions.size == 1)
+    val g = page.regions.head.grid
+    assert(g.size == 6)
+    assert(g.get(0, 0).value == "H1" && g.get(0, 0).isBold)
+    assert(g.get(2, 1).value == "2")
+  }
+
+  test("nested layout table becomes text of the containing cell") {
+    val html = "<table><tr><td>outer <table><tr><td>inner</td></tr></table></td>" +
+      "<td>plain</td></tr><tr><td>r2</td><td>r2b</td></tr></table>"
+    val page = PageParser.parse(html)
+    assert(page.regions.size == 1, "nested table must not create a second region")
+    val g = page.regions.head.grid
+    assert(g.get(0, 0).value == "outer inner")
+    assert(g.get(0, 1).value == "plain")
+    assert(g.get(1, 0).value == "r2")
+  }
+
+  test("uppercase tags and unquoted attributes parse") {
+    val html = "<TABLE BORDER=1><TR><TD COLSPAN=2><B>Wide</B></TD></TR>" +
+      "<TR><TD>x</TD><TD>y</TD></TR></TABLE>"
+    val page = PageParser.parse(html)
+    assert(page.regions.size == 1)
+    val g = page.regions.head.grid
+    val c = g.get(0, 0)
+    assert(c.value == "Wide" && c.isBold && c.isMerged && c.mergeRange == "A1:B1")
+    assert(c.borderTop == "thin", "table BORDER=1 gives cells thin borders")
+    assert(g.get(1, 1).value == "y")
+  }
+
+  test("unclosed td/tr are closed implicitly") {
+    val html = "<table><tr><td>a<td>b<tr><td>c<td>d</table>"
+    val page = PageParser.parse(html)
+    val g = page.regions.head.grid
+    assert(g.size == 4)
+    assert(g.get(0, 1).value == "b")
+    assert(g.get(1, 0).value == "c")
+  }
+
+  test("entities and numeric references decode in cells and text") {
+    val html = "<p>caf&eacute; is not decoded (unknown entity kept) but &amp; and &#65; are</p>" +
+      "<table><tr><td>a&amp;b</td><td>&#8364;9</td></tr><tr><td>x</td><td>y</td></tr></table>"
+    val page = PageParser.parse(html)
+    val g = page.regions.head.grid
+    assert(g.get(0, 0).value == "a&b")
+    assert(g.get(0, 1).value == "€9")
+    assert(page.textBlocks.exists(_.contains("& and A are")))
+  }
+
+  test("comments, doctype and processing instructions are skipped") {
+    val html = "<!DOCTYPE html><?xml version='1'?><!-- <table><tr><td>ghost --> " +
+      "<table><tr><td>real</td><td>2</td></tr><tr><td>r</td><td>3</td></tr></table>"
+    val page = PageParser.parse(html)
+    assert(page.regions.size == 1)
+    assert(page.regions.head.grid.get(0, 0).value == "real")
+  }
+}
