@@ -7,9 +7,15 @@ import graft.core.detect.{Cascade, DetectConfig, DetectionOutcome, GridKind}
 import graft.core.grid.{CellGrid, PyFloat, TableHit}
 import graft.core.html.{GridRegion, PageParser, ParsedPage}
 
-/** One detected table with its region index, ready for serialization. */
+/** One detected table with its region index, ready for serialization.
+  * The extraction fields come from TableExtractor (reference:
+  * extractors/dataframe_extractor.py:52-116) run once in the same kernel
+  * pass that detected the span.
+  */
 final case class DetectedTable(regionIdx: Int, kind: GridKind, origin: String,
-    methodUsed: String, hit: TableHit)
+    methodUsed: String, hit: TableHit,
+    orientation: String = "", headerRows: Int = 0, extractHasHeaders: Boolean = false,
+    tableType: String = "", quality: Double = 0.0, dataRows: Int = 0, dataCols: Int = 0)
 
 /** Full per-page result of the core (non-Spark) extraction. */
 final case class PageExtract(
@@ -36,11 +42,16 @@ object Extractor {
 
   def extract(page: ParsedPage, config: DetectConfig = DetectConfig()): PageExtract = {
     val detected = Vector.newBuilder[DetectedTable]
+    val tableExtractor = new TableExtractor()
     var regionIdx = 0
     page.regions.foreach { region =>
       val outcome = Cascade.detect(region.grid, region.kind, config)
       outcome.tables.take(config.maxTablesPerSheet).foreach { hit =>
-        detected += DetectedTable(regionIdx, region.kind, region.origin, outcome.methodUsed, hit)
+        val (table, hi, quality) = tableExtractor.extract(region.grid, hit.span)
+        detected += DetectedTable(regionIdx, region.kind, region.origin, outcome.methodUsed, hit,
+          hi.map(_.orientation).getOrElse(""), hi.map(_.headerRows).getOrElse(0),
+          hi.exists(_.hasHeaders), hi.map(_.tableType).getOrElse(""), quality,
+          table.map(_.rowCount).getOrElse(0), table.map(_.colCount).getOrElse(0))
       }
       regionIdx += 1
     }

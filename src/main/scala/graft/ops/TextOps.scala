@@ -52,12 +52,33 @@ object TextOps {
     "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein",
       "eine", "auf", "sich", "auch", "werden", "dem", "des"),
     "fr" -> Set("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour",
-      "qui", "sur", "avec", "pas", "sont", "aux")
+      "qui", "sur", "avec", "pas", "sont", "aux"),
+    "es" -> Set("el", "los", "las", "de", "del", "y", "en", "un", "una", "es",
+      "no", "por", "con", "para", "se", "su", "como", "más")
   )
 
-  /** n-gram/stopword language classifier over whitespace tokens. */
+  /** n-gram/stopword language classifier over whitespace tokens. Chinese is
+    * detected first by script (CJK codepoint mass — stopword tokenization
+    * does not apply to unsegmented text); the remaining languages by
+    * stopword-hit mass.
+    */
   def classifyLang(text: String): String = {
     if (text == null || text.isEmpty) return "und"
+    val sampleLen = math.min(text.length, 2000)
+    var cjk = 0
+    var letters = 0
+    var i = 0
+    while (i < sampleLen) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val cp = c.toInt
+        if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+            (cp >= 0xF900 && cp <= 0xFAFF)) cjk += 1
+      }
+      i += 1
+    }
+    if (letters > 0 && cjk * 5 >= letters) return "zh" // ≥20% CJK letter mass
     val toks = text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(400).toArray
     if (toks.isEmpty) return "und"
     var best = "und"

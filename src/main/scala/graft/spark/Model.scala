@@ -13,7 +13,11 @@ final case class Page(
     lang: String
 )
 
-/** One detected table span (nested in Extracted.spans). */
+/** One detected table span (nested in Extracted.spans). The trailing fields
+  * carry the per-span DataFrame-extraction surface (reference:
+  * extractors/dataframe_extractor.py header/orientation/quality results) so
+  * downstream queries never re-run the kernel.
+  */
 final case class SpanOut(
     region: Int,
     origin: String,
@@ -25,7 +29,14 @@ final case class SpanOut(
     c1: Int,
     confidence: Double,
     has_headers: Boolean,
-    headers: Seq[String]
+    headers: Seq[String],
+    orientation: String,
+    header_rows: Int,
+    table_has_headers: Boolean,
+    table_type: String,
+    quality: Double,
+    data_rows: Int,
+    data_cols: Int
 )
 
 /** Output row of the extraction pipeline. */

@@ -50,7 +50,9 @@ object Pipeline {
     val n =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val inputParts = pages.rdd.getNumPartitions
+    // physical-plan partition count: queryExecution.toRdd reuses the already
+    // analyzed plan instead of materializing a fresh deserializing RDD lineage
+    val inputParts = pages.queryExecution.toRdd.getNumPartitions
     val shuffle = skewMode match {
       case ForceShuffle => true
       case NoShuffle => false
@@ -80,12 +82,15 @@ object Pipeline {
       val spans = res.tables.map { dt =>
         SpanOut(dt.regionIdx, dt.origin, dt.hit.method, dt.hit.span.a1,
           dt.hit.span.r0, dt.hit.span.c0, dt.hit.span.r1, dt.hit.span.c1,
-          dt.hit.confidence, dt.hit.hasHeaders, dt.hit.headers)
+          dt.hit.confidence, dt.hit.hasHeaders, dt.hit.headers,
+          dt.orientation, dt.headerRows, dt.extractHasHeaders, dt.tableType,
+          dt.quality, dt.dataRows, dt.dataCols)
       }
       Extracted(p.url, p.lang, res.text, res.sha256, res.regions, spans.size,
         res.bytesStripped, parse_failed = false, pid, spans)
     } catch {
-      case _: Throwable =>
+      // NonFatal: parse failures become metric rows; OOM/interrupts propagate
+      case scala.util.control.NonFatal(_) =>
         Extracted(p.url, p.lang, "", "", 0, 0, 0L, parse_failed = true, pid, Seq.empty)
     }
   }

@@ -58,24 +58,70 @@ class OpsSpec extends AnyFunSuite {
     assert(pairSet.exists { case (a, b) => b == 100001L }, "exact dup must collide")
   }
 
-  test("LSH near-neighbor pairs are a high-recall subset of brute force") {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val lsh = Similarity.lshNearNeighbors(spark, emb, nBits = 8, minCosine = 0.8).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  /** The sf corpus is near-orthogonal (max pairwise cosine ≈ 0.5), so a
+    * recall test needs planted near-duplicates: copy the first 60 vectors
+    * with noise orthogonalized against the original and scaled to 0.25·|v|,
+    * giving exact cosine 1/sqrt(1+0.25²) ≈ 0.970 per planted pair.
+    */
+  private def embWithNearDups = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def noise(seed: Long, dim: Int): Array[Double] = {
+      var s = seed
+      Array.fill(dim) {
+        s += 0x9E3779B97F4A7C15L
+        var z = s
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        ((z ^ (z >>> 31)) >>> 11) * 1.1102230246251565e-16 - 0.5
+      }
+    }
+    val planted = base.take(60).map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val n0 = noise(id, vd.length)
+      val vv = vd.map(x => x * x).sum
+      val proj = n0.zip(vd).map { case (a, b) => a * b }.sum / vv
+      val orth = n0.zip(vd).map { case (a, b) => a - proj * b } // exactly ⊥ v
+      val on = math.sqrt(orth.map(x => x * x).sum)
+      val scale = 0.25 * math.sqrt(vv) / on
+      val out = vd.zip(orth).map { case (a, b) => (a + scale * b).toFloat }
+      (id + 100000L, out)
+    }
+    (base ++ planted).toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("banded LSH recovers planted near-duplicates with recall >= 0.9") {
+    val emb = embWithNearDups
+    val lsh = Similarity.lshNearNeighbors(spark, emb, nBits = 12, nTables = 16,
+      minCosine = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute-force ground truth over all pairs at the same threshold
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cos", Similarity.cosine(col("v_a").cast("array<double>"),
         col("v_b").cast("array<double>")))
-      .filter(col("cos") >= 0.8)
+      .filter(col("cos") >= 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 60, s"expected >=60 planted pairs above 0.9, got ${brute.size}")
     assert(lsh.subsetOf(brute), "LSH pairs must verify against exact cosine")
-    if (brute.nonEmpty) {
-      val recall = lsh.size.toDouble / brute.size
-      info(s"LSH recall at 8 bits: $recall (${lsh.size}/${brute.size})")
-      assert(recall >= 0.3, s"recall $recall too low")
-    }
+    val recall = lsh.size.toDouble / brute.size
+    info(s"banded LSH recall (nBits=12, nTables=16): $recall (${lsh.size}/${brute.size})")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("LSH bucket cap salts oversized buckets without breaking verification") {
+    val emb = embWithNearDups
+    // nBits=2 → 4 buckets/table, every bucket oversized at cap 16: forces
+    // the salted-overflow path; output must still be exact-cosine-verified
+    val capped = Similarity.lshNearNeighbors(spark, emb, nBits = 2, nTables = 4,
+      minCosine = 0.9, bucketCap = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.lshNearNeighbors(spark, emb, nBits = 2, nTables = 4,
+      minCosine = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full), "salting may only drop cross-salt pairs, never invent")
+    assert(capped.nonEmpty, "planted near-dups should still collide under the cap")
   }
 
   test("brute-force top-k returns k ordered neighbors per query") {
@@ -96,10 +142,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Vector(3L, 0L, 1L, 4L))
   }
 
-  test("language id recovers the dominant languages on stopword-rich text") {
+  test("language id covers every corpus language (en/de/fr/es/zh)") {
     assert(TextOps.classifyLang("the cat and the dog are in the house with food") == "en")
     assert(TextOps.classifyLang("der hund und die katze sind nicht auf dem tisch") == "de")
     assert(TextOps.classifyLang("le chat et le chien sont dans la maison avec les autres") == "fr")
+    assert(TextOps.classifyLang("el perro y el gato no están en la casa con los niños") == "es")
+    assert(TextOps.classifyLang("今天天气很好我们一起去公园散步然后吃饭") == "zh")
+    assert(TextOps.classifyLang("数据 query 处理 with 中文 mixed 文本 tokens 分析 结果") == "zh",
+      "mixed text above 20% CJK letter mass classifies zh")
     assert(TextOps.classifyLang("zzz qqq www") == "und")
   }
 
