@@ -106,12 +106,25 @@ object Snapshots {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Checkpoint-resumable extraction run.
+  /** Checkpoint-resumable extraction run — SINGLE input pass.
     *
-    * Input is split into `buckets` deterministic url-hash buckets; each
-    * bucket is extracted, written, and committed as a new snapshot. On
-    * restart only missing buckets run. `failAfterBuckets` injects a crash
-    * for the resume test.
+    * Input is split into `buckets` deterministic url-hash buckets. All
+    * pending (uncommitted) buckets are extracted in ONE Spark job that
+    * writes `partitionBy("_bucket")` with dynamic partition overwrite, so a
+    * restarted run never rescans the input per bucket: committed buckets
+    * are pruned by the manifest before the job, partially-written bucket
+    * directories from a crashed attempt are atomically replaced by the
+    * overwrite, and per-bucket lineage (rows, tables, failures, files) is
+    * assembled afterwards from the committed file listing plus one
+    * partition-pruned aggregate over the (much smaller) output. At table
+    * scale the bucket filter prunes input partitions when the table is
+    * written hash-clustered on url (the Snapshots layout itself).
+    *
+    * Commit granularity is unchanged: one immutable snapshot per bucket,
+    * in ascending bucket order, so time travel and crash/resume semantics
+    * are identical to the per-bucket design. `failAfterBuckets` injects a
+    * crash after that many pending buckets are committed (the single-pass
+    * job then only covers those buckets) for the resume test.
     *
     * Returns (bucketsProcessed, bucketsSkipped).
     */
@@ -127,42 +140,64 @@ object Snapshots {
     val start = readCurrent(outDir)
     val done = start.map(_.committed.map(_.bucket).toSet).getOrElse(Set.empty)
     var manifest = start.getOrElse(Manifest(0L, -1L, Seq.empty))
-    var processed = 0
-    var skipped = 0
+    val pending = (0 until buckets).filterNot(done.contains)
+    val skipped = buckets - pending.size
+    val inject = failAfterBuckets >= 0 && failAfterBuckets < pending.size
+    val run = if (inject) pending.take(failAfterBuckets) else pending
 
-    val withBucket = pages.withColumn("_bucket", pmod(xxhash64(col("url")), lit(buckets)))
+    if (run.nonEmpty) {
+      val t0 = System.nanoTime()
+      val bucketOf = pmod(xxhash64(col("url")), lit(buckets))
+      val pendingPages = pages.toDF()
+        .withColumn("_bucket", bucketOf)
+        .filter(col("_bucket").isin(run: _*))
+        .drop("_bucket")
+        .as[Page]
+      val dataRoot = Paths.get(outDir, "data")
+      Pipeline.extract(spark, pendingPages, config)
+        .toDF()
+        .withColumn("_bucket", bucketOf) // deterministic re-derivation from url
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // replaces ONLY written buckets
+        .partitionBy("_bucket")
+        .parquet(dataRoot.toString)
 
-    (0 until buckets).foreach { b =>
-      if (done.contains(b)) skipped += 1
-      else {
-        if (failAfterBuckets >= 0 && processed >= failAfterBuckets)
-          throw new RuntimeException(s"injected failure before bucket $b")
-        val t0 = System.nanoTime()
-        val bucketPages = withBucket.filter(col("_bucket") === b).drop("_bucket").as[Page]
-        val extracted = Pipeline.extract(spark, bucketPages, config)
-        val dataDir = Paths.get(outDir, "data", s"bucket=$b")
-        extracted.write.mode("overwrite").parquet(dataDir.toString)
-        val stats = spark.read.parquet(dataDir.toString).agg(
+      // per-bucket lineage from ONE partition-pruned pass over the output
+      val stats = spark.read.parquet(dataRoot.toString)
+        .filter(col("_bucket").isin(run: _*))
+        .groupBy(col("_bucket").cast("int").as("_bucket")).agg(
           count(lit(1)), sum(col("n_tables")),
           sum(when(col("parse_failed"), 1L).otherwise(0L)),
-          sum(col("bytes_stripped"))
-        ).collect()(0)
-        val files = Files.list(dataDir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(_.toString).toSeq.sorted
-        val wallMs = (System.nanoTime() - t0) / 1000000L
+          sum(col("bytes_stripped")))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3),
+          if (r.isNullAt(4)) 0L else r.getLong(4)))
+        .toMap
+      val wallShareMs = (System.nanoTime() - t0) / 1000000L / run.size
+
+      run.foreach { b =>
+        val dataDir = dataRoot.resolve(s"_bucket=$b")
+        val files =
+          if (!Files.exists(dataDir)) Seq.empty[String]
+          else scala.util.Using.resource(Files.list(dataDir)) { s =>
+            s.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(_.toString).toSeq.sorted
+          }
+        val (rows, tables, failures, stripped) = stats.getOrElse(b, (0L, 0L, 0L, 0L))
         val newId = manifest.snapshotId + 1
         manifest = Manifest(newId, manifest.snapshotId,
-          manifest.committed :+ BucketLineage(b, stats.getLong(0),
-            if (stats.isNullAt(1)) 0L else stats.getLong(1),
-            if (stats.isNullAt(2)) 0L else stats.getLong(2),
-            if (stats.isNullAt(3)) 0L else stats.getLong(3),
-            wallMs, newId, files))
+          manifest.committed :+ BucketLineage(b, rows, tables, failures, stripped,
+            wallShareMs, newId, files))
         commit(outDir, manifest)
-        processed += 1
       }
     }
-    (processed, skipped)
+    if (inject)
+      throw new RuntimeException(
+        s"injected failure before bucket ${pending(failAfterBuckets)}")
+    (run.size, skipped)
   }
 
   /** Plan a read from the current snapshot's committed file list (the

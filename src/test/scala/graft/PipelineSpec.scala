@@ -74,8 +74,31 @@ class PipelineSpec extends AnyFunSuite {
     val afterCrash = Snapshots.readCurrent(dir).get
     assert(afterCrash.committed.size == 2)
 
-    val (processed, skipped) = Snapshots.runResumable(spark, pages, dir, buckets = 4)
+    // resume must make exactly ONE pass over the input: total task input
+    // records = 500 source docs + the (pruned) lineage read-back of the two
+    // pending buckets' output (~250 rows). The old per-bucket loop read the
+    // 500-doc input once PER BUCKET (>=1250 total); bound 1000 rejects it.
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (processed, skipped) =
+      try Snapshots.runResumable(spark, pages, dir, buckets = 4)
+      finally {
+        // listener bus is async; give it a bounded drain window
+        val deadline = System.nanoTime() + 5000000000L
+        var last = -1L
+        while (System.nanoTime() < deadline && recordsRead.get() != last) {
+          last = recordsRead.get(); Thread.sleep(200)
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
     assert(processed == 2 && skipped == 2)
+    assert(recordsRead.get() <= 1000L,
+      s"resume read ${recordsRead.get()} records — more than one input scan")
 
     val viaSnapshots = Snapshots.readTable(spark, dir).get
       .select("url", "text_sha256").orderBy("url").collect().map(_.toString).toVector
