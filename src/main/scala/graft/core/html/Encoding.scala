@@ -6,16 +6,59 @@ import java.nio.charset.{CharacterCodingException, Charset, CodingErrorAction, S
 final case class EncodingResult(encoding: String, confidence: Double, method: String,
     bomDetected: Boolean)
 
-/** Byte-payload decoding replicating the reference's detection chain shape
-  * (reference: utils/file_magic.py:722-945): BOM first, then strict-decode
-  * validation, then the UTF-16 null-alternation byte pattern, then a
-  * fallback chain. (No chardet on the JVM; strict decode validation covers
-  * the same decisions for the corpus encodings.)
+/** Byte-payload decoding replicating the reference's multi-tier detection
+  * chain (reference: utils/file_magic.py:722-945):
+  *
+  *   1. BOM detection incl. UTF-32 (file_magic.py:754-771)
+  *   2. strict UTF-8 validation — the JVM stand-in for the reference's
+  *      high-confidence chardet tier (file_magic.py:735-745; no chardet on
+  *      the JVM, and strict validation decides the same cases for web text)
+  *   3. `<meta charset=…>` prescan for HTML payloads — a web-input addition
+  *      the file-oriented reference has no analogue for (WHATWG HTML
+  *      §13.2.3.2-style); deliberately ranked BELOW strict UTF-8 so a
+  *      mislabeled but valid-UTF-8 page still decodes correctly
+  *   4. UTF-16 null-alternation byte pattern (file_magic.py:879-902)
+  *   5. the reference's 12-encoding fallback chain with strict-decode +
+  *      printable-ratio validation (file_magic.py:904-945), with a
+  *      null-byte guard on the UTF-16/32 entries standing in for chardet's
+  *      probers (ASCII-heavy single-byte text decodes "successfully" as
+  *      UTF-16 into printable CJK garble — real UTF-16 text of web pages
+  *      has a large null-byte mass, single-byte text has none)
+  *
+  * Decode-time rule: a latin-1/iso-8859-1 verdict with any byte in
+  * 0x80–0x9F upgrades to windows-1252 (the WHATWG encoding standard maps
+  * the latin-1 label to windows-1252; those code points are C1 controls in
+  * latin-1 and punctuation — smart quotes, em-dash — in cp1252).
   */
 object Encoding {
 
+  /** The reference's fallback chain order (file_magic.py:908-921) mapped to
+    * JVM charset names. Entries missing from the JVM are skipped, mirroring
+    * the reference's LookupError skip.
+    */
+  private val FallbackChain: Seq[(String, String)] = Seq(
+    "utf-8" -> "UTF-8",
+    "utf-16-le" -> "UTF-16LE",
+    "utf-16-be" -> "UTF-16BE",
+    "utf-16" -> "UTF-16LE", // Python utf-16 without BOM decodes little-endian
+    "latin-1" -> "ISO-8859-1",
+    "cp1252" -> "windows-1252",
+    "iso-8859-1" -> "ISO-8859-1",
+    "ascii" -> "US-ASCII",
+    "cp437" -> "IBM437",
+    "cp850" -> "IBM850",
+    "utf-32-le" -> "UTF-32LE",
+    "utf-32-be" -> "UTF-32BE"
+  )
+
   def detect(bytes: Array[Byte]): EncodingResult = {
-    // 1. BOM detection (file_magic.py:754-771)
+    // 1. BOM detection, most-specific first (file_magic.py:754-771)
+    if (bytes.length >= 4 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte &&
+        bytes(2) == 0 && bytes(3) == 0)
+      return EncodingResult("utf-32-le", 1.0, "bom", bomDetected = true)
+    if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+        bytes(2) == 0xFE.toByte && bytes(3) == 0xFF.toByte)
+      return EncodingResult("utf-32-be", 1.0, "bom", bomDetected = true)
     if (bytes.length >= 3 && bytes(0) == 0xEF.toByte && bytes(1) == 0xBB.toByte &&
         bytes(2) == 0xBF.toByte)
       return EncodingResult("utf-8-sig", 1.0, "bom", bomDetected = true)
@@ -24,12 +67,25 @@ object Encoding {
     if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
       return EncodingResult("utf-16-be", 1.0, "bom", bomDetected = true)
 
-    // 2. strict utf-8 validation (file_magic.py:847-877 decode-validation)
-    if (strictDecodes(bytes, StandardCharsets.UTF_8))
+    val sample = java.util.Arrays.copyOf(bytes, math.min(bytes.length, 1024))
+    val sampleHasNul = sample.exists(_ == 0)
+
+    // 2. strict utf-8 validation (chardet-tier stand-in). NUL bytes are
+    // valid UTF-8 codepoints but never occur in real UTF-8 web text, while
+    // UTF-16-encoded ASCII is wall-to-wall NULs — don't let a NUL-ridden
+    // payload claim utf-8 here; the pattern tier below decides it.
+    if (!sampleHasNul && strictDecodes(bytes, StandardCharsets.UTF_8))
       return EncodingResult("utf-8", 0.9, "validation", bomDetected = false)
 
-    // 3. UTF-16 null-alternation pattern (file_magic.py:879-902)
-    val sample = java.util.Arrays.copyOf(bytes, math.min(bytes.length, 1024))
+    // 3. declared <meta charset=…>, validated before trusting
+    if (!sampleHasNul) {
+      metaCharset(bytes).foreach { cs =>
+        if (validates(bytes, cs))
+          return EncodingResult(cs.name(), 0.95, "meta", bomDetected = false)
+      }
+    }
+
+    // 4. UTF-16 null-alternation pattern (file_magic.py:879-902)
     if (sample.length >= 4) {
       var evenNulls = 0
       var oddNulls = 0
@@ -45,8 +101,31 @@ object Encoding {
         return EncodingResult("utf-16-be", 0.8, "byte_pattern", bomDetected = false)
     }
 
-    // 4. fallback chain (file_magic.py:904-945) — latin-1 always decodes
-    EncodingResult("latin-1", 0.5, "fallback", bomDetected = false)
+    // 5. validated fallback chain (file_magic.py:904-945)
+    val hasNulls = {
+      var n = 0
+      var i = 0
+      while (i < sample.length) { if (sample(i) == 0) n += 1; i += 1 }
+      sample.length > 0 && n * 20 >= sample.length // ≥5% null bytes
+    }
+    FallbackChain.foreach { case (label, jvmName) =>
+      val wide = label.startsWith("utf-16") || label.startsWith("utf-32")
+      if (!wide || hasNulls) {
+        charsetOrNull(jvmName) match {
+          case null => () // JVM lacks it — skip, like the reference's LookupError
+          case cs =>
+            if (validates(bytes, cs)) {
+              val conf = if (label == "utf-8") 0.6 else 0.5
+              return EncodingResult(label, conf, "fallback", bomDetected = false)
+            }
+        }
+      }
+    }
+
+    // ultimate fallback: the reference returns utf-8@0.1 and decodes with
+    // replacement; latin-1 is this engine's total-function equivalent — it
+    // never fails and preserves the byte values 1:1
+    EncodingResult("latin-1", 0.1, "fallback", bomDetected = false)
   }
 
   def decode(bytes: Array[Byte]): String = {
@@ -54,6 +133,11 @@ object Encoding {
     res.encoding match {
       case "utf-8-sig" =>
         new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
+      case "utf-32-le" | "utf-32-be" =>
+        val cs = charsetOrNull(if (res.encoding == "utf-32-le") "UTF-32LE" else "UTF-32BE")
+        val skip = if (res.bomDetected) 4 else 0
+        if (cs == null) new String(bytes, StandardCharsets.ISO_8859_1)
+        else new String(bytes, skip, bytes.length - skip, cs)
       case "utf-16-le" =>
         val skip = if (res.bomDetected) 2 else 0
         new String(bytes, skip, bytes.length - skip, StandardCharsets.UTF_16LE)
@@ -61,7 +145,14 @@ object Encoding {
         val skip = if (res.bomDetected) 2 else 0
         new String(bytes, skip, bytes.length - skip, StandardCharsets.UTF_16BE)
       case "utf-8" => new String(bytes, StandardCharsets.UTF_8)
-      case _ => new String(bytes, StandardCharsets.ISO_8859_1)
+      case "latin-1" | "iso-8859-1" if hasC1Bytes(bytes) =>
+        // WHATWG: the latin-1 label means windows-1252 on the web; bytes in
+        // 0x80-0x9F are C1 controls in latin-1, punctuation in cp1252
+        new String(bytes, charsetOrElse("windows-1252", StandardCharsets.ISO_8859_1))
+      case "latin-1" | "iso-8859-1" => new String(bytes, StandardCharsets.ISO_8859_1)
+      case other =>
+        val jvm = FallbackChain.collectFirst { case (l, j) if l == other => j }.getOrElse(other)
+        new String(bytes, charsetOrElse(jvm, StandardCharsets.ISO_8859_1))
     }
   }
 
@@ -73,5 +164,86 @@ object Encoding {
       dec.decode(ByteBuffer.wrap(bytes))
       true
     } catch { case _: CharacterCodingException => false }
+  }
+
+  /** Strict decode + the reference's printable-ratio > 0.7 text check
+    * (file_magic.py:923-936), with Python's isprintable/isspace semantics.
+    */
+  private def validates(bytes: Array[Byte], cs: Charset): Boolean = {
+    val decoded =
+      try {
+        cs.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+          .decode(ByteBuffer.wrap(bytes))
+      } catch { case _: CharacterCodingException => return false }
+    val n = decoded.length()
+    if (n == 0) return false
+    var printable = 0
+    var i = 0
+    while (i < n) {
+      if (pyPrintableOrSpace(decoded.charAt(i))) printable += 1
+      i += 1
+    }
+    printable.toDouble / n > 0.7
+  }
+
+  /** Python's `c.isprintable() or c.isspace()` for a UTF-16 code unit:
+    * whitespace (incl. \t\n\v\f\r, 0x1c-0x1f, NEL) passes; other control/
+    * format/surrogate/private-use/unassigned fail; everything else passes.
+    */
+  private def pyPrintableOrSpace(c: Char): Boolean = {
+    if (c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r' ||
+        (c >= '\u001C' && c <= '\u001F') || c == '\u0085') return true
+    Character.getType(c) match {
+      case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+           Character.PRIVATE_USE | Character.UNASSIGNED => false
+      case _ => true
+    }
+  }
+
+  private def hasC1Bytes(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (b >= 0x80 && b <= 0x9F) return true
+      i += 1
+    }
+    false
+  }
+
+  private def charsetOrNull(name: String): Charset =
+    try Charset.forName(name) catch { case _: Exception => null }
+
+  private def charsetOrElse(name: String, dflt: Charset): Charset = {
+    val cs = charsetOrNull(name)
+    if (cs == null) dflt else cs
+  }
+
+  /** Prescan the first 1024 bytes for `<meta … charset=…>` (WHATWG-style).
+    * UTF-16/32 declarations are ignored (a readable ASCII meta tag proves
+    * the document is NOT UTF-16/32 encoded).
+    */
+  private val MetaCharsetRe =
+    """(?is)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9._\-]+)""".r
+
+  private[graft] def metaCharset(bytes: Array[Byte]): Option[Charset] = {
+    val n = math.min(bytes.length, 1024)
+    if (n == 0) return None
+    val head = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+    MetaCharsetRe.findFirstMatchIn(head).flatMap { m =>
+      val label = m.group(1).toLowerCase
+      if (label.startsWith("utf-16") || label.startsWith("utf-32")) None
+      else {
+        val jvm = label match {
+          case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" => "Shift_JIS"
+          case "gb2312" | "gbk" => "GBK"
+          case "latin-1" | "latin1" | "iso-8859-1" | "cp1252" | "windows-1252" =>
+            "windows-1252" // WHATWG: one equivalence class
+          case other => other
+        }
+        Option(charsetOrNull(jvm))
+      }
+    }
   }
 }
