@@ -153,12 +153,39 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.classifyLang("zzz qqq www") == "und")
   }
 
-  test("multimodal stub pipeline preserves schema and batch error isolation") {
+  test("multimodal pipeline preserves schema and batch error isolation") {
     val media = Multimodal.syntheticMedia(spark, sfDir, limitN = 50)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 50)
     assert(feats.forall(_.feature.length == 16))
+    // image rows carry REAL headers: geometry must match the generator's
+    feats.filter(_.kind == "image").foreach { f =>
+      assert(f.decode_ok, s"image ${f.media_id} failed decode")
+      assert(f.width == 16 + (f.media_id % 640).toInt, s"width off for ${f.media_id}")
+      assert(f.height == 16 + ((f.media_id / 7) % 480).toInt)
+      assert(Set("png", "gif", "jpeg").contains(f.format))
+    }
     val stats = Multimodal.featureStats(Multimodal.extractFeatures(media)).collect()
     assert(stats.map(_.getString(0)).toSet == Set("audio", "image", "video"))
+  }
+
+  test("image header decoders recover exact dimensions and isolate corruption") {
+    val tail = "payload".getBytes
+    assert(Multimodal.decodeImage(Multimodal.pngBytes(641, 479, tail))
+      .contains(("png", 641, 479)))
+    assert(Multimodal.decodeImage(Multimodal.gifBytes(320, 200, tail))
+      .contains(("gif", 320, 200)))
+    assert(Multimodal.decodeImage(Multimodal.jpegBytes(1920, 1080, tail))
+      .contains(("jpeg", 1920, 1080)))
+    // JPEG with an APP0 segment before SOF still parses (segment walk)
+    val app0 = Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46).map(_.toByte)
+    val sofPart = Multimodal.jpegBytes(64, 48, Array.empty).drop(2)
+    assert(Multimodal.decodeImage(app0 ++ sofPart).contains(("jpeg", 64, 48)))
+    // corruption: truncated PNG, bad GIF magic, JPEG without SOF
+    assert(Multimodal.decodeImage(Multimodal.pngBytes(10, 10, tail).take(20)).isEmpty)
+    assert(Multimodal.decodeImage("GIF00a??????".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array[Int](0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+    val corrupt = Multimodal.decode(Multimodal.MediaRow(7L, "image", "not an image".getBytes))
+    assert(!corrupt.decode_ok && corrupt.width == 0, "corrupt image isolates, never throws")
   }
 }
