@@ -182,7 +182,7 @@ object SparkEntry {
       Dedup.minhashPairs(s, t(s, dir, "documents"), threshold = 0.5)),
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, t(s, dir, "documents"), maxHamming = 3)),
-    "x_ann_topk" -> ((s, dir) => {
+    "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.orderBy(col("vec_id")).limit(8)
       Similarity.bruteForceTopK(emb, queries, k = 5)
@@ -204,7 +204,7 @@ object SparkEntry {
         .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
     }),
-    "x_fingerprint" -> ((s, dir) => {
+    "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
@@ -296,6 +296,33 @@ object SparkEntry {
     "q_lang_counts" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // brute-force cosine top-k: exact-match oracle for the ANN baseline
+    // (list_cosine_similarity over DOUBLE[] reproduces the Spark fold)
+    "q_ann_topk" ->
+      """SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 6) AS cos
+        |    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) q
+        |    JOIN embeddings c ON c.vec_id <> q.vec_id))
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
+    // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+        |    THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp64
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)),
+        |      (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS m
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }
