@@ -27,7 +27,9 @@ object Cascade {
     var tables = Vector.empty[TableHit]
     var methodUsed = "none"
 
-    val simple = SimpleCase.detect(g)
+    val simple =
+      if (config.enableSimpleCase) SimpleCase.detect(g)
+      else SimpleResult(isSimpleTable = false, None, 0.0, hasHeaders = true, "disabled")
 
     // ULTRA-FAST path (reference: detection.py:102-121)
     val cellCount = (g.maxRow + 1).toLong * (g.maxCol + 1)
@@ -58,7 +60,7 @@ object Cascade {
 
     // box tables for formatted grids (reference: detection.py:141-147)
     if (tables.isEmpty && !isTextLike) {
-      val boxTables = new BoxTable().detect(g)
+      val boxTables = new BoxTable(config.minTableRows, config.minTableCols).detect(g)
       if (boxTables.nonEmpty) {
         tables = boxTables
         methodUsed = "box_table_detection"
@@ -70,7 +72,7 @@ object Cascade {
       if (isText) {
         tables = StructuredText.detectTables(g)
         methodUsed = "structured_text_detection"
-      } else {
+      } else if (config.enableIslandDetection) {
         val detector = new IslandDetector(
           maxGap = if (isTextLike) IslandConst.ExcelFileMaxGap else IslandConst.ExcelFileMaxGap,
           adaptiveThresholds = config.adaptiveThresholds,

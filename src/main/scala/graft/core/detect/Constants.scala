@@ -55,7 +55,12 @@ object Keywords {
     Vector("total", "subtotal", "sum", "sub-total", "grand total", "net", "gross", "overall")
 }
 
-/** Detection-time configuration (reference: config.py + detection.py:36-82). */
+/** Detection-time configuration (reference: config.py:8-142 +
+  * detection.py:36-82). The per-run knobs of the reference's Config that
+  * are reachable from its detection path are all represented; detector
+  * CONSTANTS (IslandConst etc.) stay frozen so confidence arithmetic is
+  * bit-identical to the reference.
+  */
 final case class DetectConfig(
     confidenceThreshold: Double = 0.6,
     adaptiveThresholds: Boolean = true,
@@ -63,5 +68,41 @@ final case class DetectConfig(
     preferLargeTables: Boolean = true,
     emptyRowTolerance: Int = 1,
     useBorderDetection: Boolean = true,
-    maxTablesPerSheet: Int = 50
+    maxTablesPerSheet: Int = 50,
+    // reference min_table_size (rows, cols) — consumed by the box-table
+    // detector, exactly as in the reference (box_table_detector.py:22-29)
+    minTableRows: Int = 2,
+    minTableCols: Int = 2,
+    // reference enable_simple_case_detection / enable_island_detection
+    enableSimpleCase: Boolean = true,
+    enableIslandDetection: Boolean = true,
+    // reference max_file_size_mb analogue for byte payloads (P2 size cap)
+    maxHtmlBytes: Int = 64 * 1024 * 1024
 ) extends Serializable
+
+/** Env-var loading mirroring the reference's Config.from_env
+  * (config.py:112-142), GRAFT_-prefixed. The `env` accessor is injectable
+  * for tests; production callers use the default sys.env-backed one.
+  */
+object DetectConfig {
+  def fromEnv(env: String => Option[String] = k => sys.env.get(k)): DetectConfig = {
+    val d = DetectConfig()
+    def bool(k: String, dflt: Boolean) = env(k).map(_.trim.toLowerCase == "true").getOrElse(dflt)
+    def int(k: String, dflt: Int) = env(k).map(_.trim.toInt).getOrElse(dflt)
+    def dbl(k: String, dflt: Double) = env(k).map(_.trim.toDouble).getOrElse(dflt)
+    DetectConfig(
+      confidenceThreshold = dbl("GRAFT_CONFIDENCE_THRESHOLD", d.confidenceThreshold),
+      adaptiveThresholds = bool("GRAFT_ADAPTIVE_THRESHOLDS", d.adaptiveThresholds),
+      minTablePercentage = dbl("GRAFT_MIN_TABLE_PERCENTAGE", d.minTablePercentage),
+      preferLargeTables = bool("GRAFT_PREFER_LARGE_TABLES", d.preferLargeTables),
+      emptyRowTolerance = int("GRAFT_EMPTY_ROW_TOLERANCE", d.emptyRowTolerance),
+      useBorderDetection = bool("GRAFT_USE_BORDER_DETECTION", d.useBorderDetection),
+      maxTablesPerSheet = int("GRAFT_MAX_TABLES_PER_SHEET", d.maxTablesPerSheet),
+      minTableRows = int("GRAFT_MIN_TABLE_ROWS", d.minTableRows),
+      minTableCols = int("GRAFT_MIN_TABLE_COLS", d.minTableCols),
+      enableSimpleCase = bool("GRAFT_ENABLE_SIMPLE_CASE_DETECTION", d.enableSimpleCase),
+      enableIslandDetection = bool("GRAFT_ENABLE_ISLAND_DETECTION", d.enableIslandDetection),
+      maxHtmlBytes = int("GRAFT_MAX_HTML_MB", d.maxHtmlBytes / (1024 * 1024)) * 1024 * 1024
+    )
+  }
+}

@@ -18,7 +18,7 @@ import graft.core.extract.Extractor
   */
 object Pipeline {
 
-  val MaxHtmlBytes: Int = 64 * 1024 * 1024 // P2 analogue: oversize → parse-failure metric
+  val MaxHtmlBytes: Int = 64 * 1024 * 1024 // default P2 cap (DetectConfig.maxHtmlBytes)
   val SaltBuckets: Int = 8
 
   /** Salted repartitioning key: host ⊕ per-url salt ⊕ size bin. */
@@ -76,7 +76,7 @@ object Pipeline {
     */
   def extractOne(p: Page, config: DetectConfig, pid: Int): Extracted = {
     try {
-      if (p.html == null || p.html.length > MaxHtmlBytes)
+      if (p.html == null || p.html.length > config.maxHtmlBytes)
         return Extracted(p.url, p.lang, "", "", 0, 0, 0L, parse_failed = true, pid, Seq.empty)
       val res = Extractor.extractHtml(p.html, config)
       val spans = res.tables.map { dt =>

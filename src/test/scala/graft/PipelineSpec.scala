@@ -116,6 +116,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(old.committed.size == 2)
   }
 
+  test("config knobs are reachable end-to-end (min_table_size via env loading)") {
+    import spark.implicits._
+    import graft.core.detect.DetectConfig
+    val fix = FixtureLoader.fixtures.find(_.name == "box_bordered").get
+    val html =
+      s"<html><body><p>intro prose for context</p>${FixtureLoader.renderHtml(fix)}</body></html>"
+    val page = Seq(Page("u:cfg", new java.sql.Timestamp(0),
+      html.getBytes("UTF-8"), "", "en")).toDS()
+    val dflt = Pipeline.extract(spark, page).collect()(0)
+    assert(dflt.spans.exists(_.method.startsWith("box_table")),
+      s"default config should detect via the box path, got ${dflt.spans.map(_.method)}")
+    val cfg = DetectConfig.fromEnv(
+      Map("GRAFT_MIN_TABLE_ROWS" -> "9", "GRAFT_MIN_TABLE_COLS" -> "9").get)
+    assert(cfg.minTableRows == 9 && cfg.minTableCols == 9)
+    assert(cfg.confidenceThreshold == DetectConfig().confidenceThreshold,
+      "unset env keys keep defaults")
+    val strict = Pipeline.extract(spark, page, cfg).collect()(0)
+    assert(!strict.spans.exists(_.method.startsWith("box_table")),
+      s"a 9x9 minimum must reject the small box table, got ${strict.spans.map(_.method)}")
+    // detection-disable knobs are reachable too
+    val noIsland = DetectConfig.fromEnv(Map(
+      "GRAFT_ENABLE_ISLAND_DETECTION" -> "false",
+      "GRAFT_ENABLE_SIMPLE_CASE_DETECTION" -> "false").get)
+    assert(!noIsland.enableIslandDetection && !noIsland.enableSimpleCase)
+  }
+
   test("amplified corpus pages are unique and deterministic") {
     val p2 = PageGen.pages(spark, sfDir, factor = 2)
     assert(p2.count() == 1000)
