@@ -103,49 +103,54 @@ object Bench {
       val b = timedExtraction(n4)
       (n, n4, a, b)
     }
-    // lower-median ratio: max-of-ratios is biased upward (steal during the
-    // small-N run inflates the ratio), so pick the pair at the lower median
-    def bestPair(n: Int): (Double, Double, Double, Double) = {
+    // representative pair per level: the LOWER-MEDIAN pair by wall ratio —
+    // max-of-ratios is biased upward (steal during the small-N run inflates
+    // the ratio), so the middle pair of the sorted ratios is reported
+    def medianPair(n: Int): (Double, Double, Double, Double) = {
       val ps = pairSamples.collect { case (`n`, _, (tN, cN), (t4N, c4N)) => (tN, cN, t4N, c4N) }
         .sortBy { case (tN, _, t4N, _) => tN / t4N }
       ps((ps.size - 1) / 2)
     }
-    val (t4, c4, t16, c16) = bestPair(4)
-    val (t8, c8, t32, c32) = bestPair(8)
+    val (t4, c4, t16, c16) = medianPair(4)
+    val (t8, c8, t32, c32) = medianPair(8)
     val thr8 = docs / t8
     val thr32 = docs / t32
-    val eff8_32 = math.min(1.0, (t8 / t32) / 4.0)
-    val eff4_16 = math.min(1.0, (t4 / t16) / 4.0)
+    // all values below are RAW (unclamped); >1.0 means the window was noisy
+    val eff8_32 = (t8 / t32) / 4.0
+    val eff4_16 = (t4 / t16) / 4.0
     // work-inflation efficiency: how much extra CPU work 4x parallelism
     // costs the engine itself (1.0 = none). Clock- and steal-invariant.
-    val effCpu8_32 = math.min(1.0, c8 / c32)
-    val effCpu4_16 = math.min(1.0, c4 / c16)
-    // headline: the best back-to-back pair (each pair shares one noise
-    // window, and the JVM-global warmup removed the cold-start artifact
-    // that could fake a good ratio). The median-selected eff_wall_*/
-    // eff_cpu_* fields and the full ratio list give the typical-window
-    // picture — on this box adjacent windows swing 0.25→0.83 from
-    // hypervisor contention alone.
-    val bestPairRatio = pairSamples.map { case (_, _, (tN, _), (t4N, _)) =>
-      math.min(1.0, (tN / t4N) / 4.0)
-    }.max
-    val efficiency = Seq(eff8_32, eff4_16, effCpu8_32, effCpu4_16, bestPairRatio).max
-    val ratiosJson = pairSamples.map { case (n, n4, (tN, _), (t4N, _)) =>
-      f"{\"pair\":\"$n->$n4\",\"eff\":${math.min(1.0, (tN / t4N) / 4.0)}%.3f}"
+    val effCpu8_32 = c8 / c32
+    val effCpu4_16 = c4 / c16
+    // HEADLINE: the median unclamped wall pair ratio across ALL measured
+    // N→4N pairs — one defensible statistic, not the luckiest window. The
+    // raw per-pair values are published alongside.
+    val allRatios = pairSamples.map { case (_, _, (tN, _), (t4N, _)) => (tN / t4N) / 4.0 }
+    val efficiency = allRatios.sorted.apply((allRatios.size - 1) / 2)
+    val ratiosJson = pairSamples.map { case (n, n4, (tN, cN), (t4N, c4N)) =>
+      f"{\"pair\":\"$n->$n4\",\"eff_wall\":${(tN / t4N) / 4.0}%.3f,\"eff_cpu\":${cN / c4N}%.3f}"
     }.mkString("[", ",", "]")
 
     // ---- phase 3: headline queries at the driver-selected parallelism ----
     val s = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(s, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(s, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"BENCH query $name FAILED: $e"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // failed queries publish NEGATIVE seconds so a broken query can never
+      // masquerade as a fast one
+      (name, if (ok) dt else -dt)
     }
     s.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(r => math.abs(r._2)).sum
 
     val extra =
       f""""extract":{"docs":$docs,"html_mb":${htmlBytes / 1e6}%.1f,""" +
@@ -156,10 +161,11 @@ object Bench {
       f""""cpu_sec_p4":$c4%.1f,"cpu_sec_p8":$c8%.1f,"cpu_sec_p16":$c16%.1f,"cpu_sec_p32":$c32%.1f,""" +
       f""""eff_wall_4_16":$eff4_16%.3f,"eff_wall_8_32":$eff8_32%.3f,""" +
       f""""eff_cpu_4_16":$effCpu4_16%.3f,"eff_cpu_8_32":$effCpu8_32%.3f,""" +
-      s""""wall_pair_ratios":$ratiosJson,""" +
+      s""""pair_ratios_raw":$ratiosJson,""" +
       f""""scaling_efficiency":$efficiency%.3f}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$extra}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_errors":$errors,"sf":"$sfDir",$extra}""")
 
     val bench =
       s"""# BENCH — extraction throughput + scaling evidence
@@ -175,7 +181,17 @@ object Bench {
          || local[32]  | ${f"$t32%.2f"} | ${f"$thr32%.1f"} | ${f"${thr32 / 32}%.2f"} | ${f"$c32%.1f"} |
          |
          |Scaling efficiency N→4N (target ≥ 0.8; parallelism levels stand in for
-         |executor counts per driver instruction — no multi-node cluster here):
+         |executor counts per driver instruction — no multi-node cluster here).
+         |HEADLINE `scaling_efficiency` = the MEDIAN unclamped wall pair ratio
+         |across all measured back-to-back N→4N pairs: ${f"$efficiency%.3f"}.
+         |Raw per-pair values (unclamped; >1.0 = measurement noise):
+         |${pairSamples.map { case (n, n4, (tN, cN), (t4N, c4N)) =>
+             f"- $n->$n4: wall ${(tN / t4N) / 4.0}%.3f, cpu-work ${cN / c4N}%.3f"
+           }.mkString("\n")}
+         |
+         |Per-level rows below use the LOWER-MEDIAN pair by wall ratio (the
+         |middle pair of the sorted per-pair ratios — not the best, not an
+         |average across noise windows):
          |
          || pair | wall-based (T_N/T_4N)/4 | CPU-work-based (ΣCPU_N/ΣCPU_4N) |
          || --- | --- | --- |
@@ -207,10 +223,11 @@ object Bench {
          |is steal- and clock-invariant: it measures how much extra CPU the
          |engine itself spends at 4x parallelism (1.0 = none), which is the
          |quantity that transfers to N→4N *executors* on separate machines,
-         |where new executors do not slow existing cores. Wall times are
-         |min-over-repeats (noise isolation).
+         |where new executors do not slow existing cores. Each N→4N pair is
+         |measured back-to-back inside one noise window; published wall times
+         |come from the lower-median pair described above.
          |
-         |Per-query seconds (local[$cpus], sf dir `$sfDir`):
+         |Per-query seconds (local[$cpus], sf dir `$sfDir`; negative = FAILED):
          |
          |${results.map { case (k, v) => s"- $k: ${f"$v%.3f"}s" }.mkString("\n")}
          |""".stripMargin
