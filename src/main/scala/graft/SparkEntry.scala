@@ -162,6 +162,16 @@ object SparkEntry {
     }),
     "x_extract_metrics" -> ((s, dir) =>
       Pipeline.metrics(Pipeline.extract(s, PageGen.pages(s, dir)))),
+    "x_extract_hints" -> ((s, dir) => {
+      // author-declared table metadata (caption/summary/semantic class) —
+      // the ExcelMetadataExtractor-analogue surface, ridden on the same
+      // kernel pass as detection
+      Pipeline.extract(s, PageGen.pages(s, dir)).toDF()
+        .select(col("url"), explode(col("hints")).as("h"))
+        .select(col("url"), col("h.region"), col("h.source"), col("h.name"),
+          col("h.confidence"))
+        .orderBy(col("url"), col("region"), col("source"))
+    }),
     "x_extract_tables" -> ((s, dir) => {
       // per-span DataFrame extraction (reference §3.3 surface): the fields
       // are computed in the SAME kernel pass as detection and ride on the

@@ -17,13 +17,17 @@ final case class DetectedTable(regionIdx: Int, kind: GridKind, origin: String,
     orientation: String = "", headerRows: Int = 0, extractHasHeaders: Boolean = false,
     tableType: String = "", quality: Double = 0.0, dataRows: Int = 0, dataCols: Int = 0)
 
+/** One region-level author-declared metadata hint (region index + hint). */
+final case class RegionHint(regionIdx: Int, source: String, name: String, confidence: Double)
+
 /** Full per-page result of the core (non-Spark) extraction. */
 final case class PageExtract(
     text: String,
     sha256: String,
     tables: Vector[DetectedTable],
     regions: Int,
-    bytesStripped: Long
+    bytesStripped: Long,
+    hints: Vector[RegionHint]
 )
 
 /** Page-level extraction: parse → detect per region → canonical text.
@@ -57,7 +61,13 @@ object Extractor {
     }
     val tables = detected.result()
     val text = canonicalText(page, tables)
-    PageExtract(text, sha256Hex(text), tables, page.regions.size, page.bytesStripped)
+    // author-declared metadata hints (standalone surface, like the
+    // reference's ExcelMetadataExtractor — the cascade never consumes them)
+    val hints = page.regions.iterator.zipWithIndex.flatMap { case (region, idx) =>
+      graft.core.detect.MetadataHints.hints(region.meta)
+        .map(h => RegionHint(idx, h.source, h.name, h.confidence))
+    }.toVector
+    PageExtract(text, sha256Hex(text), tables, page.regions.size, page.bytesStripped, hints)
   }
 
   def canonicalText(page: ParsedPage, tables: Vector[DetectedTable]): String = {

@@ -6,7 +6,18 @@ import graft.core.grid.{A1, Cell, CellGrid, Span}
 import graft.core.html.HtmlTokenizer.{EndTag, StartTag, Text, Tok}
 
 /** A tabular region found in a page, in document order. */
-final case class GridRegion(grid: CellGrid, kind: GridKind, origin: String)
+/** Author-declared table metadata captured from markup — the web analogue
+  * of the reference's Excel metadata surface (ListObjects display names /
+  * named ranges / print hints, detectors/excel_metadata_extractor.py):
+  * caption element text, the HTML4 summary attribute, and the table's
+  * id/class attributes. Metadata only — never part of the canonical text.
+  */
+final case class RegionMeta(caption: String = "", summary: String = "",
+    idAttr: String = "", classAttr: String = "")
+object RegionMeta { val Empty: RegionMeta = RegionMeta() }
+
+final case class GridRegion(grid: CellGrid, kind: GridKind, origin: String,
+    meta: RegionMeta = RegionMeta.Empty)
 
 /** Parsed page: boilerplate-stripped text blocks + tabular regions. */
 final case class ParsedPage(
@@ -83,6 +94,7 @@ object PageParser {
             case "table" => nestedTableDepth += 1
             case "tr" if nestedTableDepth == 0 => table.startRow()
             case "td" | "th" if nestedTableDepth == 0 => table.startCell(name == "th", attrs)
+            case "caption" if nestedTableDepth == 0 => table.startCaption()
             case "b" | "strong" => boldDepth += 1; table.sawBold()
             case _ => ()
           }
@@ -115,11 +127,12 @@ object PageParser {
               if (nestedTableDepth > 0) nestedTableDepth -= 1
               else {
                 val g = table.build()
-                if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table")
+                if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table", table.meta)
                 table = null
               }
             case "tr" if nestedTableDepth == 0 => table.endRow()
             case "td" | "th" if nestedTableDepth == 0 => table.endCell()
+            case "caption" if nestedTableDepth == 0 => table.endCaption()
             case "b" | "strong" => if (boldDepth > 0) boldDepth -= 1
             case _ => ()
           }
@@ -181,7 +194,7 @@ object PageParser {
     def finish(): ParsedPage = {
       if (table != null) { // unclosed table
         val g = table.build()
-        if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table")
+        if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table", table.meta)
         table = null
       }
       if (preDepth > 0) { preDepth = 0; finishPre() }
@@ -235,6 +248,8 @@ object PageParser {
     private var cellBold = false
     private var cellIsTh = false
     private var cellAttrs: Map[String, String] = Map.empty
+    private var inCaption = false
+    private val captionText = new StringBuilder
 
     private val tableBorder: Boolean =
       tableAttrs.get("border").exists(b => b.trim.nonEmpty && b.trim != "0")
@@ -263,7 +278,19 @@ object PageParser {
 
     def sawBold(): Unit = if (inCell) cellBold = true
 
-    def text(s: String): Unit = if (inCell) cellText.append(s)
+    def startCaption(): Unit = if (!inCell) inCaption = true
+    def endCaption(): Unit = inCaption = false
+
+    def text(s: String): Unit =
+      if (inCell) cellText.append(s)
+      else if (inCaption) captionText.append(s)
+
+    /** Declared table metadata (caption/summary/id/class) — see RegionMeta. */
+    def meta: RegionMeta = RegionMeta(
+      caption = normalizeWs(captionText.toString),
+      summary = normalizeWs(tableAttrs.getOrElse("summary", "")),
+      idAttr = tableAttrs.getOrElse("id", "").trim,
+      classAttr = tableAttrs.getOrElse("class", "").trim)
 
     def endCell(): Unit = {
       if (!inCell) return

@@ -39,6 +39,16 @@ final case class SpanOut(
     data_cols: Int
 )
 
+/** One author-declared metadata hint row (nested in Extracted.hints) —
+  * the ExcelMetadataExtractor-analogue surface (caption/summary/id-class).
+  */
+final case class HintOut(
+    region: Int,
+    source: String,
+    name: String,
+    confidence: Double
+)
+
 /** Output row of the extraction pipeline. */
 final case class Extracted(
     url: String,
@@ -50,7 +60,8 @@ final case class Extracted(
     bytes_stripped: Long,
     parse_failed: Boolean,
     partition_id: Int,
-    spans: Seq[SpanOut]
+    spans: Seq[SpanOut],
+    hints: Seq[HintOut]
 )
 
 /** Per-partition lineage/metrics row (north rule: parse failures are

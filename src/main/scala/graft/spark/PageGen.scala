@@ -134,7 +134,11 @@ object PageGen {
   }
 
   private def appendSimpleTable(sb: StringBuilder, rng: Rng, rows: Int): Unit = {
-    sb.append("<table><tr><th>Product</th><th>City</th><th>Quantity</th><th>Price</th></tr>")
+    // static metadata (no rng draws → cell values and text pins unchanged):
+    // exercises the ExcelMetadataExtractor-analogue hint surface
+    sb.append("<table class=\"data-table pricing\" summary=\"product pricing by city\">")
+      .append("<caption>Sales overview</caption>")
+      .append("<tr><th>Product</th><th>City</th><th>Quantity</th><th>Price</th></tr>")
     var r = 0
     while (r < rows) {
       sb.append("<tr><td>").append(Products(rng.nextInt(Products.length)))
@@ -148,7 +152,7 @@ object PageGen {
   }
 
   private def appendDenseTable(sb: StringBuilder, rng: Rng, rows: Int, cols: Int): Unit = {
-    sb.append("<table><tr>")
+    sb.append("<table class=\"stats\"><tr>")
     var c = 0
     while (c < cols) { sb.append("<th>m").append(c).append("</th>"); c += 1 }
     sb.append("</tr>")

@@ -77,7 +77,8 @@ object Pipeline {
   def extractOne(p: Page, config: DetectConfig, pid: Int): Extracted = {
     try {
       if (p.html == null || p.html.length > config.maxHtmlBytes)
-        return Extracted(p.url, p.lang, "", "", 0, 0, 0L, parse_failed = true, pid, Seq.empty)
+        return Extracted(p.url, p.lang, "", "", 0, 0, 0L, parse_failed = true, pid,
+          Seq.empty, Seq.empty)
       val res = Extractor.extractHtml(p.html, config)
       val spans = res.tables.map { dt =>
         SpanOut(dt.regionIdx, dt.origin, dt.hit.method, dt.hit.span.a1,
@@ -86,12 +87,14 @@ object Pipeline {
           dt.orientation, dt.headerRows, dt.extractHasHeaders, dt.tableType,
           dt.quality, dt.dataRows, dt.dataCols)
       }
+      val hints = res.hints.map(h => HintOut(h.regionIdx, h.source, h.name, h.confidence))
       Extracted(p.url, p.lang, res.text, res.sha256, res.regions, spans.size,
-        res.bytesStripped, parse_failed = false, pid, spans)
+        res.bytesStripped, parse_failed = false, pid, spans, hints)
     } catch {
       // NonFatal: parse failures become metric rows; OOM/interrupts propagate
       case scala.util.control.NonFatal(_) =>
-        Extracted(p.url, p.lang, "", "", 0, 0, 0L, parse_failed = true, pid, Seq.empty)
+        Extracted(p.url, p.lang, "", "", 0, 0, 0L, parse_failed = true, pid,
+          Seq.empty, Seq.empty)
     }
   }
 

@@ -84,7 +84,7 @@ object Snapshots {
     root.put("schema",
       "url string, lang string, text string, text_sha256 string, n_regions int, " +
       "n_tables int, bytes_stripped bigint, parse_failed boolean, partition_id int, " +
-      "spans array<struct>")
+      "spans array<struct>, hints array<struct>")
     val arr = root.putArray("committed")
     m.committed.foreach { b =>
       val e = arr.addObject()
