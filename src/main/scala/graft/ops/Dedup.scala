@@ -90,9 +90,13 @@ object Dedup {
     import spark.implicits._
     require(k % bands == 0, "k must be divisible by bands")
     val rowsPerBand = k / bands
+    // localCheckpoint: both self-join sides re-derive from the signatures;
+    // eager materialization runs the (expensive) shingling+minhash map once
+    // and truncates lineage. Auto-cleaned on GC — no persist leak.
     val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) => MinHashSig(id, minhashSignature(t, k, shingleN)) }
+      .localCheckpoint()
 
     val banded = sigs.flatMap { s =>
       (0 until bands).iterator.map { b =>

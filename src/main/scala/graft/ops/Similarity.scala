@@ -112,6 +112,11 @@ object Similarity {
     val nT = nTables
     val nB = nBits
 
+    // localCheckpoint: the signature computation feeds FOUR plan branches
+    // (both self-join sides × (data stream + bucket-count aggregate));
+    // eager materialization computes it once and truncates the lineage.
+    // Blocks are executor-local (memory+disk) and are auto-cleaned by the
+    // ContextCleaner when the plan is GC'd — no persist leak.
     val sigged = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
@@ -120,6 +125,7 @@ object Similarity {
         }
       }
       .toDF("id", "v", "tbl", "bucket")
+      .localCheckpoint()
 
     // bucket-size cap: count per (tbl, bucket) — a few bytes per OCCUPIED
     // bucket — keep only oversized ones, broadcast back, salt members
