@@ -174,11 +174,14 @@ object SparkEntry {
     }),
     "x_extract_tables" -> ((s, dir) => {
       // per-span DataFrame extraction (reference §3.3 surface): the fields
-      // are computed in the SAME kernel pass as detection and ride on the
-      // spans struct — no second parse, no unconditional repartition (the
-      // Pipeline's Auto skew policy decides whether to exchange), and
-      // per-page failures surface as parse_failed rows, never silent drops
-      Pipeline.extract(s, PageGen.pages(s, dir)).toDF()
+      // are computed in the SAME kernel pass as detection (extractTables
+      // config, mirroring the reference's separate DataFrameExtractor
+      // stage) and ride on the spans struct — no second parse, no
+      // unconditional repartition (the Pipeline's Auto skew policy decides
+      // whether to exchange), and per-page failures surface as
+      // parse_failed rows, never silent drops
+      Pipeline.extract(s, PageGen.pages(s, dir),
+          graft.core.detect.DetectConfig(extractTables = true)).toDF()
         .select(col("url"), explode(col("spans")).as("sp"))
         .select(col("url"), col("sp.region"), col("sp.a1"), col("sp.orientation"),
           col("sp.header_rows"), col("sp.table_has_headers").as("has_headers"),

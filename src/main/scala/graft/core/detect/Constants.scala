@@ -77,7 +77,12 @@ final case class DetectConfig(
     enableSimpleCase: Boolean = true,
     enableIslandDetection: Boolean = true,
     // reference max_file_size_mb analogue for byte payloads (P2 size cap)
-    maxHtmlBytes: Int = 64 * 1024 * 1024
+    maxHtmlBytes: Int = 64 * 1024 * 1024,
+    // run DataFrame extraction (header orientation/quality/shape) in the
+    // kernel. OFF by default, mirroring the reference where detection and
+    // DataFrameExtractor are separate stages and the published throughput
+    // (1M+ cells/s) is detection-only; x_extract_tables turns it on.
+    extractTables: Boolean = false
 ) extends Serializable
 
 /** Env-var loading mirroring the reference's Config.from_env
@@ -102,7 +107,8 @@ object DetectConfig {
       minTableCols = int("GRAFT_MIN_TABLE_COLS", d.minTableCols),
       enableSimpleCase = bool("GRAFT_ENABLE_SIMPLE_CASE_DETECTION", d.enableSimpleCase),
       enableIslandDetection = bool("GRAFT_ENABLE_ISLAND_DETECTION", d.enableIslandDetection),
-      maxHtmlBytes = int("GRAFT_MAX_HTML_MB", d.maxHtmlBytes / (1024 * 1024)) * 1024 * 1024
+      maxHtmlBytes = int("GRAFT_MAX_HTML_MB", d.maxHtmlBytes / (1024 * 1024)) * 1024 * 1024,
+      extractTables = bool("GRAFT_EXTRACT_TABLES", d.extractTables)
     )
   }
 }

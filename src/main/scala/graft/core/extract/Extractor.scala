@@ -46,16 +46,24 @@ object Extractor {
 
   def extract(page: ParsedPage, config: DetectConfig = DetectConfig()): PageExtract = {
     val detected = Vector.newBuilder[DetectedTable]
-    val tableExtractor = new TableExtractor()
+    // DataFrame extraction is a separate stage in the reference too
+    // (detect_tables vs DataFrameExtractor); it roughly 4x-es kernel cost,
+    // so it only runs when the caller asks for the extraction surface
+    val tableExtractor = if (config.extractTables) new TableExtractor() else null
     var regionIdx = 0
     page.regions.foreach { region =>
       val outcome = Cascade.detect(region.grid, region.kind, config)
       outcome.tables.take(config.maxTablesPerSheet).foreach { hit =>
-        val (table, hi, quality) = tableExtractor.extract(region.grid, hit.span)
-        detected += DetectedTable(regionIdx, region.kind, region.origin, outcome.methodUsed, hit,
-          hi.map(_.orientation).getOrElse(""), hi.map(_.headerRows).getOrElse(0),
-          hi.exists(_.hasHeaders), hi.map(_.tableType).getOrElse(""), quality,
-          table.map(_.rowCount).getOrElse(0), table.map(_.colCount).getOrElse(0))
+        if (tableExtractor != null) {
+          val (table, hi, quality) = tableExtractor.extract(region.grid, hit.span)
+          detected += DetectedTable(regionIdx, region.kind, region.origin, outcome.methodUsed,
+            hit, hi.map(_.orientation).getOrElse(""), hi.map(_.headerRows).getOrElse(0),
+            hi.exists(_.hasHeaders), hi.map(_.tableType).getOrElse(""), quality,
+            table.map(_.rowCount).getOrElse(0), table.map(_.colCount).getOrElse(0))
+        } else {
+          detected += DetectedTable(regionIdx, region.kind, region.origin, outcome.methodUsed,
+            hit)
+        }
       }
       regionIdx += 1
     }

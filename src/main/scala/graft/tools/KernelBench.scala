@@ -41,6 +41,18 @@ object KernelBench {
     val t32 = run(32)
     println(f"kernel scaling efficiency 8->32: ${(t8 / t32) / 4.0}%.3f")
 
+    // cost of the opt-in DataFrame-extraction stage (x_extract_tables path)
+    locally {
+      val cfg = graft.core.detect.DetectConfig(extractTables = true)
+      val sample = pages.take(8000)
+      sample.foreach(h => Extractor.extractHtml(h, cfg)) // warm
+      val t0 = System.nanoTime()
+      var tabs = 0L
+      sample.foreach(h => tabs += Extractor.extractHtml(h, cfg).tables.size)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"extract-tables ON: ${sample.length / dt}%.0f docs/s single-thread (tables=$tabs)")
+    }
+
     // phase breakdown + cells/s on one thread (reference publishes
     // 1M+ cells/s simple path, 100K+ cells/s island path — BASELINE.md)
     var tParse = 0L
