@@ -217,24 +217,35 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     */
   def typeConsistency(sample: Vector[Vector[Cell]]): (Double, Map[Int, String]) = {
     if (sample.isEmpty || sample.head.isEmpty) return (0.0, Map.empty)
-    val order = Vector("numeric", "text", "date", "boolean")
     val columnTypes = mutable.LinkedHashMap.empty[Int, String]
     val scores = mutable.ArrayBuffer.empty[Double]
-    (0 until sample.head.size).foreach { colIdx =>
-      val counts = mutable.HashMap("numeric" -> 0, "text" -> 0, "date" -> 0,
-        "boolean" -> 0, "empty" -> 0)
+    val nCols = sample.head.size
+    var colIdx = 0
+    while (colIdx < nCols) {
+      // plain counters; dominant = first max in numeric→text→date→boolean
+      // order (the reference's dict insertion order)
+      var nNum = 0; var nText = 0; var nDate = 0; var nBool = 0
       sample.foreach { row =>
         if (colIdx < row.size) {
-          val t = TypeInfer.extractorType(row(colIdx))
-          counts(t) += 1
+          TypeInfer.extractorType(row(colIdx)) match {
+            case "numeric" => nNum += 1
+            case "text" => nText += 1
+            case "date" => nDate += 1
+            case "boolean" => nBool += 1
+            case _ => ()
+          }
         }
       }
-      val totalNonEmpty = order.map(counts).sum
+      val totalNonEmpty = nNum + nText + nDate + nBool
       if (totalNonEmpty > 0) {
-        val dominant = order.maxBy(counts) // first max wins (stable maxBy)
-        scores += counts(dominant).toDouble / totalNonEmpty
+        var dominant = "numeric"; var domN = nNum
+        if (nText > domN) { dominant = "text"; domN = nText }
+        if (nDate > domN) { dominant = "date"; domN = nDate }
+        if (nBool > domN) { dominant = "boolean"; domN = nBool }
+        scores += domN.toDouble / totalNonEmpty
         columnTypes(colIdx) = dominant
       } else columnTypes(colIdx) = "empty"
+      colIdx += 1
     }
     (if (scores.nonEmpty) scores.sum / scores.size else 0.0, columnTypes.toMap)
   }

@@ -28,8 +28,24 @@ final class Cell(
     val backgroundColor: String = null
 ) extends Serializable {
 
-  /** reference: sheet_data.py:67-70 — empty when value is None or blank. */
-  def isEmpty: Boolean = value == null || value.trim.isEmpty
+  /** reference: sheet_data.py:67-70 — empty when value is None or blank.
+    * Allocation-free (trim-isEmpty is a kernel hot path).
+    */
+  def isEmpty: Boolean = {
+    if (value == null) return true
+    var i = 0
+    val n = value.length
+    while (i < n) {
+      if (!Character.isWhitespace(value.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Memoized TypeInfer.extractorType verdict — the extractor's header
+    * scoring queries the same cell O(candidate-windows) times per span.
+    */
+  private[grid] var extractorTypeCache: String = null
 
   @inline def hasBorder(s: String): Boolean = s != null && s != "none"
 }

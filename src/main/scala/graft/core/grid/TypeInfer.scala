@@ -86,19 +86,25 @@ object TypeInfer {
   /** Extractor-side cell typing (reference: dataframe_extractor.py:786-819).
     * Operates on the python-str value + dataType pair we carry.
     */
+  private val BoolWords = Set("true", "false", "yes", "no", "y", "n")
+
   def extractorType(c: Cell): String = {
     if (c == null || c.isEmpty) return "empty"
-    c.dataType match {
+    val cached = c.extractorTypeCache
+    if (cached != null) return cached
+    val t = c.dataType match {
       case "boolean" => "boolean"
       case "number" => "numeric"
       case _ =>
         val v = c.value.trim
-        val noComma = v.replace(",", "")
+        val noComma = if (v.indexOf(',') >= 0) v.replace(",", "") else v
         if (FloatRe.matches(noComma)) "numeric"
         else if (v.length >= 6 && v.exists(ch => ch == '-' || ch == '/' || ch == ':')) "date"
-        else if (Set("true", "false", "yes", "no", "y", "n").contains(v.toLowerCase)) "boolean"
+        else if (BoolWords.contains(v.toLowerCase)) "boolean"
         else "text"
     }
+    c.extractorTypeCache = t
+    t
   }
 }
 
