@@ -43,6 +43,26 @@ object TypeInfer {
       }
     }
 
+    // fast path: digits '.' digits (the dominant money/decimal cell) —
+    // a strict subset of FloatRe below, same result, no regex matcher
+    if (stripped.length <= 17) {
+      var digits = 0
+      var dots = 0
+      var ok = true
+      var i = 0
+      while (ok && i < stripped.length) {
+        val ch = stripped.charAt(i)
+        if (ch >= '0' && ch <= '9') digits += 1
+        else if (ch == '.') dots += 1
+        else ok = false
+        i += 1
+      }
+      if (ok && dots == 1 && digits > 0) {
+        val d = java.lang.Double.parseDouble(stripped)
+        return (PyFloat.repr(d), "number")
+      }
+    }
+
     val low = stripped.toLowerCase
     if (BoolAll.contains(low))
       return (if (BoolTrue.contains(low)) "True" else "False", "boolean")
