@@ -200,6 +200,14 @@ object SparkEntry {
       val queries = emb.orderBy(col("vec_id")).limit(8)
       Similarity.bruteForceTopK(emb, queries, k = 5)
     }),
+    // IVF top-k scale path (centroid sample → map-side assignment →
+    // broadcast probe join; corpus never shuffles). Not SQL-expressible
+    // (driver-side k-means); recall gated in OpsSpec on planted neighbors.
+    "x_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.orderBy(col("vec_id")).limit(8)
+      Similarity.ivfTopK(s, emb, queries, k = 5, nList = 16, nProbe = 8)
+    }),
     // banded multi-table LSH at scale-safe parameters (4096 buckets/table ×
     // 16 tables — recall ≥0.93 in the ≥0.92-cosine near-dup regime the
     // operator targets, OpsSpec-asserted on planted near-duplicates; the

@@ -152,4 +152,123 @@ object Similarity {
       .distinct() // dedup across tables: 24 bytes/pair through this exchange
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  // ---- IVF (inverted-file) top-k: the query-centric ANN scale path ----
+
+  /** Deterministic Lloyd k-means over L2-normalized vectors (dot-product
+    * assignment ≡ cosine). Driver-side over a BOUNDED sample — standard IVF
+    * practice: centroid training samples the corpus (FAISS trains on ~1e5
+    * points for billion-vector indexes); only assignment is distributed.
+    */
+  def trainCentroids(sample: Array[Array[Float]], nList: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    def normalized(v: Array[Float]): Array[Double] = {
+      val d = new Array[Double](dim)
+      var s = 0.0
+      var i = 0
+      while (i < math.min(dim, v.length)) { d(i) = v(i); s += d(i) * d(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n > 0) { i = 0; while (i < dim) { d(i) /= n; i += 1 } }
+      d
+    }
+    val pts = sample.map(normalized)
+    // deterministic spread init: every (len/nList)-th sample point
+    val cents = Array.tabulate(math.min(nList, pts.length)) { c =>
+      pts((c.toLong * pts.length / nList).toInt).clone()
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      pts.foreach { p =>
+        val c = nearestCell(p, cents)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < cents.length) {
+        if (counts(c) > 0) {
+          var s = 0.0
+          var i = 0
+          while (i < dim) { sums(c)(i) /= counts(c); s += sums(c)(i) * sums(c)(i); i += 1 }
+          val n = math.sqrt(s)
+          if (n > 0) { i = 0; while (i < dim) { sums(c)(i) /= n; i += 1 } }
+          cents(c) = sums(c)
+        } // empty cell keeps its old centroid (deterministic)
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  @inline private def dot(v: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) { s += v(i) * c(i); i += 1 }
+    s
+  }
+
+  def nearestCell(p: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var s = 0.0
+      var i = 0
+      while (i < p.length) { s += p(i) * cents(c)(i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def nearestCells(v: Array[Float], cents: Array[Array[Double]], nProbe: Int): Array[Int] = {
+    cents.indices.map(c => (dot(v, cents(c)), c)).sortBy(t => (-t._1, t._2))
+      .take(nProbe).map(_._2).toArray
+  }
+
+  /** IVF top-k: train centroids on a bounded deterministic sample, assign
+    * the corpus map-side (NO shuffle of the big side), explode each query
+    * into its nProbe probed cells, and BroadcastHashJoin the (tiny) probe
+    * table against the assigned corpus on the cell id — the corpus is
+    * scanned once and only probed cells pay the cosine. Top-k per query via
+    * the WindowGroupLimit rank. Exact cosine on every returned pair.
+    *
+    * Complements lshNearNeighbors: LSH answers "all pairs above s" for
+    * near-dup mining; IVF answers "top-k for these queries" at a corpus
+    * scan bounded by nProbe/nList of the data.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+      nList: Int = 16, nProbe: Int = 4, trainSampleN: Int = 4096, iters: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(trainSampleN).select(col(vecCol)).as[Array[Float]].collect()
+    val cents = trainCentroids(sample, nList, iters)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val assigned = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("cv"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearestCells(v, bc.value, 1)(0)) }
+      .toDF("neighbor_id", "cvec", "cell")
+
+    val probes = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => nearestCells(v, bc.value, nProbe).map(c => (id, v, c)) }
+      .toDF("query_id", "qvec", "cell")
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qvec").cast("array<double>"),
+        col("cvec").cast("array<double>")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

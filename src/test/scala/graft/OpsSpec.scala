@@ -124,6 +124,25 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.nonEmpty, "planted near-dups should still collide under the cap")
   }
 
+  test("IVF top-k recovers planted nearest neighbors with recall >= 0.9") {
+    import spark.implicits._
+    val emb = embWithNearDups
+    val queries = emb.filter(col("vec_id") >= 100000L)
+    val out = Similarity.ivfTopK(spark, emb, queries, k = 1, nList = 16, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each planted query's true nearest neighbor is its source vector
+    // (cos ≈ 0.970 vs background max ≈ 0.5)
+    val hits = out.count { case (qid, nid) => nid == qid - 100000L }
+    val recall = hits.toDouble / 60
+    info(s"IVF recall@1 (nList=16, nProbe=4): $recall ($hits/60)")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+    // probing every cell must reproduce the brute-force verdict exactly
+    val full = Similarity.ivfTopK(spark, emb, queries, k = 1, nList = 16, nProbe = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.forall { case (qid, nid) => nid == qid - 100000L },
+      "nProbe = nList must equal exact search on the planted pairs")
+  }
+
   test("brute-force top-k returns k ordered neighbors per query") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.orderBy(col("vec_id")).limit(3)
