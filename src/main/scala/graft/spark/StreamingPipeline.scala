@@ -1,9 +1,27 @@
 package graft.spark
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.core.detect.DetectConfig
+
+/** Per-document crawl metric row (event-time = warc_ts). */
+final case class CrawlMetric(
+    host: String,
+    warc_ts: Timestamp,
+    n_tables: Int,
+    parse_failed: Boolean,
+    bytes_stripped: Long
+)
+
+/** One closed crawl session for a host (gap-based sessionization state). */
+final case class CrawlSession(host: String, start: Timestamp, end: Timestamp, docs: Long)
+
+/** flatMapGroupsWithState state record. */
+final case class SessionState(startMs: Long, endMs: Long, docs: Long)
 
 /** Structured Streaming variant of the extraction pipeline.
   *
@@ -38,6 +56,98 @@ object StreamingPipeline {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       it.map(p => Pipeline.extractOne(p, config, pid))
     }
+  }
+
+  private def hostOf(url: String): String = {
+    val i = url.indexOf("://")
+    if (i < 0) return ""
+    val from = i + 3
+    val j = url.indexOf('/', from)
+    if (j < 0) url.substring(from) else url.substring(from, j)
+  }
+
+  /** Kernel → per-document metric rows keyed by host with event time.
+    * Works identically on batch and streaming Datasets.
+    */
+  def crawlMetrics(pages: Dataset[Page], config: DetectConfig = DetectConfig())
+      : Dataset[CrawlMetric] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map { p =>
+        val e = Pipeline.extractOne(p, config, pid)
+        CrawlMetric(hostOf(p.url), p.warc_ts, e.n_tables, e.parse_failed, e.bytes_stripped)
+      }
+    }
+  }
+
+  /** Event-time windowed crawl metrics with a watermark: per (window, host)
+    * doc/table/failure/bytes counts. In streaming append mode a window is
+    * emitted exactly once, when the watermark passes its end; late rows
+    * beyond the watermark are dropped. On a batch Dataset the same code is
+    * a plain window aggregate (watermark is a no-op), so batch output is
+    * the oracle for the streamed output.
+    */
+  def windowedMetrics(pages: Dataset[Page], config: DetectConfig = DetectConfig(),
+      windowDur: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    crawlMetrics(pages, config)
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowDur).as("win"), col("host"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tables").cast("long")).as("tables"),
+        sum(when(col("parse_failed"), 1L).otherwise(0L)).as("parse_failures"),
+        sum(col("bytes_stripped")).as("bytes_stripped"))
+      .select(col("win.start").as("window_start"), col("host"),
+        col("docs"), col("tables"), col("parse_failures"), col("bytes_stripped"))
+  }
+
+  /** Gap-based crawl sessionization per host via flatMapGroupsWithState
+    * with an event-time timeout: a session closes (and is emitted, append
+    * mode) when the watermark passes its end + gap. The custom-state
+    * analogue of the batch q_events_sessions query.
+    */
+  def sessionize(pages: Dataset[Page], gapMinutes: Int = 30,
+      watermark: String = "2 hours"): Dataset[CrawlSession] = {
+    import pages.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    val keyed = crawlMetrics(pages)
+      .withWatermark("warc_ts", watermark)
+      .groupByKey(_.host)
+
+    def update(host: String, events: Iterator[CrawlMetric],
+        state: GroupState[SessionState]): Iterator[CrawlSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(CrawlSession(host, new Timestamp(s.startMs), new Timestamp(s.endMs),
+          s.docs))
+      } else {
+        val ts = events.map(_.warc_ts.getTime).toArray
+        java.util.Arrays.sort(ts)
+        val closed = Vector.newBuilder[CrawlSession]
+        var cur = state.getOption
+        ts.foreach { t =>
+          cur match {
+            case Some(s) if t - s.endMs <= gapMs =>
+              cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.docs + 1))
+            case Some(s) =>
+              closed += CrawlSession(host, new Timestamp(s.startMs), new Timestamp(s.endMs),
+                s.docs)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    keyed.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Start the stream: parquet sink + checkpoint (exactly-once file sink).

@@ -1,10 +1,12 @@
 package graft
 
 import java.nio.file.Files
+import java.sql.Timestamp
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.spark.{PageGen, Pipeline, StreamingPipeline}
+import graft.spark.{Page, PageGen, Pipeline, StreamingPipeline}
 
 /** Streaming variant: incremental file arrival → same kernel → parquet
   * sink; restart continues from the checkpoint without reprocessing.
@@ -40,5 +42,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 500, s"expected 500 rows, got ${streamed.size} (no reprocessing)")
     assert(streamed == batch, "streaming output must equal the batch pipeline byte-for-byte")
     pages.unpersist()
+  }
+
+  private val T0 = 1735689600000L // 2025-01-01T00:00:00Z
+  private def mkPage(host: String, minute: Int, n: Int = 0): Page =
+    Page(s"https://$host/p$minute-$n", new Timestamp(T0 + minute * 60000L),
+      ("<html><body><p>a reasonably long paragraph of page text here</p>" +
+        "<table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr>" +
+        "<tr><td>b</td><td>2</td></tr></table></body></html>").getBytes("UTF-8"),
+      "", "en")
+
+  test("watermarked windowed metrics emit closed windows once, matching batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val q = StreamingPipeline.windowedMetrics(mem.toDS())
+      .writeStream.format("memory").queryName("wm_out").outputMode("append").start()
+    try {
+      // hour-0: a.example x2 + b.example x1; hour-1: a.example x1
+      mem.addData(mkPage("a.example", 5), mkPage("a.example", 20), mkPage("b.example", 30),
+        mkPage("a.example", 70))
+      q.processAllAvailable()
+      // advance event time to 05:00 → watermark (2h) passes hours 0-2
+      mem.addData(mkPage("late.example", 300))
+      q.processAllAvailable()
+      // watermark takes effect on the NEXT trigger
+      mem.addData(mkPage("late.example", 360))
+      q.processAllAvailable()
+      val emitted = spark.sql(
+        "SELECT window_start, host, docs, tables FROM wm_out ORDER BY window_start, host")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      val expected = Array(
+        (T0, "a.example", 2L), (T0, "b.example", 1L), (T0 + 3600000L, "a.example", 1L))
+      assert(emitted.toSeq == expected.toSeq, s"got ${emitted.toVector}")
+
+      // batch oracle: the same code over the same rows as a static Dataset
+      val batchRows = Seq(mkPage("a.example", 5), mkPage("a.example", 20),
+        mkPage("b.example", 30), mkPage("a.example", 70)).toDS()
+      val batch = StreamingPipeline.windowedMetrics(batchRows)
+        .select("window_start", "host", "docs")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+      assert(emitted.toSet.subsetOf(batch), "streamed windows must equal the batch aggregate")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions by gap and timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val q = StreamingPipeline.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // a: one session 00:00-00:20 (3 docs); b: single-doc session at 00:00
+      mem.addData(mkPage("a.example", 0), mkPage("a.example", 10, 1),
+        mkPage("a.example", 20, 2), mkPage("b.example", 0))
+      q.processAllAvailable()
+      // a: second session at 02:00-02:05 → the 100-min gap closes session 1
+      mem.addData(mkPage("a.example", 120), mkPage("a.example", 125, 1))
+      q.processAllAvailable()
+      // push the watermark far enough (06:00 - 2h = 04:00) to time out both
+      // remaining sessions; timeouts fire on the trigger AFTER the watermark
+      // advances
+      mem.addData(mkPage("c.example", 360))
+      q.processAllAvailable()
+      mem.addData(mkPage("c.example", 361, 1))
+      q.processAllAvailable()
+      val sessions = spark.sql(
+        "SELECT host, start, end, docs FROM sess_out ORDER BY host, start")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3)))
+      val min = 60000L
+      val expected = Seq(
+        ("a.example", T0, T0 + 20 * min, 3L),
+        ("a.example", T0 + 120 * min, T0 + 125 * min, 2L),
+        ("b.example", T0, T0, 1L))
+      assert(sessions.toSeq == expected, s"got ${sessions.toVector}")
+    } finally q.stop()
   }
 }
