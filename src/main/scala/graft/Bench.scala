@@ -141,6 +141,7 @@ object Bench {
 
     // ---- phase 3: headline queries at the driver-selected parallelism ----
     val s = session(cpus)
+    s.range(1000).selectExpr("sum(id)").collect() // absorb session init cost
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
