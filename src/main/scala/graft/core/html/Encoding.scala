@@ -101,6 +101,14 @@ object Encoding {
         return EncodingResult("utf-16-be", 0.8, "byte_pattern", bomDetected = false)
     }
 
+    // 4.5. script prober for undeclared non-latin pages — the chardet
+    // stand-in (the reference's tier 2). Only consulted when the high-bit
+    // byte mass says the page is a non-latin script (so cp1252-style
+    // accent sprinkling never reaches it).
+    if (!sampleHasNul) {
+      proberDetect(bytes).foreach(return _)
+    }
+
     // 5. validated fallback chain (file_magic.py:904-945)
     val hasNulls = {
       var n = 0
@@ -218,6 +226,131 @@ object Encoding {
   private def charsetOrElse(name: String, dflt: Charset): Charset = {
     val cs = charsetOrNull(name)
     if (cs == null) dflt else cs
+  }
+
+  /** Chardet-analogue script prober for UNDECLARED non-latin pages
+    * (reference tier 2, file_magic.py:773-832 — chardet with smart
+    * confidence thresholds; no chardet exists on the JVM so this
+    * re-implements its two core ideas):
+    *
+    *   1. structural validation — strict-decode under each candidate
+    *      charset (multibyte lead/trail violations reject outright), then
+    *      require ≥90 % of the decoded non-ASCII letters to land in the
+    *      candidate's script block (CJK+kana for Japanese, CJK for GBK,
+    *      Cyrillic for KOI8-R/cp1251);
+    *   2. frequency discrimination — KOI8-R and cp1251 both decode Russian
+    *      bytes into Cyrillic, just the wrong letters; the candidate whose
+    *      decoded letters better match the most-common-Russian-letter set
+    *      wins (chardet's language-model idea, reduced to one table).
+    *
+    * Guards: only consulted at ≥20 % high-bit byte mass (accented latin
+    * text never qualifies), and the Japanese candidates additionally
+    * require full-width kana/kanji content, so half-width-kana-shaped
+    * byte art (e.g. cp437 box drawings, which alias the 0xA1-0xDF kana
+    * range) cannot hijack.
+    */
+  @inline private def isCjk(c: Char): Boolean = {
+    val cp = c.toInt
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0x3000 && cp <= 0x303F) || (cp >= 0xFF01 && cp <= 0xFF60)
+  }
+
+  @inline private def isKanaFull(c: Char): Boolean = c >= 0x3040 && c <= 0x30FF
+  @inline private def isKanaHalf(c: Char): Boolean = c >= 0xFF61 && c <= 0xFF9F
+  @inline private def isJapanese(c: Char): Boolean =
+    isCjk(c) || isKanaFull(c) || isKanaHalf(c)
+  @inline private def isCyrillic(c: Char): Boolean = c >= 0x0400 && c <= 0x04FF
+
+  /** The most frequent Russian letters (both cases) -- enough to rank
+    * KOI8-R against cp1251 on real text, and to reject non-Russian bytes
+    * that merely decode into the Cyrillic block (12/66 letters ~ 0.18
+    * by chance vs ~0.5+ on real Russian).
+    */
+  private val CommonRussian: Set[Char] = "\u043e\u0435\u0430\u0438\u043d\u0442\u0441\u0440\u0432\u043b\u043a\u043c\u041e\u0415\u0410\u0418\u041d\u0422\u0421\u0420\u0412\u041b\u041a\u041c".toSet
+
+  private final case class ProbeScore(purity: Double, fullKanaFrac: Double, ruFreq: Double,
+      distinctScript: Int)
+
+  private def probeScore(bytes: Array[Byte], n: Int, jvmName: String,
+      inScript: Char => Boolean): ProbeScore = {
+    val cs = charsetOrNull(jvmName)
+    if (cs == null) return ProbeScore(0.0, 0.0, 0.0, 0)
+    val decoded =
+      try {
+        cs.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+          .decode(ByteBuffer.wrap(bytes, 0, n))
+      } catch { case _: CharacterCodingException => return ProbeScore(0.0, 0.0, 0.0, 0) }
+    var scriptHits = 0
+    var nonAscii = 0
+    var fullKana = 0
+    var commonRu = 0
+    var cyr = 0
+    val distinct = new java.util.HashSet[Char]()
+    var j = 0
+    val len = decoded.length()
+    while (j < len) {
+      val c = decoded.charAt(j)
+      if (c >= 0x80) {
+        nonAscii += 1
+        if (inScript(c)) { scriptHits += 1; if (distinct.size < 64) distinct.add(c) }
+        if (isKanaFull(c)) fullKana += 1
+        if (isCyrillic(c)) { cyr += 1; if (CommonRussian.contains(c)) commonRu += 1 }
+      }
+      j += 1
+    }
+    if (nonAscii == 0) ProbeScore(0.0, 0.0, 0.0, 0)
+    else ProbeScore(scriptHits.toDouble / nonAscii, fullKana.toDouble / nonAscii,
+      if (cyr > 0) commonRu.toDouble / cyr else 0.0, distinct.size)
+  }
+
+  /** Two-phase arbitration (see scaladoc above):
+    *
+    * Phase A, CJK multibyte: strict decode is strong structural evidence
+    * (single-byte-script text has high bytes adjacent to ASCII spaces,
+    * which are invalid multibyte trails). Japanese candidates must show
+    * real full-width kana mass (>= 5% of non-ASCII chars) -- true Japanese
+    * always does, Chinese-as-SJIS garble and kana-aliased byte art do not.
+    *
+    * Phase B, Cyrillic single-byte: these decode ANY bytes, so purity
+    * alone proves nothing; require the common-Russian-letter share of the
+    * decoded Cyrillic to clear 0.3 (chance ~ 0.18), and let the higher
+    * share pick KOI8-R vs cp1251.
+    */
+  private def proberDetect(bytes: Array[Byte]): Option[EncodingResult] = {
+    val n = math.min(bytes.length, 8192)
+    if (n == 0) return None
+    var high = 0
+    var i = 0
+    while (i < n) { if ((bytes(i) & 0xFF) >= 0x80) high += 1; i += 1 }
+    if (high * 5 < n) return None // <20% high-bit mass: not a non-latin page
+
+    // phase A: Japanese (kana-gated), then GBK
+    val sjis = probeScore(bytes, n, "Shift_JIS", isJapanese)
+    val eucjp = probeScore(bytes, n, "EUC-JP", isJapanese)
+    val jp = Seq("shift_jis" -> sjis, "euc-jp" -> eucjp)
+      .filter { case (_, sc) => sc.purity >= 0.9 && sc.fullKanaFrac >= 0.05 }
+    if (jp.nonEmpty) {
+      val (label, _) = jp.maxBy { case (_, sc) => (sc.purity, sc.fullKanaFrac) }
+      return Some(EncodingResult(label, 0.85, "prober", bomDetected = false))
+    }
+    // real Chinese pages use dozens of distinct hanzi; repeated-byte art
+    // decodes to one or two distinct chars
+    val gbk = probeScore(bytes, n, "GBK", isCjk)
+    if (gbk.purity >= 0.9 && gbk.distinctScript >= 8)
+      return Some(EncodingResult("gbk", 0.85, "prober", bomDetected = false))
+
+    // phase B: Cyrillic with a frequency floor
+    val koi = probeScore(bytes, n, "KOI8-R", isCyrillic)
+    val w1251 = probeScore(bytes, n, "windows-1251", isCyrillic)
+    val cyr = Seq("koi8-r" -> koi, "cp1251" -> w1251)
+      .filter { case (_, sc) => sc.purity >= 0.9 && sc.ruFreq >= 0.3 }
+    if (cyr.nonEmpty) {
+      val (label, _) = cyr.maxBy { case (_, sc) => sc.ruFreq }
+      return Some(EncodingResult(label, 0.85, "prober", bomDetected = false))
+    }
+    None
   }
 
   /** Prescan the first 1024 bytes for `<meta … charset=…>` (WHATWG-style).

@@ -13,7 +13,7 @@ object SkewProbe {
       s.sparkContext.setLogLevel("ERROR")
       import s.implicits._
       val pages = s.read.parquet("/dev/shm/graft_corpus").as[Page]
-      val inParts = pages.rdd.getNumPartitions
+      val inParts = pages.queryExecution.toRdd.getNumPartitions
       Pipeline.extract(s, pages.sample(withReplacement=false, 0.05, 42L), numPartitions = p*2).count()
       val t0 = System.nanoTime()
       val n = Pipeline.extract(s, pages, numPartitions = p*2).filter(!_.parse_failed).count()

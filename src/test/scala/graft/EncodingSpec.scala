@@ -83,6 +83,47 @@ class EncodingSpec extends AnyFunSuite {
     assert(viaPipeline.text.contains("“résumé”"))
   }
 
+  test("script prober detects UNDECLARED shift_jis / euc-jp / gbk pages") {
+    val jp = "<html><body><p>日本語のページです。今日は天気がいいですね。東京都内の情報。</p></body></html>"
+    val sj = jp.getBytes(Charset.forName("Shift_JIS"))
+    val rs = Encoding.detect(sj)
+    assert(rs.method == "prober" && rs.encoding == "shift_jis", s"got $rs")
+    assert(Encoding.decode(sj) == jp)
+    val eu = jp.getBytes(Charset.forName("EUC-JP"))
+    val re = Encoding.detect(eu)
+    assert(re.method == "prober" && re.encoding == "euc-jp", s"got $re")
+    assert(Encoding.decode(eu) == jp)
+    val zh = "<html><body><p>中文网页内容测试，今天天气很好，数据处理分析结果。</p></body></html>"
+    val gb = zh.getBytes(Charset.forName("GBK"))
+    val rg = Encoding.detect(gb)
+    assert(rg.method == "prober" && rg.encoding == "gbk", s"got $rg")
+    assert(Encoding.decode(gb) == zh)
+  }
+
+  test("script prober separates undeclared koi8-r from cp1251 by letter frequency") {
+    val ru = "<html><body><p>русский текст на странице. сегодня хорошая погода и новости дня." +
+      " интересные статьи о науке и технике.</p></body></html>"
+    val koi = ru.getBytes(Charset.forName("KOI8-R"))
+    val rk = Encoding.detect(koi)
+    assert(rk.method == "prober" && rk.encoding == "koi8-r", s"got $rk")
+    assert(Encoding.decode(koi) == ru)
+    val w1251 = ru.getBytes(Charset.forName("windows-1251"))
+    val rw = Encoding.detect(w1251)
+    assert(rw.method == "prober" && rw.encoding == "cp1251", s"got $rw")
+    assert(Encoding.decode(w1251) == ru)
+  }
+
+  test("prober never fires on accent-sprinkled latin or kana-aliased byte art") {
+    // cp1252 with light accents: high-bit mass far below 20%
+    val fr = "<html><body><p>Le café était très agréable, déjà réservé.</p></body></html>"
+    val r = Encoding.detect(fr.getBytes(Charset.forName("windows-1252")))
+    assert(r.method != "prober", s"got $r")
+    // cp437 box art aliases the half-width-kana range; no full-width content
+    // → the Japanese candidates must decline (see cp437 test above)
+    val bytes = Array.tabulate[Byte](64)(i => if (i % 2 == 0) 0xB3.toByte else 0x8E.toByte)
+    assert(Encoding.detect(bytes).method == "fallback")
+  }
+
   test("meta prescan parses label variants and rejects utf-16 labels") {
     def meta(s: String) = Encoding.metaCharset(s.getBytes(StandardCharsets.ISO_8859_1))
     assert(meta("<meta charset='UTF-8'>").map(_.name()) == Some("UTF-8"))
