@@ -118,6 +118,24 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"))
         .select(col("text_hash"), col("keep_id"), col("dup_count"))
         .orderBy(col("text_hash"))),
+    // dedup APPLIED: the kept corpus via a broadcast left-anti join against
+    // the duplicate losers (the shape a 100 TB dedup actually ships)
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val losers = Dedup.exactDuplicates(docs).select(col("dup_id"))
+      docs.join(broadcast(losers), col("doc_id") === col("dup_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // semi-join shape: customers that actually ordered (broadcast semi)
+    "q_semi_active_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders").select(col("o_custkey"))
+      cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "q_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(
@@ -290,6 +308,17 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_keep" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+        |    FROM documents) WHERE doc_id <> keep_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_semi_active_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_active FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_m,
