@@ -71,6 +71,14 @@ object FixtureLoader {
           out += FixCell(0, c, s"w$c", bold = false, null, null, null, null, null)
           out += FixCell(1, c, ((c * 13) % 500).toString, bold = false, null, null, null, null, null)
         }
+      case "plate384" =>
+        (1 to 24).foreach(c => out += FixCell(0, c, c.toString, bold = false, null, null, null, null, null))
+        (1 to 16).foreach { r =>
+          out += FixCell(r, 0, ('A' + r - 1).toChar.toString, bold = false, null, null, null, null, null)
+          (1 to 24).foreach { c =>
+            out += FixCell(r, c, ((r * 127 + c * 31) % 9000).toString, bold = false, null, null, null, null, null)
+          }
+        }
       case t => throw new IllegalArgumentException(t)
     }
     out.result()

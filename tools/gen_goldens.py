@@ -59,6 +59,13 @@ def expand_gen(gen):
         for c in range(60):
             cells.append({"r": 0, "c": c, "v": f"w{c}"})
             cells.append({"r": 1, "c": c, "v": str((c * 13) % 500)})
+    elif t == "plate384":
+        for c in range(1, 25):
+            cells.append({"r": 0, "c": c, "v": str(c)})
+        for r in range(1, 17):
+            cells.append({"r": r, "c": 0, "v": chr(ord("A") + r - 1)})
+            for c in range(1, 25):
+                cells.append({"r": r, "c": c, "v": str((r * 127 + c * 31) % 9000)})
     else:
         raise ValueError(t)
     return cells
