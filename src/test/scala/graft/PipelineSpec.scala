@@ -116,6 +116,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(old.committed.size == 2)
   }
 
+  test("extraction output is invariant to partitioning and skew mode") {
+    // the 100 TB contract: WHERE a row is processed must never change WHAT
+    // is extracted — the shuffle decision is pure placement
+    val pages = PageGen.pages(spark, sfDir)
+    def run(mode: Pipeline.SkewMode, n: Int) =
+      Pipeline.extract(spark, pages, numPartitions = n, skewMode = mode)
+        .select("url", "text_sha256", "n_tables", "n_regions")
+        .orderBy("url").collect().map(_.toString).toVector
+    val a = run(Pipeline.NoShuffle, 4)
+    val b = run(Pipeline.ForceShuffle, 16)
+    val c = run(Pipeline.Auto, 32)
+    assert(a == b, "NoShuffle(4) != ForceShuffle(16)")
+    assert(b == c, "ForceShuffle(16) != Auto(32)")
+  }
+
   test("config knobs are reachable end-to-end (min_table_size via env loading)") {
     import spark.implicits._
     import graft.core.detect.DetectConfig

@@ -98,6 +98,17 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Encoding.decode is total on arbitrary byte payloads") {
+    val bytesGen = Gen.choose(0, 512).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue).map(_.toByte)))
+    check(Prop.forAll(bytesGen) { bs =>
+      val arr = bs.toArray
+      val decoded = graft.core.html.Encoding.decode(arr) // must never throw
+      val res = graft.core.html.Encoding.detect(arr)
+      decoded != null && res.encoding.nonEmpty
+    })
+  }
+
   test("normalizeWs is idempotent") {
     check(Prop.forAll(Gen.asciiStr) { s =>
       val once = PageParser.normalizeWs(s)
