@@ -244,11 +244,11 @@ object SparkEntry {
         .orderBy(col("lang"), col("predicted"))
     }),
     "q_fingerprint" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) => (id, TextOps.fingerprint(text)) }
-        .toDF("doc_id", "fp64")
+      // native Catalyst expression (doGenCode): the projection stays inside
+      // whole-stage codegen instead of a Deserialize→map→Serialize break
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp64"))
         .orderBy(col("doc_id"))
     }),
     "x_multimodal" -> ((s, dir) =>

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for the 64-bit polynomial document
+  * fingerprint (31·h + c over UTF-16 units, graft.ops.TextOps.fingerprint).
+  *
+  * A typed `Dataset.map` forces a Deserialize→map→Serialize break in the
+  * plan; this expression stays inside whole-stage codegen (`doGenCode`
+  * emits a direct static call on the already-decoded string), so a
+  * fingerprint projection over 100 TB never leaves Tungsten rows.
+  */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    graft.ops.TextOps.fingerprint(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextOps.fingerprint($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_fingerprint64"
+}
+
+object GraftFunctions {
+
+  /** Column-API form (whole-stage codegen; no typed map). */
+  def fingerprint64(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Fingerprint64(ColumnBridge.expression(c)))
+  }
+
+  val registry: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "graft_fingerprint64"),
+      (children: Seq[Expression]) => Fingerprint64(children.head))
+  )
+
+  /** Session-level registration (idempotent) so `expr`/SQL can resolve the
+    * functions on a session that was built without the extensions class.
+    */
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+}
+
+/** SparkSessionExtensions entry point — the production wiring:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * library's native functions into every session at build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach(ext.injectFunction)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+import graft.ops.TextOps
+
+/** Native Catalyst expression surface: value-identity with the Scala
+  * helper, whole-stage-codegen residency (no typed-map plan break),
+  * SQL-name registration, and the SparkSessionExtensions wiring.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("fingerprint64 expression equals the Scala helper on the corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val viaExpr = docs.select(col("doc_id"),
+        GraftFunctions.fingerprint64(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val viaScala = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> TextOps.fingerprint(t) }.toMap
+    assert(viaExpr == viaScala)
+  }
+
+  test("fingerprint64 stays inside whole-stage codegen (no object-serde break)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = docs.select(GraftFunctions.fingerprint64(col("text")))
+      .queryExecution.executedPlan.toString
+    // '*(n)' is the whole-stage-codegen stage marker in executedPlan output
+    assert(plan.contains("*(1) Project [graft_fingerprint64"), plan.take(400))
+    assert(!plan.contains("DeserializeToObject"),
+      "a native expression must not break the plan into object serde")
+    // interpreted path agrees with codegen (nullSafeEval vs doGenCode)
+    assert(graft.functions.Fingerprint64(
+      org.apache.spark.sql.catalyst.expressions.Literal("abc")).eval(null) ==
+      TextOps.fingerprint("abc"))
+  }
+
+  test("SQL-name registration and null handling") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_fingerprint64('abc') AS fp, " +
+      "graft_fingerprint64(CAST(NULL AS STRING)) AS nfp").collect()(0)
+    assert(got.getLong(0) == TextOps.fingerprint("abc"))
+    assert(got.isNullAt(1), "null in, null out")
+  }
+
+  test("GraftExtensions injects the function registry entries") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must register without throwing
+  }
+}
