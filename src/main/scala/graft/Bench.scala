@@ -97,7 +97,7 @@ object Bench {
     // each N→4N pair is measured back-to-back inside one noise window so
     // the RATIO is comparable; repeated pairs, best ratio kept (the
     // hypervisor showed 5-10x wall variance across windows)
-    val pairRounds = Seq((8, 32), (4, 16), (8, 32), (4, 16), (8, 32))
+    val pairRounds = Seq((8, 32), (4, 16), (8, 32), (4, 16), (8, 32), (4, 16))
     val pairSamples = pairRounds.map { case (n, n4) =>
       val a = timedExtraction(n)
       val b = timedExtraction(n4)

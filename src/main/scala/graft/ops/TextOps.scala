@@ -54,18 +54,24 @@ object TextOps {
     "fr" -> Set("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour",
       "qui", "sur", "avec", "pas", "sont", "aux"),
     "es" -> Set("el", "los", "las", "de", "del", "y", "en", "un", "una", "es",
-      "no", "por", "con", "para", "se", "su", "como", "más")
+      "no", "por", "con", "para", "se", "su", "como", "más"),
+    "it" -> Set("il", "di", "che", "la", "per", "un", "una", "sono", "della",
+      "nel", "gli", "anche", "come", "più", "questo", "alla"),
+    "pt" -> Set("de", "que", "em", "um", "uma", "para", "com", "não", "os",
+      "das", "dos", "mais", "como", "foi", "ser", "são")
   )
 
-  /** n-gram/stopword language classifier over whitespace tokens. Chinese is
-    * detected first by script (CJK codepoint mass — stopword tokenization
-    * does not apply to unsegmented text); the remaining languages by
-    * stopword-hit mass.
+  /** Script-then-stopword language classifier. Script tiers first (stopword
+    * tokenization does not apply to unsegmented CJK, and script mass is the
+    * stronger signal for ja/zh/ru): kana → ja, CJK → zh, Cyrillic → ru;
+    * then stopword-hit mass over whitespace tokens for the latin languages.
     */
   def classifyLang(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     val sampleLen = math.min(text.length, 2000)
     var cjk = 0
+    var kana = 0
+    var cyrillic = 0
     var letters = 0
     var i = 0
     while (i < sampleLen) {
@@ -75,10 +81,18 @@ object TextOps {
         val cp = c.toInt
         if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
             (cp >= 0xF900 && cp <= 0xFAFF)) cjk += 1
+        else if ((cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0xFF66 && cp <= 0xFF9D)) kana += 1
+        else if (cp >= 0x0400 && cp <= 0x04FF) cyrillic += 1
       }
       i += 1
     }
-    if (letters > 0 && cjk * 5 >= letters) return "zh" // ≥20% CJK letter mass
+    if (letters > 0) {
+      // kana is uniquely Japanese; Japanese prose is ~30-50% kana, so any
+      // meaningful kana mass wins before the broader CJK tier
+      if (kana * 20 >= letters) return "ja" // ≥5% kana letter mass
+      if (cjk * 5 >= letters) return "zh" // ≥20% CJK letter mass
+      if (cyrillic * 2 >= letters) return "ru" // ≥50% Cyrillic letter mass
+    }
     val toks = text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(400).toArray
     if (toks.isEmpty) return "und"
     var best = "und"

@@ -161,15 +161,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Vector(3L, 0L, 1L, 4L))
   }
 
-  test("language id covers every corpus language (en/de/fr/es/zh)") {
+  test("language id covers every corpus language plus script-tier languages") {
     assert(TextOps.classifyLang("the cat and the dog are in the house with food") == "en")
     assert(TextOps.classifyLang("der hund und die katze sind nicht auf dem tisch") == "de")
     assert(TextOps.classifyLang("le chat et le chien sont dans la maison avec les autres") == "fr")
     assert(TextOps.classifyLang("el perro y el gato no están en la casa con los niños") == "es")
+    assert(TextOps.classifyLang("il gatto è sulla tavola e anche il cane per la casa di lei") == "it")
+    assert(TextOps.classifyLang("o gato não está em casa mais que um cão para os dois") == "pt")
     assert(TextOps.classifyLang("今天天气很好我们一起去公园散步然后吃饭") == "zh")
     assert(TextOps.classifyLang("数据 query 处理 with 中文 mixed 文本 tokens 分析 结果") == "zh",
       "mixed text above 20% CJK letter mass classifies zh")
+    assert(TextOps.classifyLang("今日はいい天気ですね。公園へ散歩に行きましょう。") == "ja",
+      "kana mass separates Japanese from Chinese")
+    assert(TextOps.classifyLang("сегодня хорошая погода и мы идём гулять в парк") == "ru")
     assert(TextOps.classifyLang("zzz qqq www") == "und")
+  }
+
+  test("multimodal resize plan and frame sampling are exact geometry") {
+    assert(Multimodal.resizeDims(1920, 1080, 512, 512) == (512, 288))
+    assert(Multimodal.resizeDims(100, 200, 512, 512) == (100, 200), "no upscaling")
+    assert(Multimodal.resizeDims(1, 10000, 512, 512) == (1, 512), "floor keeps >=1")
+    assert(Multimodal.sampleFrames(100, 4).toSeq == Seq(12, 37, 62, 87), "span midpoints")
+    assert(Multimodal.sampleFrames(3, 8).toSeq == Seq(0, 1, 2), "k >= n returns all")
+    assert(Multimodal.sampleFrames(0, 4).isEmpty)
+    val media = Multimodal.syntheticMedia(spark, sfDir, limitN = 30)
+    val planned = Multimodal.withResizePlan(Multimodal.extractFeatures(media), 64, 64, 3)
+      .collect()
+    planned.filter(r => r.getString(1) == "image" && r.getBoolean(2)).foreach { r =>
+      assert(r.getInt(5) <= 64 && r.getInt(6) <= 64, s"resize bound violated: $r")
+    }
+    planned.filter(_.getString(1) == "video").foreach { r =>
+      assert(r.getSeq[Int](7).size <= 3)
+    }
   }
 
   test("multimodal pipeline preserves schema and batch error isolation") {
