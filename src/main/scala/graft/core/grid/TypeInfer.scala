@@ -39,6 +39,8 @@ object TypeInfer {
           // "0"/"1" are booleans in the reference (csv_reader.py:344-346)
           return (if (stripped.charAt(0) == '1') "True" else "False", "boolean")
         }
+        // already canonical (no leading zero): Python str(int(s)) == s
+        if (stripped.charAt(0) != '0') return (stripped, "number")
         return (java.lang.Long.parseLong(stripped).toString, "number")
       }
     }
@@ -58,6 +60,23 @@ object TypeInfer {
         i += 1
       }
       if (ok && dots == 1 && digits > 0) {
+        // canonical-form shortcut: for a decimal with ≤7 significant digits,
+        // no exponent, a canonical integer part (no leading zero unless the
+        // "0." form) and no trailing zero, the shortest round-tripping repr
+        // of its double IS the input string (any shorter decimal differs by
+        // far more than half an ulp), so repr(float(s)) == s — skip the
+        // shortest-repr search. Pinned by the PyCompatSpec property.
+        val dot = stripped.indexOf('.')
+        val intLen = dot
+        val fracLen = stripped.length - dot - 1
+        val canonicalInt =
+          intLen >= 1 && (stripped.charAt(0) != '0' || intLen == 1)
+        val sigDigits =
+          if (intLen == 1 && stripped.charAt(0) == '0') fracLen else intLen + fracLen
+        if (canonicalInt && fracLen >= 1 && sigDigits <= 7 &&
+            stripped.charAt(stripped.length - 1) != '0') {
+          return (stripped, "number")
+        }
         val d = java.lang.Double.parseDouble(stripped)
         return (PyFloat.repr(d), "number")
       }

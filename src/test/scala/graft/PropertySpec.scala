@@ -98,6 +98,27 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("type-inference canonical shortcuts equal the full Python-repr path") {
+    import graft.core.grid.TypeInfer
+    // decimal strings across the shortcut boundary (sig digits, zeros)
+    val decGen = for {
+      intPart <- Gen.choose(0L, 99999999L)
+      fracDigits <- Gen.choose(1, 9)
+      frac <- Gen.choose(0L, math.pow(10, fracDigits).toLong - 1)
+      neg <- Gen.oneOf("", "-")
+    } yield s"$neg$intPart.${s"%0${fracDigits}d".format(frac)}"
+    check(Prop.forAll(decGen) { s =>
+      val (v, dt) = TypeInfer.infer(s)
+      val d = java.lang.Double.parseDouble(s.replace(",", ""))
+      dt == "number" && v == PyFloat.repr(d)
+    })
+    val intGen = Gen.choose(Long.MinValue + 1, Long.MaxValue).map(_.toString)
+    check(Prop.forAll(intGen) { s =>
+      val (v, dt) = TypeInfer.infer(s)
+      dt == "number" && v == java.lang.Long.parseLong(s).toString
+    })
+  }
+
   test("Encoding.decode is total on arbitrary byte payloads") {
     val bytesGen = Gen.choose(0, 512).flatMap(n =>
       Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue).map(_.toByte)))
