@@ -106,7 +106,10 @@ object Similarity {
     import spark.implicits._
     require(nBits > 0 && nBits <= 24, "nBits in (0, 24]")
     require(nTables > 0, "nTables > 0")
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty) // empty corpus: empty pair set, correct schema
+      return spark.emptyDataset[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
+    val dim = dimRow(0).getInt(0)
     val planes = hyperplanes(nTables * nBits, dim, seed)
     val bplanes = spark.sparkContext.broadcast(planes)
     val nT = nTables
@@ -248,6 +251,9 @@ object Similarity {
     import spark.implicits._
     val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(trainSampleN).select(col(vecCol)).as[Array[Float]].collect()
+    if (sample.isEmpty) // empty corpus: empty result, correct schema
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("query_id", "neighbor_id", "cos", "rank")
     val cents = trainCentroids(sample, nList, iters)
     val bc = spark.sparkContext.broadcast(cents)
 

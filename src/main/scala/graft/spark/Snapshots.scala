@@ -157,6 +157,13 @@ object Snapshots {
       Pipeline.extract(spark, pendingPages, config)
         .toDF()
         .withColumn("_bucket", bucketOf) // deterministic re-derivation from url
+        // cluster the OUTPUT by bucket before the partitioned write: without
+        // this every task writes a file into every bucket directory
+        // (tasks × buckets small files — measured 3x wall at 64 buckets,
+        // millions of files at production scale); with it the job writes
+        // ~one file per bucket for one exchange of the (already-extracted)
+        // output
+        .repartition(col("_bucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // replaces ONLY written buckets
         .partitionBy("_bucket")

@@ -143,6 +143,13 @@ class OpsSpec extends AnyFunSuite {
       "nProbe = nList must equal exact search on the planted pairs")
   }
 
+  test("ANN operators return empty (not throw) on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.lshNearNeighbors(spark, empty).count() == 0)
+    assert(Similarity.ivfTopK(spark, empty, empty, k = 3).count() == 0)
+  }
+
   test("brute-force top-k returns k ordered neighbors per query") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.orderBy(col("vec_id")).limit(3)
