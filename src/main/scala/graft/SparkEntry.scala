@@ -234,7 +234,10 @@ object SparkEntry {
     "x_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearNeighbors(s, t(s, dir, "embeddings"), nBits = 12, nTables = 16,
         minCosine = 0.35)),
-    "x_lang_id" -> ((s, dir) => {
+    "q_lang_id" -> ((s, dir) => {
+      // confusion matrix of the language classifier; the DuckDB oracle
+      // replicates the classifier exactly (script tiers + ordered stopword
+      // argmax + thresholds), so the whole classifier is oracle-checked
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
         .as[(Long, String, String)]
@@ -360,6 +363,57 @@ object SparkEntry {
         |    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) q
         |    JOIN embeddings c ON c.vec_id <> q.vec_id))
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the full language classifier replayed in SQL: script-mass tiers,
+    // ordered stopword argmax (first max wins, same declared order), and
+    // the 5%-stopword-mass threshold
+    "q_lang_id" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, coalesce(text, '') AS t FROM documents),
+        |script AS (
+        |  SELECT doc_id, lang, t, left(t, 2000) AS head,
+        |    len(regexp_replace(left(t, 2000), '[^\p{L}]', '', 'g')) AS letters,
+        |    len(left(t, 2000)) - len(regexp_replace(left(t, 2000),
+        |      '[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}\x{F900}-\x{FAFF}]', '', 'g')) AS cjk,
+        |    len(left(t, 2000)) - len(regexp_replace(left(t, 2000),
+        |      '[\x{3040}-\x{30FF}\x{FF66}-\x{FF9D}]', '', 'g')) AS kana,
+        |    len(left(t, 2000)) - len(regexp_replace(left(t, 2000),
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr
+        |  FROM base),
+        |tok AS (
+        |  SELECT *, list_slice(list_filter(
+        |      regexp_split_to_array(lower(t), '[^\p{L}]+'), x -> len(x) > 0), 1, 400) AS tk
+        |  FROM script),
+        |hits AS (
+        |  SELECT *, len(tk) AS n,
+        |    len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','for','with','was','are','this','have','from','not','they','their'], x))) AS h_en,
+        |    len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','von','mit','nicht','ein','eine','auf','sich','auch','werden','dem','des'], x))) AS h_de,
+        |    len(list_filter(tk, x -> list_contains(['le','la','les','et','est','des','une','dans','que','pour','qui','sur','avec','pas','sont','aux'], x))) AS h_fr,
+        |    len(list_filter(tk, x -> list_contains(['el','los','las','de','del','y','en','un','una','es','no','por','con','para','se','su','como','más'], x))) AS h_es,
+        |    len(list_filter(tk, x -> list_contains(['il','di','che','la','per','un','una','sono','della','nel','gli','anche','come','più','questo','alla'], x))) AS h_it,
+        |    len(list_filter(tk, x -> list_contains(['de','que','em','um','uma','para','com','não','os','das','dos','mais','como','foi','ser','são'], x))) AS h_pt
+        |  FROM tok),
+        |winner AS (
+        |  SELECT *, CASE
+        |      WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_it AND h_en >= h_pt THEN 'en'
+        |      WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es AND h_de >= h_it AND h_de >= h_pt THEN 'de'
+        |      WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es AND h_fr >= h_it AND h_fr >= h_pt THEN 'fr'
+        |      WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr AND h_es >= h_it AND h_es >= h_pt THEN 'es'
+        |      WHEN h_it > 0 AND h_it > h_en AND h_it > h_de AND h_it > h_fr AND h_it > h_es AND h_it >= h_pt THEN 'it'
+        |      WHEN h_pt > 0 AND h_pt > h_en AND h_pt > h_de AND h_pt > h_fr AND h_pt > h_es AND h_pt > h_it THEN 'pt'
+        |      ELSE 'und' END AS w,
+        |    greatest(h_en, h_de, h_fr, h_es, h_it, h_pt) AS wh
+        |  FROM hits),
+        |pred AS (
+        |  SELECT doc_id, lang, CASE
+        |      WHEN len(t) = 0 THEN 'und'
+        |      WHEN letters > 0 AND kana * 20 >= letters THEN 'ja'
+        |      WHEN letters > 0 AND cjk * 5 >= letters THEN 'zh'
+        |      WHEN letters > 0 AND cyr * 2 >= letters THEN 'ru'
+        |      WHEN n = 0 THEN 'und'
+        |      WHEN w <> 'und' AND wh * 20 >= n THEN w
+        |      ELSE 'und' END AS predicted
+        |  FROM winner)
+        |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
     // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)
     "q_fingerprint" ->

@@ -46,9 +46,13 @@ object TextOps {
 
   // ---- language ID: stopword-hit heuristic (pure Scala, broadcastable) ----
 
-  private val StopWords: Map[String, Set[String]] = Map(
+  /** Declared ORDER defines tie-breaking (first max wins) — part of the
+    * classifier contract so the DuckDB oracle can replicate it exactly.
+    */
+  private val StopWords: Vector[(String, Set[String])] = Vector(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "for", "with", "was",
       "are", "this", "have", "from", "not", "they", "their"),
+    // (order continues de, fr, es, it, pt — keep in sync with oracleSql)
     "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein",
       "eine", "auf", "sich", "auch", "werden", "dem", "des"),
     "fr" -> Set("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour",
