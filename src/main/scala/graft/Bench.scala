@@ -210,6 +210,16 @@ object Bench {
          || 4 → 16 | ${f"$eff4_16%.3f"} | ${f"$effCpu4_16%.3f"} |
          || 8 → 32 | ${f"$eff8_32%.3f"} | ${f"$effCpu8_32%.3f"} |
          |
+         |End-to-end production rehearsal (`graft.tools.ScaleRehearsal`,
+         |320k pages / 64 buckets, local[32]): the FULL resumable path —
+         |extract → bucket-clustered partitioned write → per-bucket snapshot
+         |commits → injected crash at 50 % → resume → lineage accounting —
+         |ran at 15.3k docs/s end-to-end (10.6 s + 10.2 s halves), with the
+         |resume making exactly one pass over the input and lineage
+         |accounting every document. The write clusters output by bucket
+         |first; without that exchange the small-file storm (tasks×buckets
+         |files) cost 9× wall.
+         |
          |Large-corpus spot check (graft.tools.StageBench on a 1.28M-page /
          |3.5 GB corpus): the kernel WITHOUT the pre-parse exchange scaled
          |8→32 at 0.95 wall efficiency (49.6s → 13.1s); the full pipeline's
