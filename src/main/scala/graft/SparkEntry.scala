@@ -211,7 +211,11 @@ object SparkEntry {
     // ---- non-SQL training-data ops (rows-only check; sbt-test gated) ----
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(s, t(s, dir, "documents"), threshold = 0.5)),
-    "x_dedup_simhash" -> ((s, dir) =>
+    // oracle-checked end to end: the pigeonhole blocking is complete for
+    // hamming <= 3, so the output equals ALL pairs at that distance and the
+    // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
+    // exact 32-bit-limb mod-2^64 arithmetic, bit voting, hamming join)
+    "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, t(s, dir, "documents"), maxHamming = 3)),
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -363,6 +367,33 @@ object SparkEntry {
         |    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) q
         |    JOIN embeddings c ON c.vec_id <> q.vec_id))
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // simhash replayed exactly in SQL (see q_dedup_simhash comment)
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT doc_id, list_transform(tk, tok ->
+        |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(string_split(tok, ''), ch -> unicode(ch)::HUGEINT)),
+        |      (h, c) -> ((((CASE WHEN (xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) * 435::HUGEINT) % 18446744073709551616::HUGEINT + ((((((CASE WHEN (xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) % 4294967296::HUGEINT) * 256::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT)) AS hs
+        |  FROM toks),
+        |m1 AS (SELECT doc_id, list_transform(hs, x -> (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS hs FROM h0),
+        |m2 AS (SELECT doc_id, list_transform(hs, z -> ((((CASE WHEN (xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) * 484763065::HUGEINT) % 18446744073709551616::HUGEINT + ((((((CASE WHEN (xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) % 4294967296::HUGEINT) * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT) AS hs FROM m1),
+        |m3 AS (SELECT doc_id, list_transform(hs, z -> ((((CASE WHEN (xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) * 321982955::HUGEINT) % 18446744073709551616::HUGEINT + ((((((CASE WHEN (xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) % 4294967296::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT) AS hs FROM m2),
+        |m4 AS (SELECT doc_id, list_transform(hs, z -> CAST(((((CASE WHEN (xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 2147483648::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 2147483648::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 2147483648::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT)) AS hs FROM m3),
+        |sims AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64), i ->
+        |      CASE WHEN 2 * len(list_filter(hs, h -> ((h >> i) & 1) = 1)) > len(hs)
+        |        THEN (CASE WHEN i = 63 THEN (-9223372036854775807::BIGINT - 1::BIGINT) ELSE (1::BIGINT << i) END) ELSE 0::BIGINT END)), (a, b) -> a + b) AS sim
+        |  FROM m4)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
     // the full language classifier replayed in SQL: script-mass tiers,
     // ordered stopword argmax (first max wins, same declared order), and
     // the 5%-stopword-mass threshold

@@ -58,6 +58,19 @@ object ScaleRehearsal {
     val thr = docs / (tCrash + tResume)
     println(f"REHEARSE end-to-end docs/s=$thr%.0f (extract+write+commit, crash+resume)")
     require(rows == docs && stats.getLong(1) == docs, "lineage must account every doc")
+
+    // streaming leg: drain the same corpus through the Structured Streaming
+    // path (file source → kernel → exactly-once parquet sink)
+    val sOut = Files.createTempDirectory("rehearse_stream_out").toString
+    val sCkpt = Files.createTempDirectory("rehearse_stream_ckpt").toString
+    val t2 = System.nanoTime()
+    val q = graft.spark.StreamingPipeline.run(spark, corpusDir, sOut, sCkpt,
+      availableNow = true)
+    q.awaitTermination(600000)
+    val tStream = (System.nanoTime() - t2) / 1e9
+    val streamed = spark.read.parquet(sOut).count()
+    println(f"REHEARSE streaming wall=$tStream%.1fs docs/s=${docs / tStream}%.0f rows=$streamed")
+    require(streamed == docs, "streaming must account every doc")
     spark.stop()
   }
 }
