@@ -258,6 +258,7 @@ object PageParser {
 
     def startRow(): Unit = {
       if (inCell) endCell()
+      inCaption = false // an unclosed <caption> ends at the first row
       row += 1
       col = 0
     }
@@ -268,6 +269,7 @@ object PageParser {
 
     def startCell(isTh: Boolean, attrs: Map[String, String]): Unit = {
       if (inCell) endCell()
+      inCaption = false // an unclosed <caption> ends at the first cell
       if (row < 0) { row = 0; col = 0 } // td without tr
       inCell = true
       cellIsTh = isTh

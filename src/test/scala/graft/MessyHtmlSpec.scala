@@ -70,4 +70,26 @@ class MessyHtmlSpec extends AnyFunSuite {
     assert(page.regions.size == 1)
     assert(page.regions.head.grid.get(0, 0).value == "real")
   }
+
+  test("captions survive nested markup, entities, and unclosed tags") {
+    val html = "<table><caption>Q3 <b>Sales</b> &amp; Returns" + // unclosed caption
+      "<tr><td>a</td><td>1</td></tr><tr><td>b</td><td>2</td></tr></table>"
+    val page = PageParser.parse(html)
+    assert(page.regions.size == 1)
+    // an unclosed <caption> is implicitly ended by table-row content: the
+    // cell text must land in cells, never in the caption
+    val meta = page.regions.head.meta
+    assert(meta.caption == "Q3 Sales & Returns",
+      s"caption must end at the first row, got '${meta.caption}'")
+    assert(page.regions.head.grid.get(0, 0).value == "a")
+  }
+
+  test("caption in a nested table never pollutes the outer table's metadata") {
+    val html = "<table><caption>outer</caption><tr><td>" +
+      "<table><caption>inner</caption><tr><td>x</td></tr></table>" +
+      "</td><td>2</td></tr><tr><td>y</td><td>3</td></tr></table>"
+    val page = PageParser.parse(html)
+    assert(page.regions.size == 1)
+    assert(page.regions.head.meta.caption == "outer")
+  }
 }
