@@ -97,7 +97,12 @@ object Bench {
     // each N→4N pair is measured back-to-back inside one noise window so
     // the RATIO is comparable; repeated pairs, best ratio kept (the
     // hypervisor showed 5-10x wall variance across windows)
-    val pairRounds = Seq((8, 32), (4, 16), (8, 32), (4, 16), (8, 32), (4, 16))
+    // nine pairs: the hypervisor's steal phases last minutes and can flip
+    // mid-pair (adjacent raw ratios have been observed at 0.09 and 1.85 on
+    // identical code), so the median needs enough samples to absorb several
+    // polluted windows
+    val pairRounds = Seq((8, 32), (4, 16), (8, 32), (4, 16), (8, 32), (4, 16),
+      (8, 32), (4, 16), (8, 32))
     val pairSamples = pairRounds.map { case (n, n4) =>
       val a = timedExtraction(n)
       val b = timedExtraction(n4)
