@@ -240,7 +240,12 @@ object SparkEntry {
     // operator targets, OpsSpec-asserted on planted near-duplicates; the
     // low threshold here only widens the verified output on this synthetic
     // near-orthogonal corpus so the driver's rows check is non-vacuous)
-    "x_ann_lsh" -> ((s, dir) =>
+    // oracle-checked end to end: the DuckDB oracle regenerates the same
+    // splitmix64 hyperplanes (seed 42), replays the 12-bit sign signatures
+    // per table with the identical IEEE double fold order, joins candidates
+    // on (table, bucket), and verifies exact cosine — bit-identical doubles,
+    // not approximations. Generated + validated by tools/gen_lsh_sql.py.
+    "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearNeighbors(s, t(s, dir, "embeddings"), nBits = 12, nTables = 16,
         minCosine = 0.35)),
     "q_lang_id" -> ((s, dir) => {
@@ -450,6 +455,43 @@ object SparkEntry {
         |      ELSE 'und' END AS predicted
         |  FROM winner)
         |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Hyperplane-LSH near-neighbors replayed exactly: splitmix64 draws in
+    // mod-2^64 hugeint, [-1,1) mapping and dot products in IEEE order, sign
+    // signatures, bucket join, cosine verify. The 4096 bucket cap cannot
+    // trigger on a 500-vector corpus, so the salt stage is provably inert
+    // and elided (asserted by tools/gen_lsh_sql.py's checker).
+    "q_ann_lsh" ->
+      """WITH draws AS (
+        |  SELECT i, (i - 1) // 64 AS p, (i - 1) % 64 AS d,
+        |    CAST(h // 2048::HUGEINT AS DOUBLE) * 1.1102230246251565e-16 * 2.0 - 1.0 AS comp
+        |  FROM (SELECT unnest(range(1, 12289)) AS i) r,
+        |       LATERAL (SELECT (((42::HUGEINT + (i - 1)::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1) l1,
+        |       LATERAL (SELECT xor(z1, z1 // 1073741824::HUGEINT) AS x1) l2,
+        |       LATERAL (SELECT ((x1) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((x1) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2) l3,
+        |       LATERAL (SELECT xor(z2, z2 // 134217728::HUGEINT) AS x2) l4,
+        |       LATERAL (SELECT ((x2) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((x2) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z3) l5,
+        |       LATERAL (SELECT xor(z3, z3 // 2147483648::HUGEINT) AS h) l6),
+        |planes AS (
+        |  SELECT p, p // 12 AS tbl, p % 12 AS bit, list(comp ORDER BY d) AS plane
+        |  FROM draws GROUP BY p),
+        |vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sigs AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> plane[ii] * v[ii])), (acc, x) -> acc + x) >= 0 THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
+        |  FROM vecs, planes GROUP BY vec_id, tbl),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id),
+        |verified AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(CASE WHEN sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sa.v[ii] * sa.v[ii])), (acc, x) -> acc + x)) = 0 OR sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sb.v[ii] * sb.v[ii])), (acc, x) -> acc + x)) = 0 THEN 0.0
+        |      ELSE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sa.v[ii] * sb.v[ii])), (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sa.v[ii] * sa.v[ii])), (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sb.v[ii] * sb.v[ii])), (acc, x) -> acc + x))) END, 6) AS cos
+        |  FROM cands c
+        |  JOIN vecs sa ON sa.vec_id = c.id_a
+        |  JOIN vecs sb ON sb.vec_id = c.id_b)
+        |SELECT id_a, id_b, cos FROM verified WHERE cos >= 0.35 ORDER BY 1, 2""".stripMargin,
     // MinHash-LSH replayed in exact mod-2^64 hugeint arithmetic (DuckDB 1.x
     // xor/'//' are native on HUGEINT; the two mix64 multiplies are 32-bit-limb
     // decomposed). Generated and cross-validated against both a pure-python
