@@ -12,6 +12,31 @@ object DelimitedText {
 
   val Delimiters: Seq[Char] = Seq('\t', ',', '|', ';', ' ')
 
+  // precompiled: String.split(regex) compiles a Pattern per call for
+  // multi-char patterns — a per-line cost on the pre-region hot path
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** `line.split(delim.toString, -1)` for a literal char without the
+    * per-call Pattern.compile (keeps trailing empty fields).
+    */
+  private def splitChar(line: String, delimiter: Char): Array[String] = {
+    var parts = 1
+    var i = line.indexOf(delimiter)
+    while (i >= 0) { parts += 1; i = line.indexOf(delimiter, i + 1) }
+    val out = new Array[String](parts)
+    var start = 0
+    var k = 0
+    i = line.indexOf(delimiter)
+    while (i >= 0) {
+      out(k) = line.substring(start, i)
+      k += 1
+      start = i + 1
+      i = line.indexOf(delimiter, start)
+    }
+    out(k) = line.substring(start)
+    out
+  }
+
   /** reference: text_reader.py:242-301 (_score_delimiter_enhanced). */
   def scoreDelimiterEnhanced(lines: Seq[String], delimiter: Char): Double = {
     if (lines.isEmpty) return 0.0
@@ -20,7 +45,7 @@ object DelimitedText {
     lines.foreach { line =>
       if (line.nonEmpty && line.trim.nonEmpty) {
         val count =
-          if (delimiter == ' ') line.split("\\s+").count(_.trim.nonEmpty)
+          if (delimiter == ' ') WsRe.split(line).count(_.trim.nonEmpty)
           else line.count(_ == delimiter) + 1
         if (count > 1) {
           columnCounts += count
@@ -117,7 +142,7 @@ object DelimitedText {
     text.linesIterator.takeWhile(_ => r <= MaxRows).foreach { line =>
       if (line.nonEmpty) { // reference csv path skips empty rows only implicitly
         val parts: Array[String] =
-          if (delimiter == ' ') line.split("\\s+").filter(_.trim.nonEmpty)
+          if (delimiter == ' ') WsRe.split(line).filter(_.trim.nonEmpty)
           else splitQuoted(line, delimiter)
         var c = 0
         while (c < parts.length) {
@@ -141,7 +166,7 @@ object DelimitedText {
     * field, doubled quote escapes).
     */
   def splitQuoted(line: String, delimiter: Char): Array[String] = {
-    if (line.indexOf('"') < 0) return line.split(java.util.regex.Pattern.quote(delimiter.toString), -1)
+    if (line.indexOf('"') < 0) return splitChar(line, delimiter)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inQuotes = false

@@ -1,14 +1,24 @@
 package graft.core.html
 
-import scala.collection.mutable
-
 /** Minimal streaming HTML tokenizer: start/end tags with attributes, text,
-  * comments. Single pass, no DOM allocation beyond the event; the page
-  * parser consumes events and keeps only what it needs. Entity decoding for
-  * the common named entities plus numeric references.
+  * comments. Single pass; the primary API (`TokSink`) is allocation-free on
+  * the hot path — no per-event objects, and text is delivered as [from,
+  * until) spans of the source string so consumers append without copying.
+  * Entity decoding for the common named entities plus numeric references.
   */
 object HtmlTokenizer {
 
+  /** Allocation-free event sink. Text arrives as a span of `src`; `hasAmp`
+    * tells the consumer whether entity decoding is needed (only then must a
+    * string materialize). Tag names are interned for the common tags.
+    */
+  trait TokSink {
+    def onStartTag(name: String, attrs: Map[String, String], selfClosing: Boolean): Unit
+    def onEndTag(name: String): Unit
+    def onText(src: String, from: Int, until: Int, hasAmp: Boolean): Unit
+  }
+
+  // legacy object-event API (property tests / tooling)
   sealed trait Tok
   final case class StartTag(name: String, attrs: Map[String, String], selfClosing: Boolean)
       extends Tok
@@ -17,16 +27,31 @@ object HtmlTokenizer {
 
   private val RawTextTags = Set("script", "style", "noscript", "textarea")
 
-  def tokenize(html: String, out: Tok => Unit): Unit = {
+  def tokenize(html: String, out: Tok => Unit): Unit =
+    tokenize(html, new TokSink {
+      def onStartTag(name: String, attrs: Map[String, String], selfClosing: Boolean): Unit =
+        out(StartTag(name, attrs, selfClosing))
+      def onEndTag(name: String): Unit = out(EndTag(name))
+      def onText(src: String, from: Int, until: Int, hasAmp: Boolean): Unit = {
+        val s = src.substring(from, until)
+        out(Text(if (hasAmp) decodeEntities(s) else s))
+      }
+    })
+
+  def tokenize(html: String, sink: TokSink): Unit = {
     val n = html.length
     var i = 0
-    val text = new StringBuilder
+    // current text run: a contiguous [textStart, i) span of html (text only
+    // ever accumulates consecutive source chars between tag boundaries)
+    var textStart = -1
+    var textAmp = false
 
-    def flushText(): Unit = {
-      if (text.nonEmpty) {
-        out(Text(decodeEntities(text.toString)))
-        text.clear()
+    def flushText(until: Int): Unit = {
+      if (textStart >= 0 && until > textStart) {
+        sink.onText(html, textStart, until, textAmp)
       }
+      textStart = -1
+      textAmp = false
     }
 
     while (i < n) {
@@ -34,7 +59,7 @@ object HtmlTokenizer {
       if (ch == '<' && i + 1 < n) {
         val next = html.charAt(i + 1)
         if (next == '!') {
-          flushText()
+          flushText(i)
           if (html.startsWith("<!--", i)) {
             val end = html.indexOf("-->", i + 4)
             i = if (end < 0) n else end + 3
@@ -43,44 +68,57 @@ object HtmlTokenizer {
             i = if (end < 0) n else end + 1
           }
         } else if (next == '?') {
-          flushText()
+          flushText(i)
           val end = html.indexOf('>', i)
           i = if (end < 0) n else end + 1
         } else if (next == '/' ) {
-          flushText()
+          flushText(i)
           val end = html.indexOf('>', i)
           if (end < 0) { i = n }
           else {
-            val name = html.substring(i + 2, end).trim.toLowerCase
-            out(EndTag(name))
+            // well-formed "</name>" (optionally with trailing ws): intern
+            // without allocating; anything odd falls back to trim+lower
+            var ns = i + 2
+            var ne = ns
+            while (ne < end && (html.charAt(ne).isLetterOrDigit || html.charAt(ne) == '-')) ne += 1
+            var rest = ne
+            while (rest < end && html.charAt(rest).isWhitespace) rest += 1
+            val name =
+              if (ne > ns && rest == end) internTagName(html, ns, ne)
+              else html.substring(i + 2, end).trim.toLowerCase
+            sink.onEndTag(name)
             i = end + 1
           }
         } else if (next.isLetter) {
-          flushText()
-          val (tag, after) = parseTag(html, i)
-          out(tag)
-          i = after
+          flushText(i)
+          var j = i + 1
+          while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '-')) j += 1
+          val name = internTagName(html, i + 1, j)
+          val packed = parseAttrs(html, j, name, sink)
+          val selfClosing = (packed & 1L) == 1L
+          i = (packed >>> 1).toInt
           // raw-text elements: skip to the matching close tag verbatim
-          if (!tag.selfClosing && RawTextTags.contains(tag.name)) {
-            val close = "</" + tag.name
+          if (!selfClosing && RawTextTags.contains(name)) {
+            val close = "</" + name
             val idx = indexOfIgnoreCase(html, close, i)
             if (idx < 0) i = n
             else {
               val end = html.indexOf('>', idx)
-              out(EndTag(tag.name))
+              sink.onEndTag(name)
               i = if (end < 0) n else end + 1
             }
           }
         } else {
-          text.append(ch)
+          if (textStart < 0) textStart = i
           i += 1
         }
       } else {
-        text.append(ch)
+        if (textStart < 0) textStart = i
+        if (ch == '&') textAmp = true
         i += 1
       }
     }
-    flushText()
+    flushText(n)
   }
 
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
@@ -94,17 +132,17 @@ object HtmlTokenizer {
     -1
   }
 
-  /** Parse a start tag beginning at `start` (position of '<'). Returns the
-    * token and the index after '>'.
+  /** Parse the attribute list of a start tag whose name was already scanned
+    * (`from` = index after the name), emit onStartTag, and return
+    * `(indexAfterGt << 1) | selfClosing` — no tuple, no boxing. Attributes
+    * build an immutable map directly (Map1..Map4 for the typical 1-4 attr
+    * tags; no mutable map + toMap copy).
     */
-  private def parseTag(html: String, start: Int): (StartTag, Int) = {
+  private def parseAttrs(html: String, from: Int, name: String, sink: TokSink): Long = {
     val n = html.length
-    var i = start + 1
-    val nameStart = i
-    while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-')) i += 1
-    val name = internTagName(html, nameStart, i)
+    var i = from
     // fast path: attribute-less tag (the overwhelmingly common <td>/<tr>)
-    var attrs: mutable.Map[String, String] = null
+    var attrs: Map[String, String] = EmptyAttrs
     var selfClosing = false
     var done = false
     while (i < n && !done) {
@@ -115,7 +153,6 @@ object HtmlTokenizer {
       } else if (c.isWhitespace) i += 1
       else if (c == '/') i += 1 // stray slash not followed by '>': skip (malformed markup)
       else {
-        if (attrs == null) attrs = mutable.Map.empty[String, String]
         // attribute
         val aStart = i
         while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
@@ -139,10 +176,11 @@ object HtmlTokenizer {
             aVal = html.substring(vStart, i)
           }
         }
-        if (aName.nonEmpty) attrs(aName) = decodeEntities(aVal)
+        if (aName.nonEmpty) attrs = attrs.updated(aName, decodeEntities(aVal))
       }
     }
-    (StartTag(name, if (attrs == null) EmptyAttrs else attrs.toMap, selfClosing), i)
+    sink.onStartTag(name, attrs, selfClosing)
+    (i.toLong << 1) | (if (selfClosing) 1L else 0L)
   }
 
   private val EmptyAttrs: Map[String, String] = Map.empty
@@ -179,7 +217,7 @@ object HtmlTokenizer {
 
   private val Named: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "copy" -> "©", "reg" -> "®", "mdash" -> "—",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®", "mdash" -> "—",
     "ndash" -> "–", "hellip" -> "…", "rsquo" -> "’", "lsquo" -> "‘",
     "rdquo" -> "”", "ldquo" -> "“", "times" -> "×", "middot" -> "·"
   )
@@ -214,4 +252,8 @@ object HtmlTokenizer {
     }
     sb.toString
   }
+
+  /** Decode a span of `src` (used by sinks when hasAmp is set). */
+  def decodeEntities(src: String, from: Int, until: Int): String =
+    decodeEntities(src.substring(from, until))
 }

@@ -3,7 +3,7 @@ package graft.core.html
 import scala.collection.mutable
 import graft.core.detect.GridKind
 import graft.core.grid.{A1, Cell, CellGrid, Span}
-import graft.core.html.HtmlTokenizer.{EndTag, StartTag, Text, Tok}
+import graft.core.html.HtmlTokenizer.TokSink
 
 /** A tabular region found in a page, in document order. */
 /** Author-declared table metadata captured from markup — the web analogue
@@ -60,13 +60,13 @@ object PageParser {
 
   def parse(html: String): ParsedPage = {
     val st = new State
-    HtmlTokenizer.tokenize(html, st.accept)
+    HtmlTokenizer.tokenize(html, st: TokSink)
     st.finish()
   }
 
   def parseBytes(html: Array[Byte]): ParsedPage = parse(Encoding.decode(html))
 
-  private final class State {
+  private final class State extends TokSink {
     val blocks = Vector.newBuilder[String]
     val regions = Vector.newBuilder[GridRegion]
     var bytesStripped: Long = 0L
@@ -77,93 +77,108 @@ object PageParser {
     var preDepth = 0
     var nestedTableDepth = 0
 
-    val blockText = new StringBuilder
+    val blockText = new java.lang.StringBuilder
     var blockLinkChars = 0
-    val preText = new StringBuilder
+    val preText = new java.lang.StringBuilder
 
     var table: TableBuilder = null
 
-    def accept(tok: Tok): Unit = tok match {
-      case StartTag(name, attrs, selfClosing) =>
-        if (Dropped.contains(name)) {
-          if (!selfClosing) dropDepth += 1
-        } else if (dropDepth > 0) {
-          () // inside dropped subtree
-        } else if (table != null) {
-          name match {
-            case "table" => nestedTableDepth += 1
-            case "tr" if nestedTableDepth == 0 => table.startRow()
-            case "td" | "th" if nestedTableDepth == 0 => table.startCell(name == "th", attrs)
-            case "caption" if nestedTableDepth == 0 => table.startCaption()
-            case "b" | "strong" => boldDepth += 1; table.sawBold()
-            case _ => ()
-          }
-        } else name match {
+    def onStartTag(name: String, attrs: Map[String, String], selfClosing: Boolean): Unit = {
+      if (Dropped.contains(name)) {
+        if (!selfClosing) dropDepth += 1
+      } else if (dropDepth > 0) {
+        () // inside dropped subtree
+      } else if (table != null) {
+        name match {
+          case "table" => nestedTableDepth += 1
+          case "tr" if nestedTableDepth == 0 => table.startRow()
+          case "td" | "th" if nestedTableDepth == 0 => table.startCell(name == "th", attrs)
+          case "caption" if nestedTableDepth == 0 => table.startCaption()
+          case "b" | "strong" => boldDepth += 1; table.sawBold()
+          case _ => ()
+        }
+      } else name match {
+        case "table" =>
+          flushBlock()
+          table = new TableBuilder(attrs)
+        case "pre" =>
+          flushBlock()
+          preDepth += 1
+        case "a" =>
+          if (!selfClosing) anchorDepth += 1
+        case "b" | "strong" =>
+          if (!selfClosing) boldDepth += 1
+        case "br" =>
+          if (preDepth > 0) preText.append('\n') else blockText.append('\n')
+        case n if BlockTags.contains(n) =>
+          flushBlock()
+        case _ => ()
+      }
+    }
+
+    def onEndTag(name: String): Unit = {
+      if (Dropped.contains(name)) {
+        if (dropDepth > 0) dropDepth -= 1
+      } else if (dropDepth > 0) {
+        ()
+      } else if (table != null) {
+        name match {
           case "table" =>
-            flushBlock()
-            table = new TableBuilder(attrs)
-          case "pre" =>
-            flushBlock()
-            preDepth += 1
-          case "a" =>
-            if (!selfClosing) anchorDepth += 1
-          case "b" | "strong" =>
-            if (!selfClosing) boldDepth += 1
-          case "br" =>
-            if (preDepth > 0) preText.append('\n') else blockText.append('\n')
-          case n if BlockTags.contains(n) =>
-            flushBlock()
-          case _ => ()
-        }
-
-      case EndTag(name) =>
-        if (Dropped.contains(name)) {
-          if (dropDepth > 0) dropDepth -= 1
-        } else if (dropDepth > 0) {
-          ()
-        } else if (table != null) {
-          name match {
-            case "table" =>
-              if (nestedTableDepth > 0) nestedTableDepth -= 1
-              else {
-                val g = table.build()
-                if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table", table.meta)
-                table = null
-              }
-            case "tr" if nestedTableDepth == 0 => table.endRow()
-            case "td" | "th" if nestedTableDepth == 0 => table.endCell()
-            case "caption" if nestedTableDepth == 0 => table.endCaption()
-            case "b" | "strong" => if (boldDepth > 0) boldDepth -= 1
-            case _ => ()
-          }
-        } else name match {
-          case "pre" =>
-            if (preDepth > 0) {
-              preDepth -= 1
-              if (preDepth == 0) finishPre()
+            if (nestedTableDepth > 0) nestedTableDepth -= 1
+            else {
+              val g = table.build()
+              if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table", table.meta)
+              table = null
             }
-          case "a" => if (anchorDepth > 0) anchorDepth -= 1
+          case "tr" if nestedTableDepth == 0 => table.endRow()
+          case "td" | "th" if nestedTableDepth == 0 => table.endCell()
+          case "caption" if nestedTableDepth == 0 => table.endCaption()
           case "b" | "strong" => if (boldDepth > 0) boldDepth -= 1
-          case n if BlockTags.contains(n) => flushBlock()
           case _ => ()
         }
+      } else name match {
+        case "pre" =>
+          if (preDepth > 0) {
+            preDepth -= 1
+            if (preDepth == 0) finishPre()
+          }
+        case "a" => if (anchorDepth > 0) anchorDepth -= 1
+        case "b" | "strong" => if (boldDepth > 0) boldDepth -= 1
+        case n if BlockTags.contains(n) => flushBlock()
+        case _ => ()
+      }
+    }
 
-      case Text(content) =>
-        if (dropDepth > 0) {
-          bytesStripped += utf8Len(content.trim)
-        } else if (table != null) {
-          table.text(content)
-        } else if (preDepth > 0) {
-          preText.append(content)
-        } else {
+    /** Text span of `src`. Only the rare entity-bearing (hasAmp) or
+      * dropped-subtree runs materialize a String; everything else appends
+      * straight from the source buffer.
+      */
+    def onText(src: String, from: Int, until: Int, hasAmp: Boolean): Unit = {
+      if (dropDepth > 0) {
+        if (hasAmp) bytesStripped += utf8Len(HtmlTokenizer.decodeEntities(src, from, until).trim)
+        else bytesStripped += utf8LenTrimmed(src, from, until)
+      } else if (hasAmp) {
+        // decode once, then route the decoded string
+        val content = HtmlTokenizer.decodeEntities(src, from, until)
+        if (table != null) table.text(content)
+        else if (preDepth > 0) preText.append(content)
+        else {
           blockText.append(content)
-          if (anchorDepth > 0) blockLinkChars += content.count(!_.isWhitespace)
+          if (anchorDepth > 0) blockLinkChars += countNonWs(content, 0, content.length)
         }
+      } else if (table != null) {
+        table.text(src, from, until)
+      } else if (preDepth > 0) {
+        preText.append(src, from, until)
+      } else {
+        blockText.append(src, from, until)
+        if (anchorDepth > 0) blockLinkChars += countNonWs(src, from, until)
+      }
     }
 
     private def finishPre(): Unit = {
       val raw = preText.toString
-      preText.clear()
+      preText.setLength(0)
       DelimitedText.detectFormat(raw) match {
         case Some((delim, _)) =>
           val (g, kind) = DelimitedText.parse(raw, delim)
@@ -175,9 +190,9 @@ object PageParser {
     }
 
     private def flushBlock(): Unit = {
-      if (blockText.nonEmpty) {
+      if (blockText.length > 0) {
         emitTextBlock(blockText.toString, blockLinkChars)
-        blockText.clear()
+        blockText.setLength(0)
         blockLinkChars = 0
       }
     }
@@ -237,6 +252,40 @@ object PageParser {
   private def utf8Len(s: String): Long =
     if (s.isEmpty) 0L else s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
 
+  private def countNonWs(s: CharSequence, from: Int, until: Int): Int = {
+    var n = 0
+    var i = from
+    while (i < until) {
+      if (!Character.isWhitespace(s.charAt(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** UTF-8 byte length of the whitespace-trimmed span — allocation-free
+    * equivalent of `utf8Len(src.substring(from, until).trim)` (the encoder
+    * emits '?' for unpaired surrogates, i.e. 1 byte).
+    */
+  private def utf8LenTrimmed(src: String, from0: Int, until0: Int): Long = {
+    var from = from0
+    var until = until0
+    while (from < until && src.charAt(from) <= ' ') from += 1
+    while (until > from && src.charAt(until - 1) <= ' ') until -= 1
+    var bytes = 0L
+    var i = from
+    while (i < until) {
+      val c = src.charAt(i)
+      if (c < 0x80) bytes += 1
+      else if (c < 0x800) bytes += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < until &&
+        Character.isLowSurrogate(src.charAt(i + 1))) { bytes += 4; i += 1 }
+      else if (Character.isSurrogate(c)) bytes += 1 // unpaired -> '?'
+      else bytes += 3
+      i += 1
+    }
+    bytes
+  }
+
   /** Builds a CellGrid from table markup with rowspan/colspan handling. */
   private final class TableBuilder(tableAttrs: Map[String, String]) {
     private val grid = new CellGrid
@@ -244,12 +293,12 @@ object PageParser {
     private var row = -1
     private var col = 0
     private var inCell = false
-    private val cellText = new StringBuilder
+    private val cellText = new java.lang.StringBuilder
     private var cellBold = false
     private var cellIsTh = false
     private var cellAttrs: Map[String, String] = Map.empty
     private var inCaption = false
-    private val captionText = new StringBuilder
+    private val captionText = new java.lang.StringBuilder
 
     private val tableBorder: Boolean =
       tableAttrs.get("border").exists(b => b.trim.nonEmpty && b.trim != "0")
@@ -275,7 +324,7 @@ object PageParser {
       cellIsTh = isTh
       cellBold = isTh
       cellAttrs = attrs
-      cellText.clear()
+      cellText.setLength(0)
     }
 
     def sawBold(): Unit = if (inCell) cellBold = true
@@ -286,6 +335,10 @@ object PageParser {
     def text(s: String): Unit =
       if (inCell) cellText.append(s)
       else if (inCaption) captionText.append(s)
+
+    def text(src: String, from: Int, until: Int): Unit =
+      if (inCell) cellText.append(src, from, until)
+      else if (inCaption) captionText.append(src, from, until)
 
     /** Declared table metadata (caption/summary/id/class) — see RegionMeta. */
     def meta: RegionMeta = RegionMeta(
@@ -356,15 +409,47 @@ object PageParser {
   object Css {
     def parse(style: String): Map[String, String] = {
       if (style.isEmpty) return Map.empty
-      style.split(';').iterator.flatMap { decl =>
-        val idx = decl.indexOf(':')
-        if (idx <= 0) None
-        else Some(decl.substring(0, idx).trim.toLowerCase -> decl.substring(idx + 1).trim)
-      }.toMap
+      // hand-rolled split on ';' building Map1..MapN directly (the typical
+      // 1-3 declaration style stays in the small immutable maps, no array)
+      var out: Map[String, String] = Map.empty
+      var segStart = 0
+      val n = style.length
+      var i = 0
+      while (i <= n) {
+        if (i == n || style.charAt(i) == ';') {
+          var colon = -1
+          var j = segStart
+          while (colon < 0 && j < i) {
+            if (style.charAt(j) == ':') colon = j
+            j += 1
+          }
+          if (colon > segStart) {
+            var ks = segStart
+            var ke = colon
+            while (ks < ke && style.charAt(ks).isWhitespace) ks += 1
+            while (ke > ks && style.charAt(ke - 1).isWhitespace) ke -= 1
+            var vs = colon + 1
+            var ve = i
+            while (vs < ve && style.charAt(vs).isWhitespace) vs += 1
+            while (ve > vs && style.charAt(ve - 1).isWhitespace) ve -= 1
+            if (ke > ks)
+              out = out.updated(style.substring(ks, ke).toLowerCase, style.substring(vs, ve))
+          }
+          segStart = i + 1
+        }
+        i += 1
+      }
+      out
     }
 
-    /** border level per side: (top, bottom, left, right); null = absent. */
+    private val NoBorders = new Array[String](4)
+
+    /** border level per side: (top, bottom, left, right); null = absent.
+      * The common no-border cell returns a shared all-null array (read-only
+      * consumers) instead of allocating per cell.
+      */
     def borders(style: Map[String, String], tableBorder: Boolean): Array[String] = {
+      if (!tableBorder && style.isEmpty) return NoBorders
       val out = new Array[String](4)
       if (tableBorder) { out(0) = "thin"; out(1) = "thin"; out(2) = "thin"; out(3) = "thin" }
       style.get("border").foreach { v =>
@@ -392,9 +477,35 @@ object PageParser {
       }
     }
 
+    /** First `<digits>[.<digits>]px` value in the string (case-insensitive),
+      * scanning instead of regex — equivalent to the leftmost match of
+      * `([0-9]+(\.[0-9]+)?)px`: at each start position the maximal digit
+      * run (+ maximal optional fraction) is the only candidate, because any
+      * shorter prefix is followed by a digit or '.', never 'p'.
+      */
     def pxValue(v: String): Option[Double] = {
-      val m = "([0-9]+(?:\\.[0-9]+)?)px".r.findFirstMatchIn(v.toLowerCase)
-      m.map(_.group(1).toDouble)
+      val n = v.length
+      var i = 0
+      while (i < n) {
+        val c = v.charAt(i)
+        if (c >= '0' && c <= '9') {
+          val start = i
+          while (i < n && v.charAt(i) >= '0' && v.charAt(i) <= '9') i += 1
+          var end = i
+          if (i + 1 < n && v.charAt(i) == '.' && v.charAt(i + 1) >= '0' && v.charAt(i + 1) <= '9') {
+            i += 1
+            while (i < n && v.charAt(i) >= '0' && v.charAt(i) <= '9') i += 1
+            end = i
+          }
+          if (end + 1 < n &&
+              (v.charAt(end) == 'p' || v.charAt(end) == 'P') &&
+              (v.charAt(end + 1) == 'x' || v.charAt(end + 1) == 'X')) {
+            return Some(java.lang.Double.parseDouble(v.substring(start, end)))
+          }
+          i = start + 1 // retry at the next position (regex leftmost semantics)
+        } else i += 1
+      }
+      None
     }
   }
 }

@@ -12,15 +12,20 @@ object ParseProf {
       PageGen.makePage(i, "The quick brown fox jumps over the lazy dog. " * 8, "en").html
     }.toArray
 
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
     def time(label: String)(f: => Unit): Unit = {
-      // warm twice, measure thrice, report min
+      // warm twice, measure thrice, report min time + alloc/doc
       f; f
+      val tid = Thread.currentThread().getId
+      val a0 = tmx.getThreadAllocatedBytes(tid)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         f
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"PPROF $label%-28s ${times.min}%6.3f s (${pages.length / times.min}%.0f docs/s)")
+      val perDoc = (tmx.getThreadAllocatedBytes(tid) - a0) / 3 / pages.length
+      println(f"PPROF $label%-28s ${times.min}%6.3f s (${pages.length / times.min}%.0f docs/s) alloc/doc=$perDoc%d B")
     }
 
     time("decode-only") {
@@ -30,9 +35,14 @@ object ParseProf {
     val decoded = pages.map(graft.core.html.Encoding.decode)
     time("tokenize-only") {
       var i = 0
-      while (i < decoded.length) {
+      val sink = new graft.core.html.HtmlTokenizer.TokSink {
         var n = 0
-        graft.core.html.HtmlTokenizer.tokenize(decoded(i), _ => n += 1)
+        def onStartTag(name: String, attrs: Map[String, String], sc: Boolean): Unit = n += 1
+        def onEndTag(name: String): Unit = n += 1
+        def onText(src: String, from: Int, until: Int, hasAmp: Boolean): Unit = n += 1
+      }
+      while (i < decoded.length) {
+        graft.core.html.HtmlTokenizer.tokenize(decoded(i), sink)
         i += 1
       }
     }
@@ -43,6 +53,20 @@ object ParseProf {
     time("full extract") {
       var i = 0
       while (i < pages.length) { graft.core.extract.Extractor.extractHtml(pages(i)); i += 1 }
+    }
+
+    // per-variant parse allocation (variant = docId % 10; see PageGen)
+    val tid = Thread.currentThread().getId
+    val names = Array("simple", "dense", "islands", "islands", "islands", "box",
+      "pre-tab", "pre-comma", "plate96", "prose")
+    (0 until 10).foreach { v =>
+      val docs = (0 until 20000 by 10).map(b => decoded(b + v)).toArray
+      docs.foreach(graft.core.html.PageParser.parse) // warm
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      var cells = 0L
+      docs.foreach { d => graft.core.html.PageParser.parse(d).regions.foreach(r => cells += r.grid.size) }
+      val per = (tmx.getThreadAllocatedBytes(tid) - a0) / docs.length
+      println(f"PPROF variant=$v (${names(v)}%-9s) parse alloc/doc=$per%6d B cells/doc=${cells / docs.length}%d")
     }
   }
 }

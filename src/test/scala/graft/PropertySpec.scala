@@ -32,6 +32,17 @@ class PropertySpec extends AnyFunSuite {
     g
   }
 
+  test("Css.pxValue scanner == the reference regex (leftmost match)") {
+    val pxRegex = "([0-9]+(?:\\.[0-9]+)?)px".r
+    def oracle(v: String): Option[Double] =
+      pxRegex.findFirstMatchIn(v.toLowerCase).map(_.group(1).toDouble)
+    val styleGen = Gen.listOf(Gen.oneOf("1", "2.5", "px", "PX", ".", "0", "12", "3.",
+      " ", "solid", "p", "x", "black", "11px", "1.2.3px")).map(_.mkString)
+    check(Prop.forAll(styleGen) { v =>
+      PageParser.Css.pxValue(v) == oracle(v)
+    })
+  }
+
   test("islands partition the non-empty cells (no cell lost, no overlap)") {
     check(Prop.forAll(Gen.listOfN(60, cellGen)) { coords =>
       val g = gridOf(coords.distinct)
