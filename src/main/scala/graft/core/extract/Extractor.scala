@@ -151,19 +151,40 @@ object Extractor {
     */
   def looksLikeHtml(s: String): Boolean = {
     val n = math.min(s.length, 4096)
-    val head = s.substring(0, n)
-    val low = head.toLowerCase
-    if (low.contains("<!doctype") || low.contains("<html") || low.contains("<body") ||
-        low.contains("<table") || low.contains("<div") || low.contains("<p>")) return true
+    // allocation-free equivalent of substring(0,n).toLowerCase.contains(m):
+    // the markers are ASCII-lowercase, so an ASCII case fold per char is
+    // exact (no non-ASCII char full-lowercases into a contiguous marker)
+    if (containsAsciiFold(s, n, "<!doctype") || containsAsciiFold(s, n, "<html") ||
+        containsAsciiFold(s, n, "<body") || containsAsciiFold(s, n, "<table") ||
+        containsAsciiFold(s, n, "<div") || containsAsciiFold(s, n, "<p>")) return true
     // generic: several tag-like openings
     var tags = 0
     var i = 0
     while (i < n - 1 && tags < 3) {
-      if (head.charAt(i) == '<' && (head.charAt(i + 1).isLetter || head.charAt(i + 1) == '/'))
+      if (s.charAt(i) == '<' && (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '/'))
         tags += 1
       i += 1
     }
     tags >= 3
+  }
+
+  private def containsAsciiFold(s: String, n: Int, marker: String): Boolean = {
+    val ml = marker.length
+    var i = 0
+    val max = n - ml
+    while (i <= max) {
+      var j = 0
+      var ok = true
+      while (ok && j < ml) {
+        var c = s.charAt(i + j)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        if (c != marker.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
   }
 
   /** Plain-text payload → page: delimited content becomes a grid region
