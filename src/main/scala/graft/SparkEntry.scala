@@ -228,9 +228,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, queries, k = 5)
     }),
     // IVF top-k scale path (centroid sample → map-side assignment →
-    // broadcast probe join; corpus never shuffles). Not SQL-expressible
-    // (driver-side k-means); recall gated in OpsSpec on planted neighbors.
-    "x_ann_ivf" -> ((s, dir) => {
+    // broadcast probe join; corpus never shuffles). Oracle-checked end to
+    // end: the DuckDB oracle replays even the driver-side Lloyd k-means —
+    // 8 unrolled iterations with IEEE-identical fold orders — so centroids,
+    // assignments, probes and cosines are all bit-exact (tools/gen_ivf_sql.py).
+    "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.orderBy(col("vec_id")).limit(8)
       Similarity.ivfTopK(s, emb, queries, k = 5, nList = 16, nProbe = 8)
@@ -455,6 +457,276 @@ object SparkEntry {
         |      ELSE 'und' END AS predicted
         |  FROM winner)
         |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // IVF top-k with the whole Lloyd k-means replayed in SQL: normalized
+    // training sample, spread init at floor(c*N/16), 8 unrolled
+    // assignment/re-center iterations (strict-argmax first-max-wins,
+    // per-cell means folded in point order, renormalized, empty cells
+    // keep their centroid), then corpus assignment, query probes and exact
+    // cosine top-k. IEEE op order matches the Scala loops everywhere, so
+    // every double is bit-identical. Generated + cross-validated against a
+    // pure-python replay and the Spark output by tools/gen_ivf_sql.py.
+    "q_ann_ivf" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sample AS (
+        |  SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 4096),
+        |pts AS (
+        |  SELECT rn, CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS pv
+        |  FROM (
+        |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v,
+        |      sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), fi -> v[fi] * v[fi])), (fa, fx) -> fa + fx)) AS nrm
+        |    FROM sample)),
+        |nmax AS (SELECT count(*) AS n FROM pts),
+        |cents0 AS (
+        |  SELECT list(p.pv ORDER BY r.c) AS cl
+        |  FROM range(0, 16) r(c), nmax
+        |  JOIN pts p ON p.rn = (r.c * nmax.n) // 16 + 1),
+        |asg1 AS (
+        |  SELECT rn, pv, (list_reduce(list_prepend({'i': 0, 'd': '-infinity'::DOUBLE},
+        |      list_transform(range(1, 17), gi -> {'i': gi, 'd':
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(range(1, 65), fi -> pv[fi] * cl[gi][fi])),
+        |          (fa, fx) -> fa + fx)})),
+        |      (acc, e) -> CASE WHEN e.d > acc.d THEN e ELSE acc END)).i AS cell
+        |  FROM pts CROSS JOIN cents0),
+        |grp1 AS (
+        |  SELECT cell, count(*) AS cnt, list(pv ORDER BY rn) AS plist
+        |  FROM asg1 GROUP BY cell),
+        |cm1 AS (
+        |  SELECT cell, CASE WHEN nrm > 0 THEN list_transform(m, mx -> mx / nrm) ELSE m END AS nv
+        |  FROM (
+        |    SELECT cell, m, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65), si -> m[si] * m[si])),
+        |      (sa, sx) -> sa + sx)) AS nrm
+        |    FROM (
+        |      SELECT cell, list_transform(range(1, 65), di ->
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(plist, pp -> pp[di])), (ua, ux) -> ua + ux) / cnt) AS m
+        |      FROM grp1))),
+        |cents1 AS (
+        |  SELECT list(coalesce(n.nv, prev.cl[r.nc]) ORDER BY r.nc) AS cl
+        |  FROM range(1, 17) r(nc)
+        |  CROSS JOIN cents0 prev
+        |  LEFT JOIN cm1 n ON n.cell = r.nc),
+        |asg2 AS (
+        |  SELECT rn, pv, (list_reduce(list_prepend({'i': 0, 'd': '-infinity'::DOUBLE},
+        |      list_transform(range(1, 17), gi -> {'i': gi, 'd':
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(range(1, 65), fi -> pv[fi] * cl[gi][fi])),
+        |          (fa, fx) -> fa + fx)})),
+        |      (acc, e) -> CASE WHEN e.d > acc.d THEN e ELSE acc END)).i AS cell
+        |  FROM pts CROSS JOIN cents1),
+        |grp2 AS (
+        |  SELECT cell, count(*) AS cnt, list(pv ORDER BY rn) AS plist
+        |  FROM asg2 GROUP BY cell),
+        |cm2 AS (
+        |  SELECT cell, CASE WHEN nrm > 0 THEN list_transform(m, mx -> mx / nrm) ELSE m END AS nv
+        |  FROM (
+        |    SELECT cell, m, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65), si -> m[si] * m[si])),
+        |      (sa, sx) -> sa + sx)) AS nrm
+        |    FROM (
+        |      SELECT cell, list_transform(range(1, 65), di ->
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(plist, pp -> pp[di])), (ua, ux) -> ua + ux) / cnt) AS m
+        |      FROM grp2))),
+        |cents2 AS (
+        |  SELECT list(coalesce(n.nv, prev.cl[r.nc]) ORDER BY r.nc) AS cl
+        |  FROM range(1, 17) r(nc)
+        |  CROSS JOIN cents1 prev
+        |  LEFT JOIN cm2 n ON n.cell = r.nc),
+        |asg3 AS (
+        |  SELECT rn, pv, (list_reduce(list_prepend({'i': 0, 'd': '-infinity'::DOUBLE},
+        |      list_transform(range(1, 17), gi -> {'i': gi, 'd':
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(range(1, 65), fi -> pv[fi] * cl[gi][fi])),
+        |          (fa, fx) -> fa + fx)})),
+        |      (acc, e) -> CASE WHEN e.d > acc.d THEN e ELSE acc END)).i AS cell
+        |  FROM pts CROSS JOIN cents2),
+        |grp3 AS (
+        |  SELECT cell, count(*) AS cnt, list(pv ORDER BY rn) AS plist
+        |  FROM asg3 GROUP BY cell),
+        |cm3 AS (
+        |  SELECT cell, CASE WHEN nrm > 0 THEN list_transform(m, mx -> mx / nrm) ELSE m END AS nv
+        |  FROM (
+        |    SELECT cell, m, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65), si -> m[si] * m[si])),
+        |      (sa, sx) -> sa + sx)) AS nrm
+        |    FROM (
+        |      SELECT cell, list_transform(range(1, 65), di ->
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(plist, pp -> pp[di])), (ua, ux) -> ua + ux) / cnt) AS m
+        |      FROM grp3))),
+        |cents3 AS (
+        |  SELECT list(coalesce(n.nv, prev.cl[r.nc]) ORDER BY r.nc) AS cl
+        |  FROM range(1, 17) r(nc)
+        |  CROSS JOIN cents2 prev
+        |  LEFT JOIN cm3 n ON n.cell = r.nc),
+        |asg4 AS (
+        |  SELECT rn, pv, (list_reduce(list_prepend({'i': 0, 'd': '-infinity'::DOUBLE},
+        |      list_transform(range(1, 17), gi -> {'i': gi, 'd':
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(range(1, 65), fi -> pv[fi] * cl[gi][fi])),
+        |          (fa, fx) -> fa + fx)})),
+        |      (acc, e) -> CASE WHEN e.d > acc.d THEN e ELSE acc END)).i AS cell
+        |  FROM pts CROSS JOIN cents3),
+        |grp4 AS (
+        |  SELECT cell, count(*) AS cnt, list(pv ORDER BY rn) AS plist
+        |  FROM asg4 GROUP BY cell),
+        |cm4 AS (
+        |  SELECT cell, CASE WHEN nrm > 0 THEN list_transform(m, mx -> mx / nrm) ELSE m END AS nv
+        |  FROM (
+        |    SELECT cell, m, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65), si -> m[si] * m[si])),
+        |      (sa, sx) -> sa + sx)) AS nrm
+        |    FROM (
+        |      SELECT cell, list_transform(range(1, 65), di ->
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(plist, pp -> pp[di])), (ua, ux) -> ua + ux) / cnt) AS m
+        |      FROM grp4))),
+        |cents4 AS (
+        |  SELECT list(coalesce(n.nv, prev.cl[r.nc]) ORDER BY r.nc) AS cl
+        |  FROM range(1, 17) r(nc)
+        |  CROSS JOIN cents3 prev
+        |  LEFT JOIN cm4 n ON n.cell = r.nc),
+        |asg5 AS (
+        |  SELECT rn, pv, (list_reduce(list_prepend({'i': 0, 'd': '-infinity'::DOUBLE},
+        |      list_transform(range(1, 17), gi -> {'i': gi, 'd':
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(range(1, 65), fi -> pv[fi] * cl[gi][fi])),
+        |          (fa, fx) -> fa + fx)})),
+        |      (acc, e) -> CASE WHEN e.d > acc.d THEN e ELSE acc END)).i AS cell
+        |  FROM pts CROSS JOIN cents4),
+        |grp5 AS (
+        |  SELECT cell, count(*) AS cnt, list(pv ORDER BY rn) AS plist
+        |  FROM asg5 GROUP BY cell),
+        |cm5 AS (
+        |  SELECT cell, CASE WHEN nrm > 0 THEN list_transform(m, mx -> mx / nrm) ELSE m END AS nv
+        |  FROM (
+        |    SELECT cell, m, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65), si -> m[si] * m[si])),
+        |      (sa, sx) -> sa + sx)) AS nrm
+        |    FROM (
+        |      SELECT cell, list_transform(range(1, 65), di ->
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(plist, pp -> pp[di])), (ua, ux) -> ua + ux) / cnt) AS m
+        |      FROM grp5))),
+        |cents5 AS (
+        |  SELECT list(coalesce(n.nv, prev.cl[r.nc]) ORDER BY r.nc) AS cl
+        |  FROM range(1, 17) r(nc)
+        |  CROSS JOIN cents4 prev
+        |  LEFT JOIN cm5 n ON n.cell = r.nc),
+        |asg6 AS (
+        |  SELECT rn, pv, (list_reduce(list_prepend({'i': 0, 'd': '-infinity'::DOUBLE},
+        |      list_transform(range(1, 17), gi -> {'i': gi, 'd':
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(range(1, 65), fi -> pv[fi] * cl[gi][fi])),
+        |          (fa, fx) -> fa + fx)})),
+        |      (acc, e) -> CASE WHEN e.d > acc.d THEN e ELSE acc END)).i AS cell
+        |  FROM pts CROSS JOIN cents5),
+        |grp6 AS (
+        |  SELECT cell, count(*) AS cnt, list(pv ORDER BY rn) AS plist
+        |  FROM asg6 GROUP BY cell),
+        |cm6 AS (
+        |  SELECT cell, CASE WHEN nrm > 0 THEN list_transform(m, mx -> mx / nrm) ELSE m END AS nv
+        |  FROM (
+        |    SELECT cell, m, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65), si -> m[si] * m[si])),
+        |      (sa, sx) -> sa + sx)) AS nrm
+        |    FROM (
+        |      SELECT cell, list_transform(range(1, 65), di ->
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(plist, pp -> pp[di])), (ua, ux) -> ua + ux) / cnt) AS m
+        |      FROM grp6))),
+        |cents6 AS (
+        |  SELECT list(coalesce(n.nv, prev.cl[r.nc]) ORDER BY r.nc) AS cl
+        |  FROM range(1, 17) r(nc)
+        |  CROSS JOIN cents5 prev
+        |  LEFT JOIN cm6 n ON n.cell = r.nc),
+        |asg7 AS (
+        |  SELECT rn, pv, (list_reduce(list_prepend({'i': 0, 'd': '-infinity'::DOUBLE},
+        |      list_transform(range(1, 17), gi -> {'i': gi, 'd':
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(range(1, 65), fi -> pv[fi] * cl[gi][fi])),
+        |          (fa, fx) -> fa + fx)})),
+        |      (acc, e) -> CASE WHEN e.d > acc.d THEN e ELSE acc END)).i AS cell
+        |  FROM pts CROSS JOIN cents6),
+        |grp7 AS (
+        |  SELECT cell, count(*) AS cnt, list(pv ORDER BY rn) AS plist
+        |  FROM asg7 GROUP BY cell),
+        |cm7 AS (
+        |  SELECT cell, CASE WHEN nrm > 0 THEN list_transform(m, mx -> mx / nrm) ELSE m END AS nv
+        |  FROM (
+        |    SELECT cell, m, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65), si -> m[si] * m[si])),
+        |      (sa, sx) -> sa + sx)) AS nrm
+        |    FROM (
+        |      SELECT cell, list_transform(range(1, 65), di ->
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(plist, pp -> pp[di])), (ua, ux) -> ua + ux) / cnt) AS m
+        |      FROM grp7))),
+        |cents7 AS (
+        |  SELECT list(coalesce(n.nv, prev.cl[r.nc]) ORDER BY r.nc) AS cl
+        |  FROM range(1, 17) r(nc)
+        |  CROSS JOIN cents6 prev
+        |  LEFT JOIN cm7 n ON n.cell = r.nc),
+        |asg8 AS (
+        |  SELECT rn, pv, (list_reduce(list_prepend({'i': 0, 'd': '-infinity'::DOUBLE},
+        |      list_transform(range(1, 17), gi -> {'i': gi, 'd':
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(range(1, 65), fi -> pv[fi] * cl[gi][fi])),
+        |          (fa, fx) -> fa + fx)})),
+        |      (acc, e) -> CASE WHEN e.d > acc.d THEN e ELSE acc END)).i AS cell
+        |  FROM pts CROSS JOIN cents7),
+        |grp8 AS (
+        |  SELECT cell, count(*) AS cnt, list(pv ORDER BY rn) AS plist
+        |  FROM asg8 GROUP BY cell),
+        |cm8 AS (
+        |  SELECT cell, CASE WHEN nrm > 0 THEN list_transform(m, mx -> mx / nrm) ELSE m END AS nv
+        |  FROM (
+        |    SELECT cell, m, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65), si -> m[si] * m[si])),
+        |      (sa, sx) -> sa + sx)) AS nrm
+        |    FROM (
+        |      SELECT cell, list_transform(range(1, 65), di ->
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(plist, pp -> pp[di])), (ua, ux) -> ua + ux) / cnt) AS m
+        |      FROM grp8))),
+        |cents8 AS (
+        |  SELECT list(coalesce(n.nv, prev.cl[r.nc]) ORDER BY r.nc) AS cl
+        |  FROM range(1, 17) r(nc)
+        |  CROSS JOIN cents7 prev
+        |  LEFT JOIN cm8 n ON n.cell = r.nc),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, v AS cvec, (list_reduce(list_prepend({'i': 0, 'd': '-infinity'::DOUBLE},
+        |      list_transform(range(1, 17), gi -> {'i': gi, 'd':
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(range(1, 65), fi -> v[fi] * cl[gi][fi])),
+        |          (fa, fx) -> fa + fx)})),
+        |      (acc, e) -> CASE WHEN e.d > acc.d THEN e ELSE acc END)).i AS cell
+        |  FROM vecs CROSS JOIN cents8),
+        |probes AS (
+        |  SELECT query_id, qvec, cell FROM (
+        |    SELECT query_id, qvec, unnest(range(1, 17)) AS cell, dots
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, q.qv AS qvec, list_transform(range(1, 17), dci -> list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), pfi -> qv[pfi] * cl[dci][pfi])), (fa, fx) -> fa + fx)) AS dots
+        |      FROM (SELECT vec_id, v AS qv FROM vecs ORDER BY vec_id LIMIT 8) q
+        |      CROSS JOIN cents8)) e
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dots[cell] DESC, cell) <= 8),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    round(CASE WHEN sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), fi -> p.qvec[fi] * p.qvec[fi])), (fa, fx) -> fa + fx)) = 0
+        |             OR sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), fi -> a.cvec[fi] * a.cvec[fi])), (fa, fx) -> fa + fx)) = 0 THEN 0.0
+        |      ELSE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), fi -> p.qvec[fi] * a.cvec[fi])), (fa, fx) -> fa + fx) /
+        |        (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), fi -> p.qvec[fi] * p.qvec[fi])), (fa, fx) -> fa + fx)) * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), fi -> a.cvec[fi] * a.cvec[fi])), (fa, fx) -> fa + fx)))
+        |      END, 6) AS cos
+        |  FROM assigned a JOIN probes p ON a.cell = p.cell
+        |  WHERE a.neighbor_id <> p.query_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // Hyperplane-LSH near-neighbors replayed exactly: splitmix64 draws in
     // mod-2^64 hugeint, [-1,1) mapping and dot products in IEEE order, sign
     // signatures, bucket join, cosine verify. The 4096 bucket cap cannot
