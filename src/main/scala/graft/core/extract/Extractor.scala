@@ -79,7 +79,12 @@ object Extractor {
   }
 
   def canonicalText(page: ParsedPage, tables: Vector[DetectedTable]): String = {
-    val sb = new StringBuilder
+    // presize: blocks dominate; tables add a marker line + cell values.
+    // Avoids the builder's growth-doubling copies on the serialize hot path.
+    var est = 64
+    page.textBlocks.foreach(b => est += b.length + 1)
+    tables.foreach(dt => est += 64 + page.regions(dt.regionIdx).grid.size * 8)
+    val sb = new StringBuilder(est)
     page.textBlocks.foreach { b =>
       if (sb.nonEmpty) sb.append('\n')
       sb.append(b)
