@@ -689,58 +689,68 @@ final class IslandDetector(
     val isLikelyHeader = boldRatio >= FmtConst.HeaderBoldThreshold ||
       (bgColors.size == 1 && rowCells.size > 1)
 
-    val factors = mutable.ArrayBuffer.empty[Double]
-    if (boldCount == 0 || boldCount == rowCells.size) factors += 1.0
-    else factors += math.max(boldCount, rowCells.size - boldCount).toDouble / rowCells.size
-    factors += (if (bgColors.size <= 1) 1.0 else 0.5)
-    factors += (if (fontColors.size <= 1) 1.0 else 0.5)
-    val consistency = factors.sum / factors.size
+    val f1 =
+      if (boldCount == 0 || boldCount == rowCells.size) 1.0
+      else math.max(boldCount, rowCells.size - boldCount).toDouble / rowCells.size
+    val f2 = if (bgColors.size <= 1) 1.0 else 0.5
+    val f3 = if (fontColors.size <= 1) 1.0 else 0.5
+    val consistency = (f1 + f2 + f3) / 3.0
 
     RowFmt(hasData = true, boldRatio, bgColors, fontColors, isLikelyHeader, consistency,
-      borderSignatureOf(rowCells.toSeq), rowCells.size)
+      borderSignatureOf(rowCells), rowCells.size)
   }
 
-  /** reference: island_detector.py:1858-1938. */
-  private def borderSignatureOf(rowCells: Seq[Cell]): String = {
+  // bucket order matches Python dict insertion order for ties:
+  // all, none, horizontal, vertical, mixed, outer
+  private val SigBuckets = Array(FmtConst.AllBorders, FmtConst.NoBorders,
+    FmtConst.HorizontalOnly, FmtConst.VerticalOnly, FmtConst.MixedBorders,
+    FmtConst.OuterOnly)
+
+  /** reference: island_detector.py:1858-1938. Allocation-free per call:
+    * bucket counts live in a 6-slot array indexed in the Python dict
+    * insertion order (all/none/horizontal/vertical/mixed/outer).
+    */
+  private def borderSignatureOf(rowCells: scala.collection.Seq[Cell]): String = {
     if (rowCells.isEmpty) return FmtConst.NoBorders
-    val counts = mutable.HashMap(
-      "all" -> 0, "none" -> 0, "horizontal" -> 0, "vertical" -> 0, "mixed" -> 0, "outer" -> 0)
+    val counts = new Array[Int](6)
     var isFirst = true
-    rowCells.zipWithIndex.foreach { case (cell, i) =>
-      val isLast = i == rowCells.size - 1
+    val last = rowCells.size - 1
+    var i = 0
+    while (i <= last) {
+      val cell = rowCells(i)
+      val isLast = i == last
       val hasTop = cell.hasBorder(cell.borderTop)
       val hasBottom = cell.hasBorder(cell.borderBottom)
       val hasLeft = cell.hasBorder(cell.borderLeft)
       val hasRight = cell.hasBorder(cell.borderRight)
-      val n = Seq(hasTop, hasBottom, hasLeft, hasRight).count(identity)
+      val n = (if (hasTop) 1 else 0) + (if (hasBottom) 1 else 0) +
+        (if (hasLeft) 1 else 0) + (if (hasRight) 1 else 0)
       val bucket =
-        if (n == 0) "none"
-        else if (n == 4) "all"
-        else if (isFirst && hasLeft && (hasTop || hasBottom)) "outer"
-        else if (isLast && hasRight && (hasTop || hasBottom)) "outer"
+        if (n == 0) 1 // none
+        else if (n == 4) 0 // all
+        else if (isFirst && hasLeft && (hasTop || hasBottom)) 5 // outer
+        else if (isLast && hasRight && (hasTop || hasBottom)) 5 // outer
         else if (hasTop || hasBottom) {
-          if (!hasLeft && !hasRight) "horizontal" else "mixed"
+          if (!hasLeft && !hasRight) 2 else 4 // horizontal | mixed
         } else if (hasLeft || hasRight) {
-          if (!hasTop && !hasBottom) "vertical" else "mixed"
-        } else "mixed"
+          if (!hasTop && !hasBottom) 3 else 4 // vertical | mixed
+        } else 4 // mixed
       counts(bucket) += 1
       isFirst = false
+      i += 1
     }
-    val maxCount = counts.values.max
+    var maxCount = 0
+    i = 0
+    while (i < 6) { if (counts(i) > maxCount) maxCount = counts(i); i += 1 }
     if (maxCount == 0) return FmtConst.NoBorders
-    // match Python dict insertion order for ties
-    val order = Seq("all", "none", "horizontal", "vertical", "mixed", "outer")
-    val mapping = Map("all" -> FmtConst.AllBorders, "none" -> FmtConst.NoBorders,
-      "horizontal" -> FmtConst.HorizontalOnly, "vertical" -> FmtConst.VerticalOnly,
-      "mixed" -> FmtConst.MixedBorders, "outer" -> FmtConst.OuterOnly)
-    order.find(k => counts(k) == maxCount).map(mapping).getOrElse(FmtConst.MixedBorders)
+    i = 0
+    while (i < 6 && counts(i) != maxCount) i += 1
+    SigBuckets(i)
   }
 
-  /** reference: island_detector.py:1940-1985. */
-  def borderSimilarity(s1: String, s2: String): Double = {
-    if (s1 == s2) return 1.0
+  private val SimilarityMap: Map[(String, String), Double] = {
     import FmtConst._
-    val m: Map[(String, String), Double] = Map(
+    Map(
       (HorizontalOnly, AllBorders) -> 0.7,
       (VerticalOnly, AllBorders) -> 0.7,
       (HorizontalOnly, MixedBorders) -> 0.6,
@@ -757,7 +767,12 @@ final class IslandDetector(
       (HorizontalOnly, OuterOnly) -> 0.6,
       (VerticalOnly, OuterOnly) -> 0.6
     )
-    m.getOrElse((s1, s2), m.getOrElse((s2, s1), 0.3))
+  }
+
+  /** reference: island_detector.py:1940-1985. */
+  def borderSimilarity(s1: String, s2: String): Double = {
+    if (s1 == s2) return 1.0
+    SimilarityMap.getOrElse((s1, s2), SimilarityMap.getOrElse((s2, s1), 0.3))
   }
 
   /** reference: island_detector.py:1178-1241. */
@@ -792,7 +807,8 @@ final class IslandDetector(
 
   /** reference: island_detector.py:1696-1799. */
   private def detectFormattingBoundaries(g: CellGrid, rowStart: Int, rowEnd: Int): Vector[Int] = {
-    val analysis = (rowStart to rowEnd).map(r => r -> analyzeRowFormatting(g, r)).toMap
+    val analysisArr = Array.tabulate(rowEnd - rowStart + 1)(i => analyzeRowFormatting(g, rowStart + i))
+    @inline def analysis(r: Int): RowFmt = analysisArr(r - rowStart)
     val boundaries = Vector.newBuilder[Int]
     var prevRow = -1
     var currentTableStart = -1

@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.core.detect.{Cascade, DetectConfig, IslandDetector}
+import graft.spark.PageGen
+
+/** One-off allocation probe for the island-detect hot path. */
+object AllocProbe {
+  def main(args: Array[String]): Unit = {
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val docs = (0 until 20000 by 10).map { b =>
+      PageGen.makePage(b + 2L, "The quick brown fox jumps over the lazy dog. " * 8, "en").html
+    }.toArray
+    val parsed = docs.map(d => graft.core.html.PageParser.parseBytes(d))
+    val grids = parsed.flatMap(_.regions).map(_.grid)
+    println(s"grids=${grids.length}")
+
+    def measure(label: String)(f: => Unit): Unit = {
+      f // warm
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      f
+      println(f"ALLOC $label%-28s ${(tmx.getThreadAllocatedBytes(tid) - a0) / grids.length}%8d B/grid")
+    }
+
+    val cfg = DetectConfig()
+    measure("cascade full") { grids.foreach(g => Cascade.detect(g, graft.core.detect.GridKind.Formatted, cfg)) }
+    val det = new IslandDetector()
+    measure("detectIslands only") { grids.foreach(det.detectIslands) }
+    val detNoFmt = new IslandDetector(useFormattingBoundaries = false)
+    measure("no formatting splits") { grids.foreach(detNoFmt.detectIslands) }
+    val detNoGap = new IslandDetector(useFormattingBoundaries = false, emptyRowTolerance = 0)
+    measure("no fmt, no reconnect") { grids.foreach(detNoGap.detectIslands) }
+  }
+}

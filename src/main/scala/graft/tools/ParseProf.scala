@@ -55,18 +55,24 @@ object ParseProf {
       while (i < pages.length) { graft.core.extract.Extractor.extractHtml(pages(i)); i += 1 }
     }
 
-    // per-variant parse allocation (variant = docId % 10; see PageGen)
+    // per-variant parse + detect allocation (variant = docId % 10; PageGen)
     val tid = Thread.currentThread().getId
     val names = Array("simple", "dense", "islands", "islands", "islands", "box",
       "pre-tab", "pre-comma", "plate96", "prose")
+    val cfg = graft.core.detect.DetectConfig()
     (0 until 10).foreach { v =>
       val docs = (0 until 20000 by 10).map(b => decoded(b + v)).toArray
-      docs.foreach(graft.core.html.PageParser.parse) // warm
+      val parsed = docs.map(graft.core.html.PageParser.parse) // also warms
+      parsed.foreach(_.regions.foreach(r => graft.core.detect.Cascade.detect(r.grid, r.kind, cfg)))
       val a0 = tmx.getThreadAllocatedBytes(tid)
       var cells = 0L
       docs.foreach { d => graft.core.html.PageParser.parse(d).regions.foreach(r => cells += r.grid.size) }
-      val per = (tmx.getThreadAllocatedBytes(tid) - a0) / docs.length
-      println(f"PPROF variant=$v (${names(v)}%-9s) parse alloc/doc=$per%6d B cells/doc=${cells / docs.length}%d")
+      val aParse = tmx.getThreadAllocatedBytes(tid)
+      parsed.foreach(_.regions.foreach(r => graft.core.detect.Cascade.detect(r.grid, r.kind, cfg)))
+      val aDetect = tmx.getThreadAllocatedBytes(tid)
+      val perP = (aParse - a0) / docs.length
+      val perD = (aDetect - aParse) / docs.length
+      println(f"PPROF variant=$v (${names(v)}%-9s) parse alloc/doc=$perP%6d B detect alloc/doc=$perD%6d B cells/doc=${cells / docs.length}%d")
     }
   }
 }
