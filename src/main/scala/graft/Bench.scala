@@ -240,10 +240,10 @@ object Bench {
          |(single-process Python). This kernel measures ~1M cells/s on ONE
          |thread over a corpus mix that routes ~60 % of pages through the
          |island path (reproduce: `sbt "runMain graft.tools.KernelBench"` —
-         |phase split ≈ parse 43 % / detect 40 % / serialize 17 %, with
-         |per-phase allocation printed; the round-2 allocation work cut
-         |159→106 KB allocated per doc), i.e. it matches-or-beats the
-         |reference per core before any parallelism.
+         |phase split ≈ parse 49 % / detect 32 % / serialize 19 %, with
+         |per-phase and per-variant allocation printed; the round-2
+         |allocation work cut 159→88 KB allocated per doc), i.e. it
+         |matches-or-beats the reference per core before any parallelism.
          |
          |Reading: the wall-based number on this box conflates engine scaling
          |with hypervisor CPU steal — identical pure-ALU per-thread work was
