@@ -219,19 +219,22 @@ object Bench {
          |320k pages / 64 buckets, local[32]): the FULL resumable path —
          |extract → bucket-clustered partitioned write → per-bucket snapshot
          |commits → injected crash at 50 % → resume → lineage accounting —
-         |ran at 15.3k docs/s end-to-end (10.6 s + 10.2 s halves), with the
+         |ran at 28.6k docs/s end-to-end (8.4 s + 2.8 s halves), with the
          |resume making exactly one pass over the input and lineage
-         |accounting every document. The write clusters output by bucket
-         |first; without that exchange the small-file storm (tasks×buckets
-         |files) cost 9× wall.
+         |accounting every document; the streaming surface matched at
+         |28.6k docs/s. The write clusters output by bucket first; without
+         |that exchange the small-file storm (tasks×buckets files) cost
+         |9× wall.
          |
          |Large-corpus spot check (graft.tools.StageBench on a 1.28M-page /
-         |3.5 GB corpus): the kernel WITHOUT the pre-parse exchange scaled
-         |8→32 at 0.95 wall efficiency (49.6s → 13.1s); the full pipeline's
-         |gap to that is the payload shuffle, which exists to satisfy the
-         |explicit salting/size-binning requirement. At production scale the
-         |input table is written hash-clustered (Snapshots bucket layout), so
-         |the skew exchange is a no-op there and splits bound bytes/task via
+         |3.5 GB corpus): after the round-2 allocation work the FULL pipeline
+         |runs in the same wall as the kernel alone at both levels (warm:
+         |18.6 vs 18.9 s at p=8, 6.9 vs 7.1 s at p=32 — the salted pre-parse
+         |exchange no longer costs measurable wall, closing round 1's shuffle
+         |gap), with the kernel itself 2.6× faster than round 1's measurement
+         |(49.6 s → 18.9 s at p=8). At production scale the input table is
+         |written hash-clustered (Snapshots bucket layout), so the skew
+         |exchange is a no-op there and splits bound bytes/task via
          |maxPartitionBytes; the salted exchange remains the guard for
          |unclustered or pathologically skewed inputs.
          |
