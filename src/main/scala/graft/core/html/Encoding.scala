@@ -137,6 +137,15 @@ object Encoding {
   }
 
   def decode(bytes: Array[Byte]): String = {
+    // fast path: the dominant web page — no BOM, no NULs in the first 1 KB,
+    // strictly valid UTF-8 — decodes ONCE. detect() would classify it
+    // "utf-8" (validation tier) and decode() would re-decode the same
+    // bytes; keeping the strict decoder's output is byte-identical since a
+    // strict success has no malformed sequences for REPLACE to differ on.
+    if (!startsWithBom(bytes) && !headHasNul(bytes)) {
+      val fast = strictDecodeOrNull(bytes, StandardCharsets.UTF_8)
+      if (fast != null) return fast
+    }
     val res = detect(bytes)
     res.encoding match {
       case "utf-8-sig" =>
@@ -162,6 +171,28 @@ object Encoding {
         val jvm = FallbackChain.collectFirst { case (l, j) if l == other => j }.getOrElse(other)
         new String(bytes, charsetOrElse(jvm, StandardCharsets.ISO_8859_1))
     }
+  }
+
+  private def startsWithBom(b: Array[Byte]): Boolean =
+    (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte) ||
+    (b.length >= 2 && ((b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) ||
+      (b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)))
+
+  private def headHasNul(b: Array[Byte]): Boolean = {
+    val n = math.min(b.length, 1024)
+    var i = 0
+    while (i < n) { if (b(i) == 0) return true; i += 1 }
+    false
+  }
+
+  /** Strict decode that KEEPS the result (null on malformed input). */
+  private def strictDecodeOrNull(bytes: Array[Byte], cs: Charset): String = {
+    try {
+      cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+        .decode(ByteBuffer.wrap(bytes)).toString
+    } catch { case _: CharacterCodingException => null }
   }
 
   def strictDecodes(bytes: Array[Byte], cs: Charset): Boolean = {
