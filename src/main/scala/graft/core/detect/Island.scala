@@ -670,8 +670,9 @@ final class IslandDetector(
   )
 
   /** reference: island_detector.py:1622-1694. */
-  private def analyzeRowFormatting(g: CellGrid, row: Int): RowFmt = {
-    val rowCells = mutable.ArrayBuffer.empty[Cell]
+  private def analyzeRowFormatting(g: CellGrid, row: Int,
+      rowCells: mutable.ArrayBuffer[Cell] = mutable.ArrayBuffer.empty[Cell]): RowFmt = {
+    rowCells.clear()
     var c = 0
     while (c <= g.maxCol) {
       val cell = g.get(row, c)
@@ -776,8 +777,10 @@ final class IslandDetector(
   }
 
   /** reference: island_detector.py:1178-1241. */
-  private def hasTableEndBorderPattern(prevRow: Int, currentRow: Int, g: CellGrid): Boolean = {
-    val prevCells = mutable.ArrayBuffer.empty[Cell]
+  private def hasTableEndBorderPattern(prevRow: Int, currentRow: Int, g: CellGrid,
+      prevCells: mutable.ArrayBuffer[Cell], currentCells: mutable.ArrayBuffer[Cell]): Boolean = {
+    prevCells.clear()
+    currentCells.clear()
     var colStart = -1
     var colEnd = -1
     var c = 0
@@ -793,7 +796,6 @@ final class IslandDetector(
     if (prevCells.isEmpty || colStart < 0) return false
     val bottomCount = prevCells.count(cl => cl.hasBorder(cl.borderBottom))
     if (bottomCount < prevCells.size * 0.7) return false
-    val currentCells = mutable.ArrayBuffer.empty[Cell]
     c = colStart
     while (c <= colEnd) {
       val cell = g.get(currentRow, c)
@@ -807,7 +809,9 @@ final class IslandDetector(
 
   /** reference: island_detector.py:1696-1799. */
   private def detectFormattingBoundaries(g: CellGrid, rowStart: Int, rowEnd: Int): Vector[Int] = {
-    val analysisArr = Array.tabulate(rowEnd - rowStart + 1)(i => analyzeRowFormatting(g, rowStart + i))
+    val scratch = mutable.ArrayBuffer.empty[Cell] // reused across rows
+    val scratch2 = mutable.ArrayBuffer.empty[Cell]
+    val analysisArr = Array.tabulate(rowEnd - rowStart + 1)(i => analyzeRowFormatting(g, rowStart + i, scratch))
     @inline def analysis(r: Int): RowFmt = analysisArr(r - rowStart)
     val boundaries = Vector.newBuilder[Int]
     var prevRow = -1
@@ -822,7 +826,7 @@ final class IslandDetector(
           if (!prev.isLikelyHeader && current.isLikelyHeader) isNewTableStart = true
           if (borderSimilarity(current.borderSignature, prev.borderSignature) <
               FmtConst.BorderConsistencyThreshold) isNewTableStart = true
-          if (hasTableEndBorderPattern(prevRow, row, g)) isNewTableStart = true
+          if (hasTableEndBorderPattern(prevRow, row, g, scratch, scratch2)) isNewTableStart = true
           var changeScore = 0.0
           if (math.abs(current.boldRatio - prev.boldRatio) > 0.5) changeScore += 0.3
           if (math.abs(current.consistency - prev.consistency) > 0.4) changeScore += 0.2
