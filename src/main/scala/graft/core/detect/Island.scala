@@ -578,19 +578,29 @@ final class IslandDetector(
     islands.result().sortBy(i => (i.minRow, i.minCol))
   }
 
-  /** reference: island_detector.py:1400-1427. */
-  private def analyzeRowPatterns(g: CellGrid): Vector[(Int, (Int, Int, Set[Int]))] = {
-    val rows = mutable.TreeMap.empty[Int, mutable.ArrayBuffer[Int]]
-    g.cellsSorted.foreach { cell =>
-      rows.getOrElseUpdate(cell.row, mutable.ArrayBuffer.empty) += cell.col
+  /** reference: island_detector.py:1400-1427. cellsSorted is (row, col)
+    * ascending, so each row's columns arrive contiguously and sorted — the
+    * pattern carries them as a sorted primitive array (no boxed sets).
+    */
+  private def analyzeRowPatterns(g: CellGrid): Vector[(Int, (Int, Int, Array[Int]))] = {
+    val cs = g.cellsSorted
+    val out = Vector.newBuilder[(Int, (Int, Int, Array[Int]))]
+    var i = 0
+    while (i < cs.length) {
+      val r = cs(i).row
+      var j = i
+      while (j < cs.length && cs(j).row == r) j += 1
+      val cols = new Array[Int](j - i)
+      var k = i
+      while (k < j) { cols(k - i) = cs(k).col; k += 1 }
+      out += ((r, (cols(0), cols(cols.length - 1), cols)))
+      i = j
     }
-    rows.iterator.map { case (r, cols) =>
-      (r, (cols.min, cols.max, cols.toSet))
-    }.toVector
+    out.result()
   }
 
   /** reference: island_detector.py:1429-1498. */
-  private def groupRowsByPattern(patterns: Vector[(Int, (Int, Int, Set[Int]))])
+  private def groupRowsByPattern(patterns: Vector[(Int, (Int, Int, Array[Int]))])
       : Vector[Vector[Int]] = {
     if (patterns.isEmpty) return Vector.empty
     val groups = Vector.newBuilder[Vector[Int]]
@@ -627,9 +637,10 @@ final class IslandDetector(
   }
 
   /** 0.5·range-overlap + 0.5·colset-Jaccard
-    * (reference: island_detector.py:1500-1535).
+    * (reference: island_detector.py:1500-1535). Column sets are sorted
+    * distinct arrays; the merge walk computes the identical Jaccard.
     */
-  def columnSimilarity(p1: (Int, Int, Set[Int]), p2: (Int, Int, Set[Int])): Double = {
+  def columnSimilarity(p1: (Int, Int, Array[Int]), p2: (Int, Int, Array[Int])): Double = {
     val (min1, max1, cols1) = p1
     val (min2, max2, cols2) = p2
     val rangeOverlap = math.min(max1, max2) - math.max(min1, min2) + 1
@@ -640,8 +651,15 @@ final class IslandDetector(
       if (cols1.isEmpty && cols2.isEmpty) 1.0
       else if (cols1.isEmpty || cols2.isEmpty) 0.0
       else {
-        val inter = cols1.intersect(cols2).size
-        val union = cols1.union(cols2).size
+        var i = 0
+        var j = 0
+        var inter = 0
+        while (i < cols1.length && j < cols2.length) {
+          if (cols1(i) == cols2(j)) { inter += 1; i += 1; j += 1 }
+          else if (cols1(i) < cols2(j)) i += 1
+          else j += 1
+        }
+        val union = cols1.length + cols2.length - inter
         if (union > 0) inter.toDouble / union else 0.0
       }
     0.5 * rangeSim + 0.5 * colsSim
