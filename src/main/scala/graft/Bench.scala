@@ -240,13 +240,14 @@ object Bench {
          |
          |Single-node vs reference (BASELINE.md): the reference publishes
          |1M+ cells/s on its simple path and 100K+ cells/s on the island path
-         |(single-process Python). This kernel measures ~1M cells/s on ONE
+         |(single-process Python). This kernel measures ~1.1M cells/s on ONE
          |thread over a corpus mix that routes ~60 % of pages through the
          |island path (reproduce: `sbt "runMain graft.tools.KernelBench"` —
-         |phase split ≈ parse 49 % / detect 32 % / serialize 19 %, with
+         |phase split ≈ parse 50 % / detect 30 % / serialize 20 %, with
          |per-phase and per-variant allocation printed; the round-2
-         |allocation work cut 159→88 KB allocated per doc), i.e. it
-         |matches-or-beats the reference per core before any parallelism.
+         |allocation work cut 159→85 KB allocated per doc), i.e. it beats
+         |the reference's SIMPLE-path rate per core on island-heavy input
+         |before any parallelism.
          |
          |Reading: the wall-based number on this box conflates engine scaling
          |with hypervisor CPU steal — identical pure-ALU per-thread work was
