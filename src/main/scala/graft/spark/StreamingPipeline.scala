@@ -102,6 +102,30 @@ object StreamingPipeline {
         col("docs"), col("tables"), col("parse_failures"), col("bytes_stripped"))
   }
 
+  /** Streaming exact dedup — the streaming analogue of `Dedup.exact`: the
+    * first arrival per canonical-text SHA-256 survives. State is kept only
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`), so it
+    * stays bounded on an unbounded crawl — a plain streaming
+    * dropDuplicates would accumulate every hash seen forever. Exact-dup
+    * pages almost always recur within a crawl window (mirrors, retries),
+    * which is the horizon this bounds; cross-epoch dedup belongs to the
+    * batch `Dedup.exact` pass over the accumulated snapshot.
+    */
+  def dedupStream(pages: Dataset[Page], config: DetectConfig = DetectConfig(),
+      watermark: String = "2 hours"): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map { p =>
+        val e = Pipeline.extractOne(p, config, pid)
+        (p.url, p.warc_ts, e.text_sha256, e.parse_failed)
+      }
+    }.toDF("url", "warc_ts", "text_sha256", "parse_failed")
+      .filter(!col("parse_failed"))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_sha256")
+  }
+
   /** Gap-based crawl sessionization per host via flatMapGroupsWithState
     * with an event-time timeout: a session closes (and is emitted, append
     * mode) when the watermark passes its end + gap. The custom-state

@@ -86,6 +86,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def mkContentPage(host: String, minute: Int, content: String, n: Int = 0): Page =
+    Page(s"https://$host/p$minute-$n", new Timestamp(T0 + minute * 60000L),
+      (s"<html><body><p>the $content paragraph carries enough words to be kept" +
+        s" as a real text block in extraction</p></body></html>").getBytes("UTF-8"),
+      "", "en")
+
+  test("streaming exact dedup keeps one arrival per text hash (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val q = StreamingPipeline.dedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      // alpha twice in the first batch + beta once
+      mem.addData(mkContentPage("a.example", 0, "alpha"),
+        mkContentPage("b.example", 1, "alpha", 1), mkContentPage("c.example", 2, "beta"))
+      q.processAllAvailable()
+      // another alpha inside the watermark horizon is dropped; gamma passes
+      mem.addData(mkContentPage("d.example", 3, "alpha", 2),
+        mkContentPage("e.example", 4, "gamma"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT url, text_sha256 FROM dedup_out").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(rows.length == 3, s"one survivor per distinct text, got ${rows.toVector}")
+      assert(rows.map(_._2).distinct.length == 3, "three distinct hashes")
+      val urls = rows.map(_._1).toSet
+      assert(urls.contains("https://c.example/p2-0") && urls.contains("https://e.example/p4-0"))
+      assert(urls.exists(u => u.startsWith("https://a.example") || u.startsWith("https://b.example")))
+      assert(!urls.contains("https://d.example/p3-0"), "in-watermark duplicate must be dropped")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions by gap and timeout") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
