@@ -19,7 +19,7 @@ object DelimitedText {
   /** `line.split(delim.toString, -1)` for a literal char without the
     * per-call Pattern.compile (keeps trailing empty fields).
     */
-  private def splitChar(line: String, delimiter: Char): Array[String] = {
+  private[graft] def splitChar(line: String, delimiter: Char): Array[String] = {
     var parts = 1
     var i = line.indexOf(delimiter)
     while (i >= 0) { parts += 1; i = line.indexOf(delimiter, i + 1) }

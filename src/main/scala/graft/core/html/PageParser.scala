@@ -266,7 +266,7 @@ object PageParser {
     * equivalent of `utf8Len(src.substring(from, until).trim)` (the encoder
     * emits '?' for unpaired surrogates, i.e. 1 byte).
     */
-  private def utf8LenTrimmed(src: String, from0: Int, until0: Int): Long = {
+  private[graft] def utf8LenTrimmed(src: String, from0: Int, until0: Int): Long = {
     var from = from0
     var until = until0
     while (from < until && src.charAt(from) <= ' ') from += 1

@@ -32,6 +32,72 @@ class PropertySpec extends AnyFunSuite {
     g
   }
 
+  test("fast-path decode == strict UTF-8 decode contract") {
+    // the Encoding.decode fast path must agree with a plain UTF-8 decode
+    // whenever its guard holds (no BOM, no NUL in the first 1 KB, strictly
+    // valid UTF-8) — and must never throw on arbitrary bytes
+    val bytesGen2 = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray),
+      Gen.alphaNumStr.map(_.getBytes("UTF-8")),
+      Gen.listOf(Gen.oneOf("é", "中", "a", " ", "\n")).map(_.mkString.getBytes("UTF-8")))
+    check(Prop.forAll(bytesGen2) { bs =>
+      val d = graft.core.html.Encoding.decode(bs)
+      val noBom = !(bs.length >= 3 && (bs(0) & 0xFF) == 0xEF && (bs(1) & 0xFF) == 0xBB &&
+        (bs(2) & 0xFF) == 0xBF) &&
+        !(bs.length >= 2 && (((bs(0) & 0xFF) == 0xFF && (bs(1) & 0xFF) == 0xFE) ||
+          ((bs(0) & 0xFF) == 0xFE && (bs(1) & 0xFF) == 0xFF)))
+      val noNul = !bs.take(1024).contains(0.toByte)
+      if (noBom && noNul && graft.core.html.Encoding.strictDecodes(bs,
+          java.nio.charset.StandardCharsets.UTF_8))
+        d == new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+      else d != null
+    })
+  }
+
+  test("DelimitedText.splitChar == String.split(quoted delimiter, -1)") {
+    val lineGen = Gen.listOf(Gen.oneOf("a", "bb", ",", ",,", "|", " ", "")).map(_.mkString)
+    val delimGen = Gen.oneOf(',', '|', ';', '\t')
+    check(Prop.forAll(lineGen, delimGen) { (line, d) =>
+      graft.core.html.DelimitedText.splitChar(line, d).toSeq ==
+        line.split(java.util.regex.Pattern.quote(d.toString), -1).toSeq
+    })
+  }
+
+  test("PageParser.utf8LenTrimmed == trimmed getBytes length") {
+    val sGen = Gen.listOf(Gen.oneOf("a", " ", "\t", "é", "中", "𝄞", "\n", "x")).map(_.mkString)
+    check(Prop.forAll(sGen, Gen.chooseNum(0, 5), Gen.chooseNum(0, 5)) { (s, dropL, dropR) =>
+      val from = math.min(dropL, s.length)
+      val until = math.max(from, s.length - dropR)
+      graft.core.html.PageParser.utf8LenTrimmed(s, from, until) ==
+        s.substring(from, until).trim.getBytes("UTF-8").length.toLong
+    })
+  }
+
+  test("TokSink span path reproduces the legacy Tok event stream") {
+    val htmlGen = Gen.listOf(Gen.oneOf("<table>", "<tr>", "<td>", "</td>", "text", "&amp;",
+      "<", ">", "a &lt; b", "<p class='x'>", "</p>", "<!--c-->", "plain & raw")).map(_.mkString)
+    check(Prop.forAll(htmlGen) { h =>
+      val legacy = Vector.newBuilder[String]
+      graft.core.html.HtmlTokenizer.tokenize(h, {
+        case graft.core.html.HtmlTokenizer.StartTag(n, a, sc) =>
+          legacy += s"S:$n:${a.toSeq.sorted}:$sc"
+        case graft.core.html.HtmlTokenizer.EndTag(n) => legacy += s"E:$n"
+        case graft.core.html.HtmlTokenizer.Text(c) => legacy += s"T:$c"
+      }: graft.core.html.HtmlTokenizer.Tok => Unit)
+      val sinked = Vector.newBuilder[String]
+      graft.core.html.HtmlTokenizer.tokenize(h, new graft.core.html.HtmlTokenizer.TokSink {
+        def onStartTag(n: String, a: Map[String, String], sc: Boolean): Unit =
+          sinked += s"S:$n:${a.toSeq.sorted}:$sc"
+        def onEndTag(n: String): Unit = sinked += s"E:$n"
+        def onText(src: String, from: Int, until: Int, hasAmp: Boolean): Unit = {
+          val t = src.substring(from, until)
+          sinked += s"T:${if (hasAmp) graft.core.html.HtmlTokenizer.decodeEntities(t) else t}"
+        }
+      })
+      legacy.result() == sinked.result()
+    })
+  }
+
   test("Css.pxValue scanner == the reference regex (leftmost match)") {
     val pxRegex = "([0-9]+(?:\\.[0-9]+)?)px".r
     def oracle(v: String): Option[Double] =
