@@ -161,6 +161,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     var bestStart = 0
     var bestEnd = 0
     val titleRows = mutable.ArrayBuffer.empty[Int]
+    val typeScoreCache = new java.util.HashMap[Int, java.lang.Double]()
 
     val maxTestRows = math.min(10, matrix.size - 2)
     var startRow = 0
@@ -173,12 +174,18 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
         while (headerRows < bound) {
           val dataStart = startRow + headerRows
           val dataEnd = math.min(matrix.size, dataStart + 100)
-          val sample = matrix.slice(dataStart, dataEnd)
-          if (sample.nonEmpty) {
-            val (typeScore, _) = typeConsistency(sample)
-            val headerScore = headerQualityMulti(matrix.slice(startRow, startRow + headerRows))
+          if (dataEnd > dataStart) {
+            // the type score depends only on dataStart (dataEnd derives from
+            // it), and candidate windows overlap heavily — memoize instead
+            // of re-slicing + re-scanning ~100 rows per candidate
+            var ts = typeScoreCache.get(dataStart)
+            if (ts == null) {
+              ts = java.lang.Double.valueOf(typeConsistencyScore(matrix, dataStart, dataEnd))
+              typeScoreCache.put(dataStart, ts)
+            }
+            val headerScore = headerQualityMultiRange(matrix, startRow, startRow + headerRows)
             val coverageScore = coverage(matrix(startRow))
-            val total = typeScore * 0.5 + headerScore * 0.3 + coverageScore * 0.2
+            val total = ts.doubleValue() * 0.5 + headerScore * 0.3 + coverageScore * 0.2
             if (total > bestScore) {
               bestScore = total
               bestStart = startRow
@@ -210,6 +217,45 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   def coverage(row: Vector[Cell]): Double = {
     if (row.isEmpty) return 0.0
     row.count(c => c != null && c.value != null && c.value.trim.nonEmpty).toDouble / row.size
+  }
+
+  /** Score half of `typeConsistency` over matrix rows [from, until) without
+    * materializing the slice — identical counters and tie order.
+    */
+  private def typeConsistencyScore(matrix: Vector[Vector[Cell]], from: Int, until: Int): Double = {
+    if (from >= until || matrix(from).isEmpty) return 0.0
+    var scoreSum = 0.0
+    var scoreN = 0
+    val nCols = matrix(from).size
+    var colIdx = 0
+    while (colIdx < nCols) {
+      var nNum = 0; var nText = 0; var nDate = 0; var nBool = 0
+      var r = from
+      while (r < until) {
+        val row = matrix(r)
+        if (colIdx < row.size) {
+          TypeInfer.extractorType(row(colIdx)) match {
+            case "numeric" => nNum += 1
+            case "text" => nText += 1
+            case "date" => nDate += 1
+            case "boolean" => nBool += 1
+            case _ => ()
+          }
+        }
+        r += 1
+      }
+      val totalNonEmpty = nNum + nText + nDate + nBool
+      if (totalNonEmpty > 0) {
+        var domN = nNum
+        if (nText > domN) domN = nText
+        if (nDate > domN) domN = nDate
+        if (nBool > domN) domN = nBool
+        scoreSum += domN.toDouble / totalNonEmpty
+        scoreN += 1
+      }
+      colIdx += 1
+    }
+    if (scoreN > 0) scoreSum / scoreN else 0.0
   }
 
   /** reference: dataframe_extractor.py:749-784 (dominant-type tie broken in
@@ -248,6 +294,51 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       colIdx += 1
     }
     (if (scores.nonEmpty) scores.sum / scores.size else 0.0, columnTypes.toMap)
+  }
+
+  @inline private def nonBlank(v: String): Boolean = {
+    if (v == null) return false
+    var i = 0
+    while (i < v.length) {
+      if (!Character.isWhitespace(v.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** `headerQualityMulti` over matrix rows [from, until) without slicing —
+    * same score list (rows with no filled cells contribute nothing; the
+    * last row appends its distinct-value ratio) and the same left-to-right
+    * summation order.
+    */
+  private def headerQualityMultiRange(matrix: Vector[Vector[Cell]], from: Int, until: Int)
+      : Double = {
+    if (from >= until) return 0.0
+    var sum = 0.0
+    var n = 0
+    var r = from
+    while (r < until) {
+      val row = matrix(r)
+      var textCount = 0
+      var filled = 0
+      row.foreach { c =>
+        if (c != null && nonBlank(c.value)) {
+          filled += 1
+          if (TypeInfer.extractorType(c) == "text") textCount += 1
+        }
+      }
+      if (filled > 0) { sum += textCount.toDouble / filled; n += 1 }
+      r += 1
+    }
+    val last = matrix(until - 1)
+    val filledValues = last.flatMap { c =>
+      if (c != null && nonBlank(c.value)) Some(c.value) else None
+    }
+    if (filledValues.nonEmpty) {
+      sum += filledValues.distinct.size.toDouble / filledValues.size
+      n += 1
+    }
+    if (n > 0) sum / n else 0.0
   }
 
   /** reference: dataframe_extractor.py:821-853. */
@@ -331,16 +422,31 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     var bestScore = 0.0
     var bestHeaders = Vector.empty[String]
     var bestCols = 0
-    var headerCols = 1
-    while (headerCols <= maxHeaderCols) {
-      // reference bug kept: headers always from column 0 regardless of
-      // header_cols (dataframe_extractor.py:283-286)
-      val headers = matrix.zipWithIndex.map { case (row, i) =>
+    // reference bug kept: headers always from column 0 regardless of
+    // header_cols (dataframe_extractor.py:283-286) — identical every
+    // iteration, so hoisted, along with the header-only score terms
+    val headers =
+      if (maxHeaderCols < 1) Vector.empty[String]
+      else matrix.zipWithIndex.map { case (row, i) =>
         val c = row.headOption.orNull
         if (c != null && c.value != null) c.value else s"Col_$i"
       }
-      val dataCols = matrix.map(_.drop(headerCols))
-      val score = scoreHeaders(headers, dataCols)
+    val headerBase =
+      if (headers.isEmpty) 0.0
+      else {
+        val d = headers.distinct.size.toDouble / headers.size * 0.3
+        val textHeaders = headers.count { h =>
+          h != null && h.nonEmpty && !isAllDigits(h.replace(".", "").replace("-", ""))
+        }
+        d + textHeaders.toDouble / headers.size * 0.3
+      }
+    var headerCols = 1
+    while (headerCols <= maxHeaderCols) {
+      // scoreHeaders(headers, matrix.map(_.drop(headerCols))) without the
+      // per-candidate matrix copy: same terms, column scan from headerCols
+      val score =
+        if (headers.isEmpty || matrix.isEmpty) 0.0
+        else headerBase + columnTypeConsistencyFrom(matrix, headerCols) * 0.4
       if (score > bestScore) {
         bestScore = score
         bestHeaders = headers
@@ -389,6 +495,36 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
         }
       }
       if (any && types.size == 1) consistent += 1
+    }
+    consistent.toDouble / numCols
+  }
+
+  /** `columnTypeConsistency(matrix.map(_.drop(fromCol)))` without the copy:
+    * the matrix is rectangular over its span, so dropping columns maps to
+    * scanning original indices [fromCol, width).
+    */
+  private def columnTypeConsistencyFrom(matrix: Vector[Vector[Cell]], fromCol: Int): Double = {
+    if (matrix.isEmpty || matrix.head.size <= fromCol) return 0.0
+    val numCols = matrix.head.size - fromCol
+    var consistent = 0
+    var colIdx = fromCol
+    while (colIdx < matrix.head.size) {
+      var sawNumeric = false
+      var sawText = false
+      var any = false
+      matrix.foreach { row =>
+        if (colIdx < row.size && row(colIdx) != null) {
+          val c = row(colIdx)
+          any = true
+          c.dataType match {
+            case "number" | "boolean" => sawNumeric = true
+            case _ =>
+              if (plainFloatParses(c.value)) sawNumeric = true else sawText = true
+          }
+        }
+      }
+      if (any && (sawNumeric ^ sawText)) consistent += 1
+      colIdx += 1
     }
     consistent.toDouble / numCols
   }

@@ -31,5 +31,48 @@ object AllocProbe {
     measure("no formatting splits") { grids.foreach(detNoFmt.detectIslands) }
     val detNoGap = new IslandDetector(useFormattingBoundaries = false, emptyRowTolerance = 0)
     measure("no fmt, no reconnect") { grids.foreach(detNoGap.detectIslands) }
+
+    // extract-tables path: detection + TableExtractor per span
+    val cfgX = DetectConfig(extractTables = true)
+    val docsAll = (0 until 20000 by 2).map { b =>
+      PageGen.makePage(b.toLong, "The quick brown fox jumps over the lazy dog. " * 8, "en").html
+    }.toArray
+    def measureDocs(label: String)(f: => Unit): Unit = {
+      f
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      f
+      println(f"ALLOC $label%-28s ${(tmx.getThreadAllocatedBytes(tid) - a0) / docsAll.length}%8d B/doc")
+    }
+    measureDocs("extract (tables OFF)") {
+      docsAll.foreach(d => graft.core.extract.Extractor.extractHtml(d))
+    }
+    measureDocs("extract (tables ON)") {
+      docsAll.foreach(d => graft.core.extract.Extractor.extractHtml(d, cfgX))
+    }
+
+    // TableExtractor in isolation over dense grids (variant 1)
+    val denseGrids = (0 until 20000 by 10).map { b =>
+      graft.core.html.PageParser.parseBytes(
+        PageGen.makePage(b + 1L, "The quick brown fox jumps over the lazy dog. " * 8, "en").html)
+        .regions.head.grid
+    }.toArray
+    def measureGrids(label: String)(f: => Unit): Unit = {
+      f
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      f
+      println(f"ALLOC $label%-28s ${(tmx.getThreadAllocatedBytes(tid) - a0) / denseGrids.length}%8d B/grid")
+    }
+    measureGrids("tableextract dense full") {
+      denseGrids.foreach { g =>
+        val span = graft.core.grid.Span(0, 0, g.maxRow, g.maxCol)
+        new graft.core.extract.TableExtractor().extract(g, span)
+      }
+    }
+    measureGrids("tableextract no headers") {
+      denseGrids.foreach { g =>
+        val span = graft.core.grid.Span(0, 0, g.maxRow, g.maxCol)
+        new graft.core.extract.TableExtractor().extract(g, span, detectHeaders = false)
+      }
+    }
   }
 }
