@@ -120,15 +120,32 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     }
   }
 
-  /** reference: dataframe_extractor.py:585-597 — exact A..H match. */
+  /** reference: dataframe_extractor.py:585-597 — exact A..H match. The
+    * present (non-null) labels, in order, must equal exactly A..<expected>;
+    * compared with a trim-bounds walk instead of building both sequences
+    * (labels are single letters, so per-char case folding is exact).
+    */
   def checkPlateRowLabels(matrix: Vector[Vector[Cell]], expectedRows: Int): Boolean = {
     if (matrix.size < expectedRows + 1) return false
-    val expected = (0 until expectedRows).map(i => ('A' + i).toChar.toString)
-    val actual = (1 until math.min(expectedRows + 1, matrix.size)).flatMap { i =>
+    var k = 0
+    var i = 1
+    val until = math.min(expectedRows + 1, matrix.size)
+    while (i < until) {
       val c = matrix(i).headOption.orNull
-      if (c != null && c.value != null) Some(c.value.trim.toUpperCase) else None
+      if (c != null && c.value != null) {
+        if (k >= expectedRows) return false // more labels than expected
+        val v = c.value
+        var a = 0
+        var b = v.length
+        while (a < b && Character.isWhitespace(v.charAt(a))) a += 1
+        while (b > a && Character.isWhitespace(v.charAt(b - 1))) b -= 1
+        if (b - a != 1) return false
+        if (Character.toUpperCase(v.charAt(a)) != ('A' + k).toChar) return false
+        k += 1
+      }
+      i += 1
     }
-    actual == expected
+    k == expectedRows
   }
 
   /** reference: dataframe_extractor.py:599-614. */
@@ -148,7 +165,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   /** Title rows have ≤2 filled cells of >3 (dataframe_extractor.py:616-625).
     */
   def isTitleRow(row: Vector[Cell]): Boolean = {
-    val filled = row.count(c => c != null && c.value != null && c.value.trim.nonEmpty)
+    val filled = row.count(c => c != null && nonBlank(c.value))
     filled <= 2 && row.size > 3
   }
 
@@ -162,6 +179,47 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     var bestEnd = 0
     val titleRows = mutable.ArrayBuffer.empty[Int]
     val typeScoreCache = new java.util.HashMap[Int, java.lang.Double]()
+
+    // per-row header-quality terms, computed once (candidate windows
+    // overlap): the text/filled ratio and the row's distinct-value ratio.
+    // Same values and summation order as headerQualityMulti over a slice.
+    val qRows = math.min(matrix.size, 13) // startRow < 10, headerRows <= 3
+    val rowRatio = new Array[Double](qRows)
+    val rowHasFilled = new Array[Boolean](qRows)
+    val lastRatio = new Array[Double](qRows)
+    val lastNonEmpty = new Array[Boolean](qRows)
+    var qi = 0
+    while (qi < qRows) {
+      val row = matrix(qi)
+      var textCount = 0
+      var filled = 0
+      row.foreach { c =>
+        if (c != null && nonBlank(c.value)) {
+          filled += 1
+          if (TypeInfer.extractorType(c) == "text") textCount += 1
+        }
+      }
+      rowHasFilled(qi) = filled > 0
+      if (filled > 0) rowRatio(qi) = textCount.toDouble / filled
+      val filledValues = row.flatMap { c =>
+        if (c != null && nonBlank(c.value)) Some(c.value) else None
+      }
+      lastNonEmpty(qi) = filledValues.nonEmpty
+      if (filledValues.nonEmpty)
+        lastRatio(qi) = filledValues.distinct.size.toDouble / filledValues.size
+      qi += 1
+    }
+    def headerQualityCached(from: Int, until: Int): Double = {
+      var sum = 0.0
+      var n = 0
+      var r = from
+      while (r < until) {
+        if (rowHasFilled(r)) { sum += rowRatio(r); n += 1 }
+        r += 1
+      }
+      if (lastNonEmpty(until - 1)) { sum += lastRatio(until - 1); n += 1 }
+      if (n > 0) sum / n else 0.0
+    }
 
     val maxTestRows = math.min(10, matrix.size - 2)
     var startRow = 0
@@ -183,7 +241,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
               ts = java.lang.Double.valueOf(typeConsistencyScore(matrix, dataStart, dataEnd))
               typeScoreCache.put(dataStart, ts)
             }
-            val headerScore = headerQualityMultiRange(matrix, startRow, startRow + headerRows)
+            val headerScore = headerQualityCached(startRow, startRow + headerRows)
             val coverageScore = coverage(matrix(startRow))
             val total = ts.doubleValue() * 0.5 + headerScore * 0.3 + coverageScore * 0.2
             if (total > bestScore) {
@@ -304,41 +362,6 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       i += 1
     }
     false
-  }
-
-  /** `headerQualityMulti` over matrix rows [from, until) without slicing —
-    * same score list (rows with no filled cells contribute nothing; the
-    * last row appends its distinct-value ratio) and the same left-to-right
-    * summation order.
-    */
-  private def headerQualityMultiRange(matrix: Vector[Vector[Cell]], from: Int, until: Int)
-      : Double = {
-    if (from >= until) return 0.0
-    var sum = 0.0
-    var n = 0
-    var r = from
-    while (r < until) {
-      val row = matrix(r)
-      var textCount = 0
-      var filled = 0
-      row.foreach { c =>
-        if (c != null && nonBlank(c.value)) {
-          filled += 1
-          if (TypeInfer.extractorType(c) == "text") textCount += 1
-        }
-      }
-      if (filled > 0) { sum += textCount.toDouble / filled; n += 1 }
-      r += 1
-    }
-    val last = matrix(until - 1)
-    val filledValues = last.flatMap { c =>
-      if (c != null && nonBlank(c.value)) Some(c.value) else None
-    }
-    if (filledValues.nonEmpty) {
-      sum += filledValues.distinct.size.toDouble / filledValues.size
-      n += 1
-    }
-    if (n > 0) sum / n else 0.0
   }
 
   /** reference: dataframe_extractor.py:821-853. */

@@ -74,5 +74,18 @@ object AllocProbe {
         new graft.core.extract.TableExtractor().extract(g, span, detectHeaders = false)
       }
     }
+    measureGrids("headerinfo only") {
+      denseGrids.foreach { g =>
+        val span = graft.core.grid.Span(0, 0, g.maxRow, g.maxCol)
+        val te = new graft.core.extract.TableExtractor()
+        val matrix = (span.r0 to span.r1).map { r =>
+          (span.c0 to span.c1).map { c =>
+            val cell = g.get(r, c)
+            if (cell == null || cell.isEmpty) null else cell
+          }.toVector
+        }.toVector
+        te.detectHeaderInfo(matrix, g, span)
+      }
+    }
   }
 }
