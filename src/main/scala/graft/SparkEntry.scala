@@ -118,15 +118,15 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"))
         .select(col("text_hash"), col("keep_id"), col("dup_count"))
         .orderBy(col("text_hash"))),
-    // dedup APPLIED: the kept corpus via a broadcast left-anti join against
-    // the duplicate losers (the shape a 100 TB dedup actually ships)
-    "q_dedup_keep" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val losers = Dedup.exactDuplicates(docs).select(col("dup_id"))
-      docs.join(broadcast(losers), col("doc_id") === col("dup_id"), "left_anti")
+    // dedup APPLIED: the kept corpus via min(doc_id) over a window keyed by
+    // the text hash — ONE shuffle on the hash, no broadcast of an unbounded
+    // loser set (on a crawl corpus the losers are a large fraction of all
+    // rows; a forced broadcast would OOM at 100 TB). The window input
+    // projects only (doc_id, lang, n_chars, hash) — text never shuffles.
+    "q_dedup_keep" -> ((s, dir) =>
+      Dedup.keepFirst(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
     // semi-join shape: customers that actually ordered (broadcast semi)
     "q_semi_active_customers" -> ((s, dir) => {
       val cust = t(s, dir, "customer")

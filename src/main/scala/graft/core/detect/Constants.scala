@@ -107,7 +107,11 @@ object DetectConfig {
       minTableCols = int("GRAFT_MIN_TABLE_COLS", d.minTableCols),
       enableSimpleCase = bool("GRAFT_ENABLE_SIMPLE_CASE_DETECTION", d.enableSimpleCase),
       enableIslandDetection = bool("GRAFT_ENABLE_ISLAND_DETECTION", d.enableIslandDetection),
-      maxHtmlBytes = int("GRAFT_MAX_HTML_MB", d.maxHtmlBytes / (1024 * 1024)) * 1024 * 1024,
+      // Long arithmetic + clamp: an env value >= 2048 MB would overflow Int
+      // to a negative cap and silently mark the whole corpus parse_failed
+      maxHtmlBytes = math.min(
+        int("GRAFT_MAX_HTML_MB", d.maxHtmlBytes / (1024 * 1024)).toLong * 1024L * 1024L,
+        Int.MaxValue.toLong).toInt,
       extractTables = bool("GRAFT_EXTRACT_TABLES", d.extractTables)
     )
   }

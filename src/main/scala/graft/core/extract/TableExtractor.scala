@@ -354,11 +354,16 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     (if (scores.nonEmpty) scores.sum / scores.size else 0.0, columnTypes.toMap)
   }
 
+  /** Allocation-free equivalent of `v.trim.nonEmpty` — the ONE blankness
+    * predicate for this extractor (headerQualityMulti/coverage use
+    * `trim.nonEmpty` directly, so the memoized header path must agree;
+    * `trim` strips chars <= U+0020, NOT Character.isWhitespace's set).
+    */
   @inline private def nonBlank(v: String): Boolean = {
     if (v == null) return false
     var i = 0
     while (i < v.length) {
-      if (!Character.isWhitespace(v.charAt(i))) return true
+      if (v.charAt(i) > ' ') return true
       i += 1
     }
     false

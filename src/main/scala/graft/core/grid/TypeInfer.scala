@@ -73,7 +73,17 @@ object TypeInfer {
           intLen >= 1 && (stripped.charAt(0) != '0' || intLen == 1)
         val sigDigits =
           if (intLen == 1 && stripped.charAt(0) == '0') fracLen else intLen + fracLen
-        if (canonicalInt && fracLen >= 1 && sigDigits <= 7 &&
+        // Python repr switches to scientific notation below 1e-4 ("0.00001"
+        // → "1e-05"), so the identity shortcut also requires magnitude
+        // >= 1e-4: for the "0.xxx" form the fraction may carry at most 3
+        // leading zeros (first significant digit no deeper than 10^-4).
+        val magnitudeOk =
+          if (intLen == 1 && stripped.charAt(0) == '0') {
+            var z = 0
+            while (z < fracLen && stripped.charAt(dot + 1 + z) == '0') z += 1
+            z <= 3 && z < fracLen
+          } else true
+        if (canonicalInt && fracLen >= 1 && sigDigits <= 7 && magnitudeOk &&
             stripped.charAt(stripped.length - 1) != '0') {
           return (stripped, "number")
         }

@@ -28,6 +28,21 @@ object Dedup {
       .select(col(idCol).as("dup_id"), col("keep_id"))
   }
 
+  /** Exact dedup APPLIED: the kept corpus (lowest id per text hash), via
+    * `min(id) over (partition by hash)` — ONE hash-keyed shuffle, no join,
+    * and crucially no broadcast of the (unbounded) duplicate-loser set.
+    * Returns the input columns; the window input carries the hash instead
+    * of the text so the exchange stays narrow.
+    */
+  def keepFirst(df: DataFrame, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
+    df.withColumn("text_hash", sha2(col(textCol), 256))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("keep_id"))
+      .drop("text_hash", "keep_id")
+  }
+
   // ---- MinHash + LSH ----
 
   final case class MinHashSig(id: Long, sig: Array[Long])
@@ -170,11 +185,14 @@ object Dedup {
 
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sim").as("sim_b"))
+    // filter BEFORE distinct: the dedup exchange then carries only pairs at
+    // hamming <= maxHamming instead of every candidate sharing a 16-bit
+    // chunk (same final rows — hamming is a function of the pair)
     a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

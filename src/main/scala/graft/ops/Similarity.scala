@@ -90,14 +90,18 @@ object Similarity {
     * recall are mutually exclusive there — use bruteForceTopK for small
     * query sets instead.)
     *
-    * Scale shape: signatures are map-side; the only data shuffle is the
-    * equality join on (table, bucket, salt). Buckets larger than
-    * `bucketCap` are salted into ceil(n/bucketCap) sub-buckets by id hash —
-    * bounding worst-case in-bucket pair work at the cost of cross-salt
-    * pairs in that one table (other tables still catch them). Bucket sizes
-    * come from a tiny (table, bucket) count aggregate that is broadcast
-    * back, so the cap costs one metadata-sized join, not a second data
-    * shuffle. Verification is exact cosine inside the join stage.
+    * Scale shape: signatures are map-side and the candidate exchange
+    * carries (id, table, bucket) ONLY — never the embedding — so the
+    * nTables-way explosion amplifies 16-byte rows, not vectors. Buckets
+    * larger than `bucketCap` are salted into ceil(n/bucketCap) sub-buckets
+    * by id hash — bounding worst-case in-bucket pair work at the cost of
+    * cross-salt pairs in that one table (other tables still catch them).
+    * Bucket sizes come from a tiny (table, bucket) count aggregate that is
+    * broadcast back, so the cap costs one metadata-sized join, not a second
+    * data shuffle. Candidate pairs dedup across tables while still id-only;
+    * vectors re-attach by two id-keyed joins against the once-materialized
+    * corpus for the exact-cosine verify — total vector I/O is
+    * O(corpus + candidates), not O(corpus × nTables).
     */
   def lshNearNeighbors(spark: SparkSession, corpus: DataFrame, nBits: Int = 12,
       nTables: Int = 16, seed: Long = 42L, minCosine: Double = 0.9,
@@ -115,19 +119,26 @@ object Similarity {
     val nT = nTables
     val nB = nBits
 
-    // localCheckpoint: the signature computation feeds FOUR plan branches
-    // (both self-join sides × (data stream + bucket-count aggregate));
-    // eager materialization computes it once and truncates the lineage.
-    // Blocks are executor-local (memory+disk) and are auto-cleaned by the
-    // ContextCleaner when the plan is GC'd — no persist leak.
-    val sigged = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // the corpus is materialized ONCE (it feeds the signature map and both
+    // sides of the vector re-attach); blocks are executor-local and
+    // auto-cleaned by the ContextCleaner when the plan is GC'd
+    val vecs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .localCheckpoint()
+
+    // signatures are map-side and carry NO vector column — the candidate
+    // shuffle moves 16 bytes × nTables per id, not the embedding × nTables
+    // (the round-2 shape shuffled every vector 16×; at a 100 TB embedding
+    // corpus that exchange was the job). localCheckpoint: the signature set
+    // feeds FOUR plan branches (both self-join sides × (data stream +
+    // bucket-count aggregate)).
+    val sigged = vecs
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         (0 until nT).iterator.map { t =>
-          (id, v, t, lshSignature(v, bplanes.value, t * nB, nB))
+          (id, t, lshSignature(v, bplanes.value, t * nB, nB))
         }
       }
-      .toDF("id", "v", "tbl", "bucket")
+      .toDF("id", "tbl", "bucket")
       .localCheckpoint()
 
     // bucket-size cap: count per (tbl, bucket) — a few bytes per OCCUPIED
@@ -141,18 +152,27 @@ object Similarity {
       .withColumn("salt",
         when(col("nsplit").isNull, lit(0))
           .otherwise(pmod(xxhash64(col("id")), col("nsplit")).cast("int")))
-      .select(col("tbl"), col("bucket"), col("salt"), col("id"), col("v"))
+      .select(col("tbl"), col("bucket"), col("salt"), col("id"))
 
-    val a = salted.select(col("tbl"), col("bucket"), col("salt"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = salted.select(col("tbl"), col("bucket"), col("salt"),
-      col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("tbl", "bucket", "salt")).filter(col("id_a") < col("id_b"))
+    // candidate pairs: ids only, deduped across tables BEFORE the verify so
+    // each surviving pair pays the exact cosine once (16 bytes/pair through
+    // this distinct, vs a cosine per colliding table)
+    val a = salted.select(col("tbl"), col("bucket"), col("salt"), col("id").as("id_a"))
+    val b = salted.select(col("tbl"), col("bucket"), col("salt"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("tbl", "bucket", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    // exact-cosine verify: re-attach vectors by id — vector bytes cross the
+    // wire once per side per candidate, not once per (table × member)
+    val va = vecs.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = vecs.select(col("id").as("id_b"), col("v").as("v_b"))
+    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", round(cosine(col("v_a").cast("array<double>"),
         col("v_b").cast("array<double>")), 6))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .distinct() // dedup across tables: 24 bytes/pair through this exchange
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -33,7 +33,7 @@ object Snapshots {
       tables: Long,
       parseFailures: Long,
       bytesStripped: Long,
-      wallMs: Long,
+      wallShareMs: Long, // even share of the one-job wall across the run's pending buckets — NOT a measured per-bucket cost
       snapshotId: Long,
       files: Seq[String]
   )
@@ -66,7 +66,7 @@ object Snapshots {
         e.get("tables").asLong(),
         e.get("parse_failures").asLong(),
         e.get("bytes_stripped").asLong(),
-        e.get("wall_ms").asLong(),
+        e.get("wall_share_ms").asLong(),
         e.get("snapshot_id").asLong(),
         e.get("files").elements().asScala.map(_.asText()).toSeq
       )
@@ -93,7 +93,7 @@ object Snapshots {
       e.put("tables", b.tables)
       e.put("parse_failures", b.parseFailures)
       e.put("bytes_stripped", b.bytesStripped)
-      e.put("wall_ms", b.wallMs)
+      e.put("wall_share_ms", b.wallShareMs)
       e.put("snapshot_id", b.snapshotId)
       val fs = e.putArray("files")
       b.files.foreach(fs.add)
@@ -223,8 +223,8 @@ object Snapshots {
     import spark.implicits._
     readCurrent(outDir).map { m =>
       m.committed.map(b => (b.bucket, b.rows, b.tables, b.parseFailures, b.bytesStripped,
-        b.wallMs, b.snapshotId))
-        .toDF("bucket", "rows", "tables", "parse_failures", "bytes_stripped", "wall_ms",
+        b.wallShareMs, b.snapshotId))
+        .toDF("bucket", "rows", "tables", "parse_failures", "bytes_stripped", "wall_share_ms",
           "snapshot_id")
     }
   }

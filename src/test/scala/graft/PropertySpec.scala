@@ -177,18 +177,29 @@ class PropertySpec extends AnyFunSuite {
 
   test("type-inference canonical shortcuts equal the full Python-repr path") {
     import graft.core.grid.TypeInfer
-    // decimal strings across the shortcut boundary (sig digits, zeros)
+    // decimal strings across the shortcut boundary (sig digits, zeros) —
+    // intPart=0 drawn with ~50% weight and fractions with 0-6 leading
+    // zeros, so the sub-1e-4 scientific-notation region (where Python repr
+    // switches to "1e-05") is actually exercised, not hit with p~1e-8
     val decGen = for {
-      intPart <- Gen.choose(0L, 99999999L)
+      intPart <- Gen.frequency(1 -> Gen.const(0L), 1 -> Gen.choose(0L, 99999999L))
+      leadZeros <- Gen.choose(0, 6)
       fracDigits <- Gen.choose(1, 9)
       frac <- Gen.choose(0L, math.pow(10, fracDigits).toLong - 1)
       neg <- Gen.oneOf("", "-")
-    } yield s"$neg$intPart.${s"%0${fracDigits}d".format(frac)}"
+    } yield s"$neg$intPart.${"0" * leadZeros}${s"%0${fracDigits}d".format(frac)}"
     check(Prop.forAll(decGen) { s =>
       val (v, dt) = TypeInfer.infer(s)
       val d = java.lang.Double.parseDouble(s.replace(",", ""))
       dt == "number" && v == PyFloat.repr(d)
     })
+    // explicit pins at the exp10 = -4 boundary and below it
+    Seq("0.0001", "0.00001", "0.000001", "0.0000123", "0.00012", "0.001",
+      "0.1234567", "0.0001234").foreach { s =>
+      val (v, dt) = TypeInfer.infer(s)
+      val expect = PyFloat.repr(java.lang.Double.parseDouble(s))
+      assert(dt == "number" && v == expect, s"infer($s) = $v, want $expect")
+    }
     val intGen = Gen.choose(Long.MinValue + 1, Long.MaxValue).map(_.toString)
     check(Prop.forAll(intGen) { s =>
       val (v, dt) = TypeInfer.infer(s)
