@@ -270,16 +270,18 @@ object SparkEntry {
           graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp64"))
         .orderBy(col("doc_id"))
     }),
-    // oracle-checked end to end: Spark generates real PNG/GIF/JPEG header
-    // bytes and PARSES them back; the DuckDB oracle recomputes the expected
-    // geometry (a round-trip equality proof) and replays the audio/video
-    // stub's FNV-1a byte hash + signed shift arithmetic over the same UTF-8
-    // payload bytes (tools/gen_multimodal_sql.py). The featureStats rollup
-    // and the 16-dim stub embedding stay OpsSpec-gated.
+    // oracle-checked end to end: Spark generates real PNG/GIF/JPEG/WAV/MP4
+    // header bytes and PARSES them back (image geometry, WAV channels/rate/
+    // duration via the RIFF chunk walk, MP4 geometry/duration via the
+    // moov/mvhd + trak/tkhd box walk); the DuckDB oracle recomputes every
+    // field from the generator's id arithmetic — a round-trip equality
+    // proof over all three modalities (tools/gen_multimodal_sql.py). The
+    // featureStats rollup and the 16-dim stub embedding stay OpsSpec-gated.
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("decode_ok"),
-          col("format"), col("width"), col("height"), col("n_frames"))
+          col("format"), col("width"), col("height"), col("n_frames"),
+          col("channels"), col("sample_rate"), col("duration_ms"))
         .orderBy(col("media_id")))
   )
 
@@ -839,47 +841,37 @@ object SparkEntry {
         |      (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS m
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    // synthetic-media decode replayed: image geometry recomputed from the
-    // generator arithmetic (the Spark side parses the real header bytes it
-    // wrote — round-trip equality), audio/video stub geometry replayed via
-    // the FNV-1a-64 byte hash in hugeint mod-2^64 (hex-pair byte fold).
-    // Generated + validated by tools/gen_multimodal_sql.py.
+    // synthetic-media decode replayed: every field recomputed from the
+    // generator's id arithmetic while the Spark side PARSES the real
+    // PNG/GIF/JPEG/WAV/MP4 header bytes it wrote — a round-trip equality
+    // proof over all three modalities. Generated + validated by
+    // tools/gen_multimodal_sql.py.
     "q_multimodal" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id, doc_id AS id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    encode(left(coalesce(text, ''), 512)) AS tail
-        |  FROM (SELECT doc_id, text FROM documents LIMIT 2000)),
-        |hashed AS (
-        |  SELECT media_id, id, kind, octet_length(tail) AS tlen,
-        |    CASE WHEN kind <> 'image' AND octet_length(tail) > 0 THEN list_reduce(list_prepend(14695981039346656037::HUGEINT, list_transform(range(1, octet_length(tail) + 1), bi -> ('0x' || substr(hx, 2*bi - 1, 2))::INT::HUGEINT)), (h, c) -> xor(h, c) * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS u
-        |  FROM (SELECT *, hex(tail) AS hx FROM media)),
-        |sh AS (
-        |  SELECT *,
-        |    u // 1024::HUGEINT - CASE WHEN u >= 9223372036854775808::HUGEINT THEN 18014398509481984::HUGEINT
-        |      ELSE 0::HUGEINT END AS s10,
-        |    u // 1048576::HUGEINT - CASE WHEN u >= 9223372036854775808::HUGEINT THEN 17592186044416::HUGEINT
-        |      ELSE 0::HUGEINT END AS s20,
-        |    CASE WHEN u >= 9223372036854775808::HUGEINT THEN u - 18446744073709551616::HUGEINT ELSE u END AS s0
-        |  FROM hashed)
+        |    octet_length(encode(left(coalesce(text, ''), 512))) AS tlen
+        |  FROM (SELECT doc_id, text FROM documents LIMIT 2000))
         |SELECT media_id, kind,
-        |  CASE WHEN kind = 'image' THEN
-        |    tlen + (CASE (id // 3) % 3 WHEN 0 THEN 24 WHEN 1 THEN 10 ELSE 21 END)
-        |  ELSE tlen END::BIGINT AS n_bytes,
-        |  (kind = 'image' OR tlen > 0) AS decode_ok,
-        |  CASE WHEN kind = 'image' THEN
-        |    CASE (id // 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END
-        |  ELSE '' END AS format,
-        |  CASE WHEN kind = 'image' THEN 16 + id % 640
-        |    WHEN tlen = 0 THEN 0
-        |    ELSE 64 + CAST(abs(s0) % 1024::HUGEINT AS BIGINT) END::INT AS width,
-        |  CASE WHEN kind = 'image' THEN 16 + (id // 7) % 480
-        |    WHEN tlen = 0 THEN 0
-        |    ELSE 64 + CAST(abs(s10) % 1024::HUGEINT AS BIGINT) END::INT AS height,
-        |  CASE WHEN kind = 'image' THEN 1
-        |    WHEN tlen = 0 THEN 0
-        |    WHEN kind = 'video' THEN 1 + CAST(abs(s20) % 64::HUGEINT AS BIGINT)
-        |    ELSE 1 END::INT AS n_frames
-        |FROM sh ORDER BY media_id""".stripMargin
+        |  (tlen + CASE kind WHEN 'audio' THEN 44 WHEN 'video' THEN 240
+        |    ELSE CASE (id // 3) % 3 WHEN 0 THEN 24 WHEN 1 THEN 10 ELSE 21 END
+        |  END)::BIGINT AS n_bytes,
+        |  true AS decode_ok,
+        |  CASE kind WHEN 'audio' THEN 'wav' WHEN 'video' THEN 'mp4'
+        |    ELSE CASE (id // 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END
+        |  END AS format,
+        |  (CASE kind WHEN 'image' THEN 16 + id % 640
+        |    WHEN 'video' THEN 160 + id % 1280 ELSE 0 END)::INT AS width,
+        |  (CASE kind WHEN 'image' THEN 16 + (id // 7) % 480
+        |    WHEN 'video' THEN 90 + (id // 3) % 720 ELSE 0 END)::INT AS height,
+        |  (CASE kind WHEN 'image' THEN 1
+        |    WHEN 'video' THEN greatest(1, (500 + id % 120000) * 30 // 1000)
+        |    ELSE 0 END)::INT AS n_frames,
+        |  (CASE kind WHEN 'audio' THEN 1 + id % 2 ELSE 0 END)::INT AS channels,
+        |  (CASE kind WHEN 'audio' THEN 8000 * (1 + id % 6) ELSE 0 END)::INT AS sample_rate,
+        |  (CASE kind WHEN 'audio' THEN
+        |      tlen * 1000 // (8000 * (1 + id % 6) * (1 + id % 2) * 2)
+        |    WHEN 'video' THEN 500 + id % 120000 ELSE 0 END)::BIGINT AS duration_ms
+        |FROM media ORDER BY media_id""".stripMargin
   )
 }

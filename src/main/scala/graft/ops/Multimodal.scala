@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * Image decode is REAL for the container formats whose geometry lives in
-  * header bytes: PNG (IHDR), GIF (logical screen descriptor), and JPEG
-  * (SOF segment scan) — no external libraries needed. Audio/video decode
-  * and the 16-dim feature embedding remain clearly-marked deterministic
-  * stubs (this container has no codecs or models); the Spark-side contract
-  * — schema, batch shape, partitioning, null/error isolation — is the real
-  * production shape either way.
+  * Decode is REAL for every container format whose metadata lives in
+  * header bytes — no external libraries needed: PNG (IHDR), GIF (logical
+  * screen descriptor), JPEG (SOF segment scan), WAV (RIFF `fmt `/`data`
+  * chunk walk → channels/rate/duration), and MP4 (ISO-BMFF box walk →
+  * `moov/mvhd` timescale+duration, `moov/trak/tkhd` 16.16-fixed geometry).
+  * Only the 16-dim feature embedding remains a clearly-marked
+  * deterministic stub (this container has no models); the Spark-side
+  * contract — schema, batch shape, partitioning, null/error isolation —
+  * is the real production shape throughout.
   */
 object Multimodal {
 
@@ -22,20 +24,31 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       decode_ok: Boolean,
-      format: String, // png | gif | jpeg | "" (unknown/non-image)
-      width: Int,
+      format: String, // png | gif | jpeg | wav | mp4 | "" (unknown)
+      width: Int, // image/video pixel geometry; 0 for audio
       height: Int,
-      n_frames: Int,
+      n_frames: Int, // images 1; video: 30 fps estimate from mvhd duration
+      channels: Int, // audio channel count; 0 for image/video
+      sample_rate: Int, // audio sample rate (Hz); 0 for image/video
+      duration_ms: Long, // audio/video duration; 0 for images
       feature: Array[Float] // fixed 16-dim STUB embedding
   )
 
-  // ---- real image header decoders ----
+  // ---- real header decoders ----
 
   @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   @inline private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
   @inline private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   @inline private def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  @inline private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+  @inline private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  @inline private def fourCC(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) && b(i + 2) == s.charAt(2) &&
+      b(i + 3) == s.charAt(3)
 
   /** PNG: 8-byte signature, then the IHDR chunk carries width/height as
     * big-endian u32 at offsets 16 and 20.
@@ -99,6 +112,92 @@ object Multimodal {
       .orElse(decodeJpeg(b).map { case (w, h) => ("jpeg", w, h) })
   }
 
+  /** WAV (RIFF): "RIFF" + size + "WAVE", then a chunk walk — `fmt ` carries
+    * format/channels/rate/byte-rate, `data` carries the PCM byte count.
+    * Returns (channels, sampleRate, durationMs); duration = dataBytes *
+    * 1000 / byteRate (floor). Header arithmetic only — no codec.
+    */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b == null || b.length < 44) return None
+    if (!fourCC(b, 0, "RIFF") || !fourCC(b, 8, "WAVE")) return None
+    var channels = 0
+    var rate = 0
+    var byteRate = 0L
+    var dataBytes = -1L
+    var sawFmt = false
+    var i = 12
+    while (i + 8 <= b.length) {
+      val ckSize = le32(b, i + 4)
+      if (ckSize < 0 || ckSize > Int.MaxValue) return None
+      if (fourCC(b, i, "fmt ")) {
+        if (i + 8 + 16 > b.length) return None
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        byteRate = le32(b, i + 16)
+        sawFmt = true
+      } else if (fourCC(b, i, "data")) {
+        // trust the chunk header even if the payload is truncated — real
+        // probes report declared duration
+        dataBytes = ckSize
+      }
+      i += 8 + ckSize.toInt + (ckSize.toInt & 1) // chunks are word-aligned
+    }
+    if (!sawFmt || dataBytes < 0 || channels <= 0 || rate <= 0 || byteRate <= 0) None
+    else Some((channels, rate, dataBytes * 1000L / byteRate))
+  }
+
+  /** MP4 (ISO BMFF): box walk to `moov/mvhd` (timescale + duration, v0/v1)
+    * and `moov/trak/tkhd` (16.16-fixed width/height, v0/v1). Returns
+    * (width, height, durationMs). Header arithmetic only — no codec.
+    */
+  def decodeMp4(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b == null || b.length < 16 || be32(b, 0) < 8 || !fourCC(b, 4, "ftyp")) return None
+    var timescale = 0L
+    var duration = -1L
+    var w = 0
+    var h = 0
+    // walk boxes in [from, until); descend into moov and trak
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        var size = be32(b, i)
+        var hdr = 8
+        if (size == 1L) { // 64-bit largesize
+          if (i + 16 > until) return
+          size = be64(b, i + 8)
+          hdr = 16
+        } else if (size == 0L) size = (until - i).toLong // box extends to end
+        if (size < hdr || i + size > until) return
+        val end = (i + size).toInt
+        if (fourCC(b, i + 4, "moov") && depth == 0) walk(i + hdr, end, 1)
+        else if (fourCC(b, i + 4, "trak") && depth == 1) walk(i + hdr, end, 2)
+        else if (fourCC(b, i + 4, "mvhd") && depth == 1 && i + hdr + 4 <= end) {
+          val c = i + hdr
+          val version = u8(b, c)
+          if (version == 0 && c + 20 <= end) {
+            timescale = be32(b, c + 12)
+            duration = be32(b, c + 16)
+          } else if (version == 1 && c + 32 <= end) {
+            timescale = be32(b, c + 20)
+            duration = be64(b, c + 24)
+          }
+        } else if (fourCC(b, i + 4, "tkhd") && depth == 2 && i + hdr + 4 <= end) {
+          val c = i + hdr
+          val version = u8(b, c)
+          val geomOff = if (version == 0) 76 else 88
+          if (c + geomOff + 8 <= end && w == 0 && h == 0) {
+            w = (be32(b, c + geomOff) >>> 16).toInt // 16.16 fixed point
+            h = (be32(b, c + geomOff + 4) >>> 16).toInt
+          }
+        }
+        i = end
+      }
+    }
+    walk(0, b.length, 0)
+    if (timescale <= 0 || duration < 0) None
+    else Some((w, h, duration * 1000L / timescale))
+  }
+
   // ---- deterministic synthetic payloads ----
 
   /** Minimal real image headers (trailing bytes are arbitrary payload —
@@ -138,8 +237,70 @@ object Multimodal {
     out
   }
 
-  /** Deterministic payloads derived from documents — image rows carry REAL
-    * PNG/GIF/JPEG headers (parseable geometry), audio/video stay opaque.
+  @inline private def putLe16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+  }
+  @inline private def putLe32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+    b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+  }
+  @inline private def putBe32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+  @inline private def putCC(b: Array[Byte], i: Int, s: String): Unit = {
+    var k = 0
+    while (k < 4) { b(i + k) = s.charAt(k).toByte; k += 1 }
+  }
+
+  /** Canonical 44-byte PCM WAV header (16-bit samples) + data bytes. */
+  def wavBytes(channels: Int, sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + data.length)
+    val byteRate = sampleRate.toLong * channels * 2
+    putCC(out, 0, "RIFF"); putLe32(out, 4, 36L + data.length); putCC(out, 8, "WAVE")
+    putCC(out, 12, "fmt "); putLe32(out, 16, 16L)
+    putLe16(out, 20, 1) // PCM
+    putLe16(out, 22, channels)
+    putLe32(out, 24, sampleRate.toLong)
+    putLe32(out, 28, byteRate)
+    putLe16(out, 32, channels * 2) // block align
+    putLe16(out, 34, 16) // bits per sample
+    putCC(out, 36, "data"); putLe32(out, 40, data.length.toLong)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
+  /** Minimal ISO-BMFF file: ftyp(16) + moov(216: mvhd v0 108 + trak 100
+    * wrapping tkhd v0 92) + mdat(8 + data). 240 header bytes total.
+    */
+  def mp4Bytes(w: Int, h: Int, timescale: Int, durationUnits: Long,
+      data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](240 + data.length)
+    putBe32(out, 0, 16L); putCC(out, 4, "ftyp"); putCC(out, 8, "isom")
+    // moov
+    putBe32(out, 16, 216L); putCC(out, 20, "moov")
+    // mvhd v0: content 100 bytes at offset 32
+    putBe32(out, 24, 108L); putCC(out, 28, "mvhd")
+    putBe32(out, 32 + 12, timescale.toLong)
+    putBe32(out, 32 + 16, durationUnits)
+    putBe32(out, 32 + 20, 0x00010000L) // rate 1.0
+    putBe32(out, 32 + 96, 2L) // next track id
+    // trak box at 132 (= 24 + 108), size 100; tkhd at 140, size 92 (v0
+    // content 84 bytes starting at 148)
+    putBe32(out, 132, 100L); putCC(out, 136, "trak")
+    putBe32(out, 140, 92L); putCC(out, 144, "tkhd")
+    putBe32(out, 148 + 8, 1L) // track id
+    putBe32(out, 148 + 76, w.toLong << 16) // 16.16 fixed
+    putBe32(out, 148 + 80, h.toLong << 16)
+    // mdat
+    putBe32(out, 232, 8L + data.length); putCC(out, 236, "mdat")
+    System.arraycopy(data, 0, out, 240, data.length)
+    out
+  }
+
+  /** Deterministic payloads derived from documents — every row carries a
+    * REAL parseable header: PNG/GIF/JPEG for images, RIFF/WAV for audio,
+    * ISO-BMFF/MP4 for video. The text bytes ride as the opaque media body.
     */
   def syntheticMedia(spark: SparkSession, sfDir: String, limitN: Int = 2000): Dataset[MediaRow] = {
     import spark.implicits._
@@ -164,7 +325,11 @@ object Multimodal {
               case 1 => gifBytes(w, h, tail)
               case _ => jpegBytes(w, h, tail)
             }
-          case _ => tail
+          case "audio" =>
+            wavBytes(1 + (id % 2).toInt, 8000 * (1 + (id % 6)).toInt, tail)
+          case _ =>
+            mp4Bytes(160 + (id % 1280).toInt, 90 + ((id / 3) % 720).toInt,
+              timescale = 1000, durationUnits = 500L + id % 120000L, tail)
         }
         MediaRow(id, kind, bytes)
       }
@@ -188,31 +353,43 @@ object Multimodal {
     (h, feat)
   }
 
-  /** Per-row decode: real header parsing for images; deterministic STUB
-    * pseudo-decode for audio/video (no codecs in this container).
+  /** Per-row decode: real header parsing for all three modalities (image
+    * geometry, WAV channels/rate/duration, MP4 geometry/duration). Corrupt
+    * payloads are isolated as failed decodes, never task aborts.
     */
   def decode(row: MediaRow): MediaFeatures = {
     if (row.payload == null || row.payload.isEmpty)
       return MediaFeatures(row.media_id, row.kind, 0L, decode_ok = false, "", 0, 0, 0,
-        Array.fill(16)(0.0f))
-    val (h, feat) = stubFeature(row.payload)
+        0, 0, 0L, Array.fill(16)(0.0f))
+    val (_, feat) = stubFeature(row.payload)
+    val nb = row.payload.length.toLong
+    def failed = MediaFeatures(row.media_id, row.kind, nb, decode_ok = false, "",
+      0, 0, 0, 0, 0, 0L, feat)
     row.kind match {
       case "image" =>
         decodeImage(row.payload) match {
           case Some((fmt, w, hgt)) =>
-            MediaFeatures(row.media_id, row.kind, row.payload.length.toLong,
-              decode_ok = true, fmt, w, hgt, 1, feat)
-          case None => // corrupt image: isolated as a failed decode, not a task abort
-            MediaFeatures(row.media_id, row.kind, row.payload.length.toLong,
-              decode_ok = false, "", 0, 0, 0, feat)
+            MediaFeatures(row.media_id, row.kind, nb, decode_ok = true, fmt,
+              w, hgt, 1, 0, 0, 0L, feat)
+          case None => failed
+        }
+      case "audio" =>
+        decodeWav(row.payload) match {
+          case Some((channels, rate, durMs)) =>
+            MediaFeatures(row.media_id, row.kind, nb, decode_ok = true, "wav",
+              0, 0, 0, channels, rate, durMs, feat)
+          case None => failed
         }
       case _ =>
-        // STUB for audio/video: fabricated geometry from the payload hash
-        val width = 64 + (math.abs(h) % 1024).toInt
-        val height = 64 + (math.abs(h >> 10) % 1024).toInt
-        val frames = if (row.kind == "video") 1 + (math.abs(h >> 20) % 64).toInt else 1
-        MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, decode_ok = true,
-          "", width, height, frames, feat)
+        decodeMp4(row.payload) match {
+          case Some((w, hgt, durMs)) =>
+            // frame count is a 30 fps ESTIMATE from the decoded duration —
+            // an exact count needs the stts box a header probe skips
+            val frames = math.max(1L, durMs * 30L / 1000L).toInt
+            MediaFeatures(row.media_id, row.kind, nb, decode_ok = true, "mp4",
+              w, hgt, frames, 0, 0, durMs, feat)
+          case None => failed
+        }
     }
   }
 

@@ -237,4 +237,50 @@ class OpsSpec extends AnyFunSuite {
     val corrupt = Multimodal.decode(Multimodal.MediaRow(7L, "image", "not an image".getBytes))
     assert(!corrupt.decode_ok && corrupt.width == 0, "corrupt image isolates, never throws")
   }
+
+  test("WAV header decoder recovers channels/rate/duration from the RIFF walk") {
+    val data = new Array[Byte](32000) // 1 s of 16 kHz mono 16-bit PCM
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(1, 16000, data))
+      .contains((1, 16000, 1000L)))
+    // stereo 44.1 kHz, half a second (44100*2*2 bytes/s)
+    val half = new Array[Byte](44100 * 2) // = 88200/2 bytes
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(2, 44100, half))
+      .contains((2, 44100, 500L)))
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(2, 8000, Array.empty))
+      .contains((2, 8000, 0L)), "empty data chunk decodes with zero duration")
+    // corruption: bad magic, truncated header
+    assert(Multimodal.decodeWav("RIFFxxxxWAVX-not-a-wav-really-at-all-here...".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(1, 8000, Array.empty).take(20)).isEmpty)
+    val corrupt = Multimodal.decode(Multimodal.MediaRow(8L, "audio", "noise".getBytes))
+    assert(!corrupt.decode_ok && corrupt.sample_rate == 0, "corrupt audio isolates")
+  }
+
+  test("MP4 header decoder recovers geometry/duration from the box walk") {
+    val tail = "mdat-body".getBytes
+    assert(Multimodal.decodeMp4(Multimodal.mp4Bytes(1920, 1080, 1000, 2500L, tail))
+      .contains((1920, 1080, 2500L)))
+    // non-1000 timescale: 600 units/s, 1200 units -> 2000 ms
+    assert(Multimodal.decodeMp4(Multimodal.mp4Bytes(640, 360, 600, 1200L, Array.empty))
+      .contains((640, 360, 2000L)))
+    // corruption: missing ftyp, truncated moov
+    assert(Multimodal.decodeMp4("not an mp4 file at all".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4(Multimodal.mp4Bytes(64, 64, 1000, 1L, tail).take(30)).isEmpty)
+    val corrupt = Multimodal.decode(Multimodal.MediaRow(9L, "video", "noise".getBytes))
+    assert(!corrupt.decode_ok && corrupt.duration_ms == 0L, "corrupt video isolates")
+  }
+
+  test("synthetic media decodes end-to-end across all three modalities") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(spark, sfDir, limitN = 60)).collect()
+    assert(feats.length == 60 && feats.forall(_.decode_ok))
+    feats.filter(_.kind == "audio").foreach { f =>
+      assert(f.format == "wav" && f.channels == 1 + (f.media_id % 2).toInt)
+      assert(f.sample_rate == 8000 * (1 + (f.media_id % 6)).toInt)
+    }
+    feats.filter(_.kind == "video").foreach { f =>
+      assert(f.format == "mp4" && f.width == 160 + (f.media_id % 1280).toInt)
+      assert(f.duration_ms == 500L + f.media_id % 120000L)
+      assert(f.n_frames == math.max(1L, f.duration_ms * 30L / 1000L).toInt)
+    }
+  }
 }
