@@ -106,6 +106,20 @@ object SparkEntry {
           col("n_orders"), col("revenue"))
         .orderBy(col("status"), col("priority"))
     }),
+    "q_cube_volume" -> ((s, dir) => {
+      // CUBE coverage: all four grouping sets of (status, priority) in one
+      // pass — Spark expands to a single Expand + hash aggregate, one
+      // shuffle (SURVEY §2.9 absent-category sweep)
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("status"), col("priority"))
+    }),
     "q_distinct_agg" -> ((s, dir) =>
       // distinct aggregate coverage (SURVEY §2.9)
       t(s, dir, "documents").groupBy(col("lang"))
@@ -331,6 +345,14 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_cube_volume" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY GROUPING SETS (
+        |  (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
         |ORDER BY 1, 2""".stripMargin,
     "q_distinct_agg" ->
       """SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs
@@ -841,6 +863,29 @@ object SparkEntry {
         |      (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS m
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // extraction surfaces: the oracle reads the COMMITTED golden parquet
+    // (regenerated only on deliberate behavior change via
+    // tools.GenExtractGoldens), so these leave the rows-only bucket and get
+    // the full rows+schema+hash check. Independent ground truth for the
+    // extraction kernel itself is the reference-pinned fixture suite
+    // (tools/gen_goldens.py + text_sha_pins.json, 38 fixtures in sbt test);
+    // this pin makes corpus-level drift a driver-visible failure too.
+    "x_extract_spans" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/x_extract_spans_sf001.parquet')
+        |ORDER BY url, region, a1""".stripMargin,
+    "x_extract_pages" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/x_extract_pages_sf001.parquet')
+        |ORDER BY url""".stripMargin,
+    "x_extract_hints" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/x_extract_hints_sf001.parquet')
+        |ORDER BY url, region, source""".stripMargin,
+    "x_extract_tables" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/x_extract_tables_sf001.parquet')
+        |ORDER BY url, region, a1""".stripMargin,
     // synthetic-media decode replayed: every field recomputed from the
     // generator's id arithmetic while the Spark side PARSES the real
     // PNG/GIF/JPEG/WAV/MP4 header bytes it wrote — a round-trip equality

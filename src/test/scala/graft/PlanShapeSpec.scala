@@ -76,6 +76,26 @@ class PlanShapeSpec extends AnyFunSuite {
         e.output.map(_.name).mkString(", "))
   }
 
+  test("Auto skew mode picks the documented plan variant (exchange vs none)") {
+    import graft.spark.{PageGen, Pipeline}
+    val pages = PageGen.pages(spark, sfDir)
+    def nShuffles(mode: Pipeline.SkewMode, input: org.apache.spark.sql.Dataset[graft.spark.Page]) =
+      nodes(Pipeline.extract(spark, input, numPartitions = 8, skewMode = mode).toDF())
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+    // well-split input (>= n/2 partitions): Auto adds NO exchange — the one
+    // shuffle in the plan is the explicit repartition(8) used to build the
+    // fixture. ForceShuffle on the same input adds the salted exchange.
+    val wellSplit = pages.repartition(8)
+    assert(nShuffles(Pipeline.Auto, wellSplit) == 1,
+      "Auto must not re-exchange an already well-split input")
+    assert(nShuffles(Pipeline.ForceShuffle, wellSplit) == 2)
+    // coarse input (1 partition): Auto inserts the salted exchange
+    val coarse = pages.coalesce(1)
+    assert(nShuffles(Pipeline.Auto, coarse) == 1,
+      "Auto must exchange a too-coarse input")
+    assert(nShuffles(Pipeline.NoShuffle, coarse) == 0)
+  }
+
   test("keepFirst equals the anti-join formulation") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val viaWindow = Dedup.keepFirst(docs).select(col("doc_id")).collect().map(_.getLong(0)).sorted
