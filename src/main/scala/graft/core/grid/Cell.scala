@@ -9,24 +9,45 @@ package graft.core.grid
   * converted value (what header extraction sees); `raw` keeps the original
   * source string (the reference's `formatted_value`).
   */
-final class Cell(
+final class Cell private (
     val value: String,
     val raw: String,
-    val dataType: String, // string | number | boolean | date | datetime | empty
     val row: Int,
     val col: Int,
-    val isBold: Boolean = false,
-    val alignment: String = null, // left | center | right | null
-    val borderTop: String = null, // none | thin | medium | thick | null
-    val borderBottom: String = null,
-    val borderLeft: String = null,
-    val borderRight: String = null,
-    val isMerged: Boolean = false,
-    val mergeRange: String = null,
-    val fontSize: Double = 0.0, // 0.0 == unset
-    val fontColor: String = null,
-    val backgroundColor: String = null
+    // closed-domain attributes packed into one int (slab-style compaction:
+    // drops 5 object refs + 2 boolean fields per cell on the dense path —
+    // the detectors see the same String/Boolean API via the accessors):
+    //   bit 0 bold, bit 1 merged, bits 2-3/4-5/6-7/8-9 borders (t/b/l/r),
+    //   bits 10-12 dataType
+    private val packed: Int,
+    val alignment: String, // arbitrary CSS text-align value — stays a ref
+    val mergeRange: String,
+    val fontSize: Double, // 0.0 == unset
+    val fontColor: String,
+    val backgroundColor: String
 ) extends Serializable {
+
+  def this(value: String, raw: String, dataType: String, row: Int, col: Int,
+      isBold: Boolean = false, alignment: String = null,
+      borderTop: String = null, borderBottom: String = null,
+      borderLeft: String = null, borderRight: String = null,
+      isMerged: Boolean = false, mergeRange: String = null,
+      fontSize: Double = 0.0, fontColor: String = null,
+      backgroundColor: String = null) =
+    this(value, raw, row, col,
+      (if (isBold) 1 else 0) | (if (isMerged) 2 else 0) |
+        (Cell.borderCode(borderTop) << 2) | (Cell.borderCode(borderBottom) << 4) |
+        (Cell.borderCode(borderLeft) << 6) | (Cell.borderCode(borderRight) << 8) |
+        (Cell.dtCode(dataType) << 10),
+      alignment, mergeRange, fontSize, fontColor, backgroundColor)
+
+  @inline def isBold: Boolean = (packed & 1) != 0
+  @inline def isMerged: Boolean = (packed & 2) != 0
+  @inline def borderTop: String = Cell.Borders((packed >>> 2) & 3)
+  @inline def borderBottom: String = Cell.Borders((packed >>> 4) & 3)
+  @inline def borderLeft: String = Cell.Borders((packed >>> 6) & 3)
+  @inline def borderRight: String = Cell.Borders((packed >>> 8) & 3)
+  @inline def dataType: String = Cell.DataTypes((packed >>> 10) & 7)
 
   /** reference: sheet_data.py:67-70 — empty when value is None or blank.
     * Allocation-free (trim-isEmpty is a kernel hot path).
@@ -51,6 +72,31 @@ final class Cell(
 }
 
 object Cell {
+  // border level domain is closed (Css.level: null/thin/medium/thick;
+  // "none" behaves as null for hasBorder and is mapped to it)
+  private[grid] val Borders = Array[String](null, "thin", "medium", "thick")
+  private[grid] def borderCode(s: String): Int = s match {
+    case null | "none" => 0
+    case "thin" => 1
+    case "medium" => 2
+    case "thick" => 3
+    case _ => 1 // unknown style string: visible border, thin
+  }
+
+  // TypeInfer.infer emits exactly these; index 0 covers null/unknown
+  private[grid] val DataTypes =
+    Array[String](null, "string", "number", "boolean", "date", "datetime", "empty")
+  private[grid] def dtCode(s: String): Int = s match {
+    case null => 0
+    case "string" => 1
+    case "number" => 2
+    case "boolean" => 3
+    case "date" => 4
+    case "datetime" => 5
+    case "empty" => 6
+    case _ => 1
+  }
+
   /** String cell with no formatting (text-reader path,
     * reference: readers/text_reader.py:339-346).
     */
@@ -63,6 +109,14 @@ object Cell {
   def inferred(v: String, row: Int, col: Int): Cell = {
     val (py, dt) = TypeInfer.infer(v)
     new Cell(py, v, dt, row, col)
+  }
+
+  /** Tuple-free variant for the per-row kernel loops: `res` is a
+    * caller-owned scratch reused across cells.
+    */
+  def inferred(v: String, row: Int, col: Int, res: TypeInfer.Res): Cell = {
+    TypeInfer.inferInto(v, res)
+    new Cell(res.py, v, res.dt, row, col)
   }
 }
 

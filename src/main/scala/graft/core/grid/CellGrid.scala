@@ -8,8 +8,8 @@ package graft.core.grid
   * order-sensitive step, island_detector.py:658). Backed by a primitive
   * open-addressing map — the kernel is allocation-bound otherwise.
   */
-final class CellGrid extends Serializable {
-  private val map = new LongObjMap[Cell]()
+final class CellGrid(capacityHint: Int = 8) extends Serializable {
+  private val map = new LongObjMap[Cell](math.max(8, capacityHint))
   private var _maxRow: Int = 0
   private var _maxCol: Int = 0
   private var sortedCache: Array[Cell] = null
@@ -106,7 +106,9 @@ final class CellGrid extends Serializable {
 object CellGrid {
   /** Build from rows of string cells with type inference (delimited path). */
   def fromRows(rows: IndexedSeq[IndexedSeq[String]], infer: Boolean): CellGrid = {
-    val g = new CellGrid
+    // rectangular-ish input: size the map once from the first row's width
+    val g = new CellGrid(rows.length * (if (rows.nonEmpty) rows(0).length else 0))
+    val res = new TypeInfer.Res // reused across cells (tuple-free path)
     var r = 0
     while (r < rows.length) {
       val row = rows(r)
@@ -116,7 +118,7 @@ object CellGrid {
         if (v != null && v.trim.nonEmpty) {
           // text path stores stripped strings (text_reader.py:339-346);
           // csv path infers types (csv_reader.py:307-327)
-          g.put(if (infer) Cell.inferred(v, r, c) else Cell.str(v.trim, r, c))
+          g.put(if (infer) Cell.inferred(v, r, c, res) else Cell.str(v.trim, r, c))
         }
         c += 1
       }

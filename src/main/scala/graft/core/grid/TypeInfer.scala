@@ -17,12 +17,29 @@ object TypeInfer {
   private val MonthWords = Array("jan", "feb", "mar", "apr", "may", "jun", "jul",
     "aug", "sep", "oct", "nov", "dec")
 
+  /** Mutable result holder for the tuple-free kernel path: one instance per
+    * parse (NOT per cell), so inference allocates nothing beyond the value
+    * string itself. `dt` is always one of the shared type-name constants.
+    */
+  final class Res {
+    var py: String = null
+    var dt: String = null
+    @inline private[TypeInfer] def set(p: String, d: String): Unit = { py = p; dt = d }
+  }
+
   /** Returns (pythonStrOfConvertedValue, dataType). For "empty" the value is
-    * null.
+    * null. Tuple-allocating convenience wrapper over [[inferInto]].
     */
   def infer(value: String): (String, String) = {
+    val r = new Res
+    inferInto(value, r)
+    (r.py, r.dt)
+  }
+
+  /** Tuple-free inference into a caller-owned holder (the kernel hot path). */
+  def inferInto(value: String, out: Res): Unit = {
     val stripped = value.trim
-    if (stripped.isEmpty) return (null, "empty")
+    if (stripped.isEmpty) return out.set(null, "empty")
 
     // fast path: plain ASCII digits (the dominant numeric-cell case) —
     // same result as the int path below, no regex/BigInt
@@ -37,11 +54,11 @@ object TypeInfer {
       if (allDigits) {
         if (stripped.length == 1 && (stripped.charAt(0) == '0' || stripped.charAt(0) == '1')) {
           // "0"/"1" are booleans in the reference (csv_reader.py:344-346)
-          return (if (stripped.charAt(0) == '1') "True" else "False", "boolean")
+          return out.set(if (stripped.charAt(0) == '1') "True" else "False", "boolean")
         }
         // already canonical (no leading zero): Python str(int(s)) == s
-        if (stripped.charAt(0) != '0') return (stripped, "number")
-        return (java.lang.Long.parseLong(stripped).toString, "number")
+        if (stripped.charAt(0) != '0') return out.set(stripped, "number")
+        return out.set(java.lang.Long.parseLong(stripped).toString, "number")
       }
     }
 
@@ -85,16 +102,16 @@ object TypeInfer {
           } else true
         if (canonicalInt && fracLen >= 1 && sigDigits <= 7 && magnitudeOk &&
             stripped.charAt(stripped.length - 1) != '0') {
-          return (stripped, "number")
+          return out.set(stripped, "number")
         }
         val d = java.lang.Double.parseDouble(stripped)
-        return (PyFloat.repr(d), "number")
+        return out.set(PyFloat.repr(d), "number")
       }
     }
 
     val low = stripped.toLowerCase
     if (BoolAll.contains(low))
-      return (if (BoolTrue.contains(low)) "True" else "False", "boolean")
+      return out.set(if (BoolTrue.contains(low)) "True" else "False", "boolean")
 
     // int path: no '.' and no 'e' in the original, thousands separators stripped
     if (!stripped.contains('.') && !low.contains('e')) {
@@ -102,7 +119,7 @@ object TypeInfer {
       if (IntRe.matches(noComma)) {
         try {
           val bi = BigInt(noComma)
-          return (bi.toString, "number")
+          return out.set(bi.toString, "number")
         } catch { case _: NumberFormatException => () }
       }
     }
@@ -112,12 +129,12 @@ object TypeInfer {
     if (FloatRe.matches(noComma)) {
       try {
         val d = java.lang.Double.parseDouble(noComma)
-        return (PyFloat.repr(d), "number")
+        return out.set(PyFloat.repr(d), "number")
       } catch { case _: NumberFormatException => () }
     }
 
-    if (looksLikeDate(stripped)) return (stripped, "date")
-    (stripped, "string")
+    if (looksLikeDate(stripped)) return out.set(stripped, "date")
+    out.set(stripped, "string")
   }
 
   /** reference: csv_reader.py:371-409. */

@@ -294,6 +294,7 @@ object PageParser {
     private var col = 0
     private var inCell = false
     private val cellText = new java.lang.StringBuilder
+    private val inferRes = new graft.core.grid.TypeInfer.Res // per-grid, not per-cell
     private var cellBold = false
     private var cellIsTh = false
     private var cellAttrs: Map[String, String] = Map.empty
@@ -359,7 +360,9 @@ object PageParser {
 
       val value = normalizeWs(cellText.toString)
       if (value.nonEmpty) {
-        val (py, dt) = graft.core.grid.TypeInfer.infer(value)
+        graft.core.grid.TypeInfer.inferInto(value, inferRes)
+        val py = inferRes.py
+        val dt = inferRes.dt
         val borders = Css.borders(style, tableBorder)
         val merged = colspan > 1 || rowspan > 1
         val mergeRange =
