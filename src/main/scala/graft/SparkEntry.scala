@@ -236,6 +236,25 @@ object SparkEntry {
     // exact 32-bit-limb mod-2^64 arithmetic, bit voting, hamming join)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, t(s, dir, "documents"), maxHamming = 3)),
+    // exact n-gram Jaccard (the dedup verification stage) oracle-checked
+    // end to end on a deterministic pair set (each doc vs its successor):
+    // the DuckDB oracle replays word 3-shingling and the set Jaccard with
+    // identical tokenization, so the operator itself is verified, not just
+    // its shape. Pair generation is an id-equality hash join (scales);
+    // the jaccard is computed in a typed map over the joined pair.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("t_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+        col("text").as("t_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("t_a"), col("id_b"), col("t_b"))
+        .as[(Long, String, Long, String)]
+        .map { case (ia, ta, ib, tb) => (ia, ib, Dedup.ngramJaccard(ta, tb, 3)) }
+        .toDF("id_a", "id_b", "jaccard")
+        .orderBy(col("id_a"))
+    }),
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.orderBy(col("vec_id")).limit(8)
@@ -863,6 +882,27 @@ object SparkEntry {
         |      (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS m
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // word 3-shingles + set Jaccard replayed with identical tokenization
+    // (same '\s+' split and lower() the simhash oracle already relies on);
+    // both engines divide the same small exact ints, so the double is
+    // bit-identical
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
     // extraction surfaces: the oracle reads the COMMITTED golden parquet
     // (regenerated only on deliberate behavior change via
     // tools.GenExtractGoldens), so these leave the rows-only bucket and get
