@@ -141,9 +141,12 @@ final class DataIsland extends Serializable {
     (s1 + s2 + s3 + s4) / 4.0
   }
 
-  /** reference: island_detector.py:255-297. */
+  /** reference: island_detector.py:255-297. The 16 possible border
+    * signatures tally into a primitive array (was a boxed HashMap per
+    * island).
+    */
   private def analyzeBorderConsistency(g: CellGrid): Double = {
-    val patterns = mutable.HashMap.empty[Int, Int]
+    val patterns = new Array[Int](16)
     var total = 0
     var r = minRow
     while (r <= maxRow) {
@@ -157,40 +160,53 @@ final class DataIsland extends Serializable {
           if (cell.borderBottom != null) sig |= 2
           if (cell.borderLeft != null) sig |= 4
           if (cell.borderRight != null) sig |= 8
-          patterns(sig) = patterns.getOrElse(sig, 0) + 1
+          patterns(sig) += 1
         }
         c += 1
       }
       r += 1
     }
-    if (patterns.isEmpty) return 0.5
-    val mostCommon = patterns.values.max
-    var consistency = if (total > 0) mostCommon.toDouble / total else 0.0
-    val hasBorders = patterns.keys.exists(_ != 0)
+    if (total == 0) return 0.5
+    var mostCommon = 0
+    var hasBorders = false
+    var i = 0
+    while (i < 16) {
+      if (patterns(i) > mostCommon) mostCommon = patterns(i)
+      if (i != 0 && patterns(i) > 0) hasBorders = true
+      i += 1
+    }
+    var consistency = mostCommon.toDouble / total
     if (hasBorders) consistency = math.min(1.0, consistency + 0.1)
     consistency
   }
 
-  /** reference: island_detector.py:299-334. */
+  /** reference: island_detector.py:299-334. Type tallies per column use a
+    * primitive array indexed by Cell.dataTypeCode (was a boxed HashMap per
+    * column per island).
+    */
   private def analyzeColumnTypeConsistency(g: CellGrid): Double = {
     var sum = 0.0
     var n = 0
     val startRow = if (hasHeaders) minRow + 1 else minRow
+    val counts = new Array[Int](8) // reused across columns
     var c = minCol
     while (c <= maxCol) {
-      val counts = mutable.HashMap.empty[String, Int]
+      java.util.Arrays.fill(counts, 0)
       var total = 0
       var r = startRow
       while (r <= maxRow) {
         val cell = g.get(r, c)
         if (cell != null && cell.value != null) {
           total += 1
-          counts(cell.dataType) = counts.getOrElse(cell.dataType, 0) + 1
+          counts(cell.dataTypeCode) += 1
         }
         r += 1
       }
-      if (total > 0 && counts.nonEmpty) {
-        sum += counts.values.max.toDouble / total
+      if (total > 0) {
+        var mx = 0
+        var i = 0
+        while (i < 8) { if (counts(i) > mx) mx = counts(i); i += 1 }
+        sum += mx.toDouble / total
         n += 1
       }
       c += 1
@@ -223,11 +239,14 @@ final class DataIsland extends Serializable {
     if (total == 0) 0.7 else correct.toDouble / total
   }
 
-  /** reference: island_detector.py:375-451. */
+  /** reference: island_detector.py:375-451. Only DISTINCT COUNTS up to 3
+    * feed the scoring, so three capped two-slot counters replace the boxed
+    * HashSets (allocation-free, exact for the 0/1/2/3+ buckets used).
+    */
   private def analyzeFormatUniformity(g: CellGrid): Double = {
-    val fontSizes = mutable.HashSet.empty[Double]
-    val fontColors = mutable.HashSet.empty[String]
-    val bgColors = mutable.HashSet.empty[String]
+    var fs1 = 0.0; var fs2 = 0.0; var fsN = 0 // distinct font sizes, capped at 3
+    var fc1: String = null; var fc2: String = null; var fcN = 0
+    var bg1: String = null; var bg2: String = null; var bgN = 0
     var boldCount = 0
     var total = 0
     val startRow = if (hasHeaders) minRow + 1 else minRow
@@ -238,9 +257,24 @@ final class DataIsland extends Serializable {
         val cell = g.get(r, c)
         if (cell != null) {
           total += 1
-          if (cell.fontSize > 0.0) fontSizes += cell.fontSize
-          if (cell.fontColor != null) fontColors += cell.fontColor
-          if (cell.backgroundColor != null) bgColors += cell.backgroundColor
+          val v = cell.fontSize
+          if (v > 0.0 && fsN < 3) {
+            if (fsN == 0) { fs1 = v; fsN = 1 }
+            else if (v != fs1 && fsN == 1) { fs2 = v; fsN = 2 }
+            else if (v != fs1 && v != fs2) fsN = 3
+          }
+          val fc = cell.fontColor
+          if (fc != null && fcN < 3) {
+            if (fcN == 0) { fc1 = fc; fcN = 1 }
+            else if (fc != fc1 && fcN == 1) { fc2 = fc; fcN = 2 }
+            else if (fc != fc1 && fc != fc2) fcN = 3
+          }
+          val bg = cell.backgroundColor
+          if (bg != null && bgN < 3) {
+            if (bgN == 0) { bg1 = bg; bgN = 1 }
+            else if (bg != bg1 && bgN == 1) { bg2 = bg; bgN = 2 }
+            else if (bg != bg1 && bg != bg2) bgN = 3
+          }
           if (cell.isBold) boldCount += 1
         }
         c += 1
@@ -249,9 +283,9 @@ final class DataIsland extends Serializable {
     }
     if (total == 0) return 0.5
     var sum = 0.0
-    sum += (if (fontSizes.size <= 1) 1.0 else if (fontSizes.size == 2) 0.8 else 0.5)
-    sum += (if (fontColors.size <= 1) 1.0 else if (fontColors.size <= 2) 0.7 else 0.4)
-    sum += (if (bgColors.isEmpty) 0.9 else if (bgColors.size == 1) 1.0 else 0.5)
+    sum += (if (fsN <= 1) 1.0 else if (fsN == 2) 0.8 else 0.5)
+    sum += (if (fcN <= 1) 1.0 else if (fcN <= 2) 0.7 else 0.4)
+    sum += (if (bgN == 0) 0.9 else if (bgN == 1) 1.0 else 0.5)
     val boldRatio = boldCount.toDouble / total
     sum += (if (boldRatio == 0.0 || boldRatio == 1.0) 1.0
             else if (boldRatio < 0.1 || boldRatio > 0.9) 0.8
@@ -701,10 +735,24 @@ final class IslandDetector(
       return RowFmt(hasData = false, 0.0, Set.empty, Set.empty, isLikelyHeader = false, 0.0,
         FmtConst.NoBorders, 0)
 
-    val boldCount = rowCells.count(_.isBold)
+    var boldCount = 0
+    // build the color sets with a plain loop: the dominant unstyled row
+    // allocates NOTHING (Set.empty is shared), a single-color row allocates
+    // one Set1 — the iterator.map.filter.toSet chain cost 5+ objects per
+    // row on this per-row hot path
+    var bgColors: Set[String] = Set.empty
+    var fontColors: Set[String] = Set.empty
+    var ci = 0
+    while (ci < rowCells.length) {
+      val cell = rowCells(ci)
+      if (cell.isBold) boldCount += 1
+      val bg = cell.backgroundColor
+      if (bg != null) bgColors += bg
+      val fc = cell.fontColor
+      if (fc != null) fontColors += fc
+      ci += 1
+    }
     val boldRatio = boldCount.toDouble / rowCells.size
-    val bgColors = rowCells.iterator.map(_.backgroundColor).filter(_ != null).toSet
-    val fontColors = rowCells.iterator.map(_.fontColor).filter(_ != null).toSet
     val isLikelyHeader = boldRatio >= FmtConst.HeaderBoldThreshold ||
       (bgColors.size == 1 && rowCells.size > 1)
 

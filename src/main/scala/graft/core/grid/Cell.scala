@@ -48,6 +48,10 @@ final class Cell private (
   @inline def borderLeft: String = Cell.Borders((packed >>> 6) & 3)
   @inline def borderRight: String = Cell.Borders((packed >>> 8) & 3)
   @inline def dataType: String = Cell.DataTypes((packed >>> 10) & 7)
+  /** Small stable code for dataType (index into Cell.DataTypes) — lets
+    * per-column type tallies use a primitive array instead of a boxed map.
+    */
+  @inline def dataTypeCode: Int = (packed >>> 10) & 7
 
   /** reference: sheet_data.py:67-70 — empty when value is None or blank.
     * Allocation-free (trim-isEmpty is a kernel hot path).
