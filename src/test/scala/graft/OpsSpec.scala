@@ -269,6 +269,51 @@ class OpsSpec extends AnyFunSuite {
     assert(!corrupt.decode_ok && corrupt.duration_ms == 0L, "corrupt video isolates")
   }
 
+  test("MP4 decoder handles version-1 boxes, largesize, and box-to-end") {
+    // hand-built ISO-BMFF with v1 mvhd/tkhd (64-bit times) and a moov
+    // carried in a size==1 largesize box — the paths mp4Bytes never emits
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val mvhdV1 = {
+      val content = Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++
+        be32(90000L) ++ be64(450000L) ++ // timescale 90k, duration 5 s
+        be32(0x00010000L) ++ new Array[Byte](76)
+      be32(8L + content.length) ++ cc("mvhd") ++ content
+    }
+    val tkhdV1 = {
+      val content = Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++
+        be32(1L) ++ be32(0L) ++ be64(450000L) ++ new Array[Byte](52) ++
+        be32(1280L << 16) ++ be32(720L << 16)
+      be32(8L + content.length) ++ cc("tkhd") ++ content
+    }
+    val trak = be32(8L + tkhdV1.length) ++ cc("trak") ++ tkhdV1
+    val moovContent = mvhdV1 ++ trak
+    // moov as a largesize box: size field == 1, 64-bit size after the type
+    val moov = be32(1L) ++ cc("moov") ++ be64(16L + moovContent.length) ++ moovContent
+    val ftyp = be32(16L) ++ cc("ftyp") ++ cc("isom") ++ be32(0L)
+    // trailing mdat with size==0 (extends to end of file)
+    val mdat = be32(0L) ++ cc("mdat") ++ "tail".getBytes
+    val bytes = ftyp ++ moov ++ mdat
+    assert(Multimodal.decodeMp4(bytes).contains((1280, 720, 5000L)),
+      s"v1+largesize decode failed: ${Multimodal.decodeMp4(bytes)}")
+  }
+
+  test("WAV decoder skips unknown chunks and honors word alignment") {
+    // RIFF with a 3-byte odd-sized LIST chunk (padded to 4) before fmt/data
+    val data = new Array[Byte](16000) // 0.5 s of 16 kHz mono 16-bit
+    val base = Multimodal.wavBytes(1, 16000, data)
+    val odd = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0) // 3+pad
+    val out = new Array[Byte](base.length + odd.length)
+    System.arraycopy(base, 0, out, 0, 12) // RIFF..WAVE
+    System.arraycopy(odd, 0, out, 12, odd.length)
+    System.arraycopy(base, 12, out, 12 + odd.length, base.length - 12)
+    assert(Multimodal.decodeWav(out).contains((1, 16000, 500L)),
+      s"odd-chunk walk failed: ${Multimodal.decodeWav(out)}")
+  }
+
   test("synthetic media decodes end-to-end across all three modalities") {
     val feats = Multimodal.extractFeatures(
       Multimodal.syntheticMedia(spark, sfDir, limitN = 60)).collect()
