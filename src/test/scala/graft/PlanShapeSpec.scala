@@ -18,9 +18,12 @@ class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** All physical nodes, descending through the AQE wrapper. */
+  /** All physical nodes, descending through the AQE wrapper and through
+    * finalized query stages (whose subtrees are not in `.children`).
+    */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: nodes(q.plan)
     case _ => p +: p.children.flatMap(nodes)
   }
   private def nodes(df: DataFrame): Seq[SparkPlan] =
@@ -94,6 +97,67 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nShuffles(Pipeline.Auto, coarse) == 1,
       "Auto must exchange a too-coarse input")
     assert(nShuffles(Pipeline.NoShuffle, coarse) == 0)
+  }
+
+  test("bucketed tables join with ZERO exchanges (co-located join path)") {
+    import graft.spark.Bucketing
+    val tmp = java.nio.file.Files.createTempDirectory("buckets").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val anno = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    // disable broadcast so the plan shows the big-big co-located shape
+    // (at corpus scale neither side fits a broadcast; on this test corpus
+    // Spark would otherwise just broadcast the tiny side)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(docs, "b_docs", s"$tmp/b_docs", "doc_id", 8)
+      Bucketing.writeBucketed(anno, "b_anno", s"$tmp/b_anno", "doc_id", 8)
+      val joined = Bucketing.bucketedJoin(spark, "b_docs", "b_anno", "doc_id")
+      assert(joined.count() == docs.count())
+      val all = nodes(joined)
+      assert(!all.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "a same-key same-count bucketed join must not shuffle either side")
+      assert(!all.exists(_.isInstanceOf[BroadcastExchangeExec]),
+        "the co-located path needs no broadcast either")
+      // sortBy in the layout also removes the per-side Sort from the SMJ
+      assert(all.exists(_.nodeName.contains("SortMergeJoin")),
+        s"expected a sort-merge join over bucketed scans: ${all.map(_.nodeName)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_anno")
+    }
+  }
+
+  test("AQE re-plans a static sort-merge join into broadcast at runtime") {
+    // static planning is denied broadcast (threshold -1); AQE's runtime
+    // size statistics see the tiny filtered build side and convert the
+    // join — the runtime-re-plan safety net the 100 TB configuration
+    // relies on when estimates are wrong
+    val conf = spark.conf
+    val prevStatic = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val joined = orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      joined.collect() // AQE finalizes the plan during execution
+      val all = nodes(joined)
+      assert(all.exists(_.nodeName.contains("BroadcastHashJoin")),
+        s"AQE should have converted SMJ to BHJ: ${all.map(_.nodeName).distinct}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAdaptive match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 
   test("keepFirst equals the anti-join formulation") {
