@@ -194,6 +194,17 @@ object SparkEntry {
     }),
     "x_extract_metrics" -> ((s, dir) =>
       Pipeline.metrics(Pipeline.extract(s, PageGen.pages(s, dir)))),
+    // corpus-level rollup of the same metrics (partition-independent, so
+    // unlike x_extract_metrics it IS oracle-checkable): the DuckDB oracle
+    // aggregates the committed pages golden — pinning the A7/A8 rollup
+    // arithmetic end to end
+    "q_extract_totals" -> ((s, dir) =>
+      Pipeline.extract(s, PageGen.pages(s, dir)).toDF().agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tables")).as("tables_found"),
+        sum(col("n_regions")).as("regions_found"),
+        sum(col("bytes_stripped")).as("bytes_stripped"),
+        sum(when(col("parse_failed"), 1L).otherwise(0L)).as("parse_failures"))),
     "x_extract_hints" -> ((s, dir) => {
       // author-declared table metadata (caption/summary/semantic class) —
       // the ExcelMetadataExtractor-analogue surface, ridden on the same
@@ -926,6 +937,15 @@ object SparkEntry {
       """SELECT * FROM read_parquet(
         |  '/root/repo/src/test/resources/golden/x_extract_tables_sf001.parquet')
         |ORDER BY url, region, a1""".stripMargin,
+    "q_extract_totals" ->
+      """SELECT count(*) AS docs,
+        |  CAST(sum(n_tables) AS BIGINT) AS tables_found,
+        |  CAST(sum(n_regions) AS BIGINT) AS regions_found,
+        |  CAST(sum(bytes_stripped) AS BIGINT) AS bytes_stripped,
+        |  CAST(sum(CASE WHEN parse_failed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS parse_failures
+        |FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/x_extract_pages_sf001.parquet')""".stripMargin,
     // synthetic-media decode replayed: every field recomputed from the
     // generator's id arithmetic while the Spark side PARSES the real
     // PNG/GIF/JPEG/WAV/MP4 header bytes it wrote — a round-trip equality
