@@ -161,6 +161,15 @@ object SparkEntry {
         length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct")
       ).orderBy(col("doc_id"))
     }),
+    // BPE-ish token counting next to the whitespace count: the same regex
+    // subset evaluates identically under java.util.regex (Spark) and RE2
+    // (DuckDB), so the oracle replays the tokenizer itself
+    "q_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens_ws"),
+        TextOps.bpeTokenCount(col("text")).as("n_tokens_bpe"))
+        .orderBy(col("doc_id"))),
     "q_quality_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val len = length(col("text")).cast("long")
@@ -411,6 +420,16 @@ object SparkEntry {
         |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
         |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) = 0 THEN 0
+        |    ELSE length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      - length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1
+        |  END AS n_tokens_ws,
+        |  len(regexp_extract_all(coalesce(text, ''),
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_gate" ->
       """SELECT lang, count(*) AS n_pass, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (

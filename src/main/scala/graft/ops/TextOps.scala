@@ -20,6 +20,25 @@ object TextOps {
       .otherwise(length(squeezed) - length(regexp_replace(squeezed, " ", "")) + 1L)
   }
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the regex subset
+    * where java.util.regex (Spark) and RE2 (DuckDB) agree exactly:
+    * contraction suffixes, space-prefixed letter/digit/symbol runs, and
+    * whitespace runs — leftmost-first alternation, Unicode \p{L}/\p{N}
+    * classes, ASCII \s, and crucially NO lookahead (RE2 has none; the
+    * GPT-2 original's `\s+(?!\S)` is dropped, which only changes how a
+    * trailing-space run splits, not the BPE-ish token count's intent).
+    */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches — the standard
+    * proxy for "how many tokens will the tokenizer emit" when sizing a
+    * training corpus without shipping a vocab. Codegen'd built-ins only.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit(BpeTokenPattern), lit(0)))
+      .cast("long")
+
   /** Quality features: length, alpha ratio, punctuation ratio, digit ratio,
     * mean word length — all built-ins, one projection.
     */

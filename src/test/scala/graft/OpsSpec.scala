@@ -184,6 +184,32 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.classifyLang("zzz qqq www") == "und")
   }
 
+  test("BPE-ish token count splits contractions, digits, symbols, whitespace runs") {
+    import spark.implicits._
+    // hand-traced against the pattern's leftmost-first alternation
+    val cases = Seq(
+      ("it's 2024, really!", 6L), // it | 's | _2024 | , | _really | !
+      ("naïve café", 2L), // unicode letter runs
+      ("a    b", 3L), // a | 4-space \s+ run | b
+      ("we'll we've won't", 6L), // we|'ll| we|'ve| won|'t
+      ("x=1+2", 5L), // x | = | 1 | + | 2
+      ("", 0L),
+      ("日本語テキスト", 1L) // one CJK letter run (pre-tokenizer, not BPE vocab)
+    )
+    val got = cases.map(_._1).toDF("text")
+      .select(TextOps.bpeTokenCount(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got want ${cases.map(_._2)}")
+    // regexp_extract_all agrees with a plain java.util.regex find loop
+    val p = java.util.regex.Pattern.compile(TextOps.BpeTokenPattern)
+    cases.foreach { case (s, want) =>
+      val m = p.matcher(s)
+      var n = 0L
+      while (m.find()) n += 1
+      assert(n == want, s"matcher count for '$s': $n != $want")
+    }
+  }
+
   test("multimodal resize plan and frame sampling are exact geometry") {
     assert(Multimodal.resizeDims(1920, 1080, 512, 512) == (512, 288))
     assert(Multimodal.resizeDims(100, 200, 512, 512) == (100, 200), "no upscaling")
