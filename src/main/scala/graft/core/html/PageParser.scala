@@ -57,6 +57,10 @@ object PageParser {
     "body", "html")
   private val MinBlockChars = 10
   private val MaxLinkRatio = 0.5
+  // deepest nested-<table> level that gets its own builder/region; deeper
+  // structure (adversarial nesting bombs) degrades to text flow — bounds
+  // per-page builder memory at MaxTableNesting × builder size
+  private val MaxTableNesting = 64
 
   def parse(html: String): ParsedPage = {
     val st = new State
@@ -75,13 +79,20 @@ object PageParser {
     var anchorDepth = 0
     var boldDepth = 0
     var preDepth = 0
-    var nestedTableDepth = 0
-
     val blockText = new java.lang.StringBuilder
     var blockLinkChars = 0
     val preText = new java.lang.StringBuilder
 
     var table: TableBuilder = null
+    // enclosing builders when tables nest (crawl HTML nests constantly):
+    // each nested <table> becomes its OWN region — the web analogue of
+    // GridGulp's multiple islands per sheet — instead of its cell text
+    // bleeding separator-free into the enclosing cell. Depth is capped so
+    // an adversarial page cannot allocate a builder per <table> tag;
+    // beyond the cap, structure is ignored and text flows into the
+    // innermost tracked cell (the pre-round-3 behavior).
+    val tableStack = mutable.ArrayBuffer.empty[TableBuilder]
+    var nestedOverflow = 0
 
     def onStartTag(name: String, attrs: Map[String, String], selfClosing: Boolean): Unit = {
       if (Dropped.contains(name)) {
@@ -90,10 +101,16 @@ object PageParser {
         () // inside dropped subtree
       } else if (table != null) {
         name match {
-          case "table" => nestedTableDepth += 1
-          case "tr" if nestedTableDepth == 0 => table.startRow()
-          case "td" | "th" if nestedTableDepth == 0 => table.startCell(name == "th", attrs)
-          case "caption" if nestedTableDepth == 0 => table.startCaption()
+          case "table" =>
+            if (nestedOverflow > 0 || tableStack.length >= MaxTableNesting)
+              nestedOverflow += 1
+            else {
+              tableStack += table
+              table = new TableBuilder(attrs)
+            }
+          case "tr" if nestedOverflow == 0 => table.startRow()
+          case "td" | "th" if nestedOverflow == 0 => table.startCell(name == "th", attrs)
+          case "caption" if nestedOverflow == 0 => table.startCaption()
           case "b" | "strong" => boldDepth += 1; table.sawBold()
           case _ => ()
         }
@@ -124,15 +141,17 @@ object PageParser {
       } else if (table != null) {
         name match {
           case "table" =>
-            if (nestedTableDepth > 0) nestedTableDepth -= 1
+            if (nestedOverflow > 0) nestedOverflow -= 1
             else {
               val g = table.build()
               if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table", table.meta)
-              table = null
+              table =
+                if (tableStack.nonEmpty) tableStack.remove(tableStack.length - 1)
+                else null
             }
-          case "tr" if nestedTableDepth == 0 => table.endRow()
-          case "td" | "th" if nestedTableDepth == 0 => table.endCell()
-          case "caption" if nestedTableDepth == 0 => table.endCaption()
+          case "tr" if nestedOverflow == 0 => table.endRow()
+          case "td" | "th" if nestedOverflow == 0 => table.endCell()
+          case "caption" if nestedOverflow == 0 => table.endCaption()
           case "b" | "strong" => if (boldDepth > 0) boldDepth -= 1
           case _ => ()
         }
@@ -207,10 +226,12 @@ object PageParser {
     }
 
     def finish(): ParsedPage = {
-      if (table != null) { // unclosed table
+      while (table != null) { // unclosed table(s), innermost first
         val g = table.build()
         if (g.hasData) regions += GridRegion(g, GridKind.Formatted, "table", table.meta)
-        table = null
+        table =
+          if (tableStack.nonEmpty) tableStack.remove(tableStack.length - 1)
+          else null
       }
       if (preDepth > 0) { preDepth = 0; finishPre() }
       flushBlock()

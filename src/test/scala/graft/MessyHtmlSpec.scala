@@ -21,15 +21,34 @@ class MessyHtmlSpec extends AnyFunSuite {
     assert(g.get(2, 1).value == "2")
   }
 
-  test("nested layout table becomes text of the containing cell") {
-    val html = "<table><tr><td>outer <table><tr><td>inner</td></tr></table></td>" +
+  test("nested table becomes its OWN region; outer cells keep their own text") {
+    // round-3 contract change: crawl HTML nests tables constantly, and the
+    // old flatten bled inner cell text separator-free into the outer cell
+    // ("outer inner" concatenation). Now each nested <table> is a separate
+    // region — the web analogue of GridGulp's multiple islands per sheet.
+    val html = "<table><tr><td>outer <table><tr><td>in1</td><td>in2</td></tr>" +
+      "<tr><td>in3</td><td>in4</td></tr></table></td>" +
       "<td>plain</td></tr><tr><td>r2</td><td>r2b</td></tr></table>"
     val page = PageParser.parse(html)
-    assert(page.regions.size == 1, "nested table must not create a second region")
-    val g = page.regions.head.grid
-    assert(g.get(0, 0).value == "outer inner")
-    assert(g.get(0, 1).value == "plain")
-    assert(g.get(1, 0).value == "r2")
+    assert(page.regions.size == 2, s"inner + outer regions, got ${page.regions.size}")
+    // inner table completes first (document order of completion)
+    val inner = page.regions.head.grid
+    assert(inner.size == 4 && inner.get(0, 0).value == "in1" && inner.get(1, 1).value == "in4")
+    val outer = page.regions(1).grid
+    assert(outer.get(0, 0).value == "outer", "inner text must not bleed into the outer cell")
+    assert(outer.get(0, 1).value == "plain")
+    assert(outer.get(1, 0).value == "r2")
+  }
+
+  test("table nesting beyond the depth cap degrades to text flow, bounded memory") {
+    val depth = 200 // > MaxTableNesting (64)
+    val html = "<table><tr><td>" * depth + "leaf" + "</td></tr></table>" * depth
+    val page = PageParser.parse(html)
+    // the first 65 levels are tracked builders (64 stacked + current); only
+    // grids with data materialize as regions — the leaf text lands in the
+    // deepest TRACKED cell, so exactly one region has data
+    assert(page.regions.size == 1, s"got ${page.regions.size}")
+    assert(page.regions.head.grid.get(0, 0).value == "leaf")
   }
 
   test("uppercase tags and unquoted attributes parse") {
@@ -85,11 +104,15 @@ class MessyHtmlSpec extends AnyFunSuite {
   }
 
   test("caption in a nested table never pollutes the outer table's metadata") {
-    val html = "<table><caption>outer</caption><tr><td>" +
+    val html = "<table><caption>outer</caption><tr><td>nested here " +
       "<table><caption>inner</caption><tr><td>x</td></tr></table>" +
       "</td><td>2</td></tr><tr><td>y</td><td>3</td></tr></table>"
     val page = PageParser.parse(html)
-    assert(page.regions.size == 1)
-    assert(page.regions.head.meta.caption == "outer")
+    assert(page.regions.size == 2)
+    // each region owns exactly its own caption (inner completes first)
+    assert(page.regions.head.meta.caption == "inner")
+    assert(page.regions.head.grid.get(0, 0).value == "x")
+    assert(page.regions(1).meta.caption == "outer")
+    assert(page.regions(1).grid.get(0, 0).value == "nested here")
   }
 }
