@@ -45,7 +45,6 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  final case class MinHashSig(id: Long, sig: Array[Long])
 
   /** Word shingles (n-grams of whitespace tokens), lowercased. */
   def shingles(text: String, n: Int): Iterator[String] = {
@@ -90,56 +89,69 @@ object Dedup {
     sig
   }
 
+  /** Per-band FNV fold over a signature (the LSH banding hash). */
+  def bandHashesOf(sig: Array[Long], bands: Int): Array[Long] = {
+    val rowsPerBand = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var i = b * rowsPerBand
+      while (i < (b + 1) * rowsPerBand) {
+        h = mix64(h ^ sig(i))
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
-    * signatures (map) → explode into `bands` band-hashes → self-join on the
-    * band hash (the ONE data shuffle) → signature comparison IN THE SAME
-    * stage as the join (the full 64×8-byte signatures never ride through a
-    * second exchange) → threshold filter → distinct on the (id_a, id_b,
-    * est_jaccard) triple — 24 bytes per surviving pair instead of ~1 KB per
-    * candidate.
+    * signatures (native Catalyst expression — whole-stage codegen, no
+    * typed-map serde break) → posexplode into `bands` band hashes → id-only
+    * self-join on the band hash (the banded exchange carries 20-byte rows,
+    * NOT the 512-byte signature × bands) → pair distinct while still
+    * id-only → signatures re-attach by two id-keyed joins against the
+    * once-materialized signature set → slot-match estimate (codegen'd
+    * higher-order functions) → threshold. Signature bytes cross the wire
+    * O(corpus + candidates) instead of O(corpus × bands) — the same
+    * de-amplification as lshNearNeighbors.
     */
   def minhashPairs(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    import spark.implicits._
     require(k % bands == 0, "k must be divisible by bands")
-    val rowsPerBand = k / bands
-    // localCheckpoint: both self-join sides re-derive from the signatures;
-    // eager materialization runs the (expensive) shingling+minhash map once
-    // and truncates lineage. Auto-cleaned on GC — no persist leak.
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .map { case (id, t) => MinHashSig(id, minhashSignature(t, k, shingleN)) }
+    import graft.functions.DedupFunctions
+    // localCheckpoint: the banding and both re-attach sides re-derive from
+    // the signatures; eager materialization runs the (expensive) shingling
+    // once and truncates lineage. Auto-cleaned on GC — no persist leak.
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+        DedupFunctions.minhashSig(coalesce(col(textCol), lit("")), k, shingleN).as("sig"))
       .localCheckpoint()
 
-    val banded = sigs.flatMap { s =>
-      (0 until bands).iterator.map { b =>
-        var h = 0xcbf29ce484222325L ^ b.toLong
-        var i = b * rowsPerBand
-        while (i < (b + 1) * rowsPerBand) {
-          h = mix64(h ^ s.sig(i))
-          i += 1
-        }
-        (b, h, s.id, s.sig)
-      }
-    }.toDF("band", "bhash", "id", "sig")
+    val banded = sigs.select(col("id"),
+        posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
+      .toDF("id", "band", "bhash")
 
     // within-bucket candidate pairing; buckets are tiny when data is clean,
     // so a self-join on (band, bhash) stays a hash join on the bucket key
-    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val est = a.join(b, Seq("band", "bhash")).filter(col("id_a") < col("id_b"))
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bhash")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // dedup across bands BEFORE the verify: 16 bytes/pair
+
+    val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        // estimated jaccard = fraction of matching signature slots, computed
-        // with codegen'd higher-order functions while both signatures are
-        // still colocated from the join — no typed map, no second pass
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / lit(k)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-
-    est.distinct().orderBy(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   // ---- SimHash ----
@@ -170,11 +182,11 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    import spark.implicits._
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, simhash(t)) }
-      .toDF("id", "sim")
+    // native Catalyst expression: the signature stage stays inside
+    // whole-stage codegen (no Deserialize→map→Serialize break)
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.DedupFunctions.simhash64(coalesce(col(textCol), lit("")))
+        .as("sim"))
 
     val chunked = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>

@@ -63,6 +63,40 @@ class PlanShapeSpec extends AnyFunSuite {
       "pairs are distinct across tables")
   }
 
+  test("minhashPairs: the banded exchange carries no signature column") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // broadcast off WHILE the plan is accessed (strategy resolves lazily):
+    // at test scale Spark would broadcast the tiny banded side and no
+    // exchange would exist to inspect; at corpus scale the banded stream
+    // shuffles — that is the shape under assertion
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.ops.Dedup.minhashPairs(spark, docs, threshold = 0.5)
+      val shuffles = nodes(df).collect { case e: ShuffleExchangeExec => e }
+      // every exchange keyed by the band hash (the bands-amplified candidate
+      // stream) must move only scalar columns — the 64-slot signature may
+      // only cross the wire on the id-keyed re-attach joins
+      val bandShuffles = shuffles.filter(_.outputPartitioning.toString.contains("bhash"))
+      assert(bandShuffles.nonEmpty, "expected the (band, bhash) candidate exchange")
+      bandShuffles.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"banded exchange must not carry signatures, found: " +
+            arrays.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      }
+      // the signature projection is a native expression inside codegen —
+      // asserted on the projection itself (inside minhashPairs it sits
+      // behind the localCheckpoint, which truncates the visible plan)
+      val projStr = docs.select(graft.functions.DedupFunctions
+          .minhashSig(coalesce(col("text"), lit("")), 64, 3))
+        .queryExecution.executedPlan.toString
+      assert(projStr.contains("graft_minhash_sig"), "native expression in the plan")
+      assert(!projStr.contains("DeserializeToObject"),
+        "signature computation must not break into object serde")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("keepFirst: one hash exchange, no broadcast, text never shuffles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = Dedup.keepFirst(docs).select(col("doc_id"), col("lang"), col("n_chars"))
