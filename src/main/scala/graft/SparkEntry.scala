@@ -271,7 +271,13 @@ object SparkEntry {
       a.join(b, "id_a")
         .select(col("id_a"), col("t_a"), col("id_b"), col("t_b"))
         .as[(Long, String, Long, String)]
-        .map { case (ia, ta, ib, tb) => (ia, ib, Dedup.ngramJaccard(ta, tb, 3)) }
+        // null ≡ '' exactly like the oracle's coalesce (shingles(null) would
+        // otherwise give an EMPTY set vs {''} for empty text — 0.0 vs 1.0
+        // on a null-vs-empty adjacent pair)
+        .map { case (ia, ta, ib, tb) =>
+          (ia, ib, Dedup.ngramJaccard(if (ta == null) "" else ta,
+            if (tb == null) "" else tb, 3))
+        }
         .toDF("id_a", "id_b", "jaccard")
         .orderBy(col("id_a"))
     }),
@@ -428,7 +434,7 @@ object SparkEntry {
         |      - length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1
         |  END AS n_tokens_ws,
         |  len(regexp_extract_all(coalesce(text, ''),
-        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\x0B\p{L}\p{N}]+|[ \t\n\f\r\x0B]+'))
         |    AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_gate" ->

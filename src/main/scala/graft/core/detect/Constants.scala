@@ -108,10 +108,14 @@ object DetectConfig {
       enableSimpleCase = bool("GRAFT_ENABLE_SIMPLE_CASE_DETECTION", d.enableSimpleCase),
       enableIslandDetection = bool("GRAFT_ENABLE_ISLAND_DETECTION", d.enableIslandDetection),
       // Long arithmetic + clamp: an env value >= 2048 MB would overflow Int
-      // to a negative cap and silently mark the whole corpus parse_failed
-      maxHtmlBytes = math.min(
-        int("GRAFT_MAX_HTML_MB", d.maxHtmlBytes / (1024 * 1024)).toLong * 1024L * 1024L,
-        Int.MaxValue.toLong).toInt,
+      // to a negative cap and silently mark the whole corpus parse_failed;
+      // non-positive values (no sane meaning for a byte cap) keep the
+      // default instead of failing every page
+      maxHtmlBytes = {
+        val mb = int("GRAFT_MAX_HTML_MB", d.maxHtmlBytes / (1024 * 1024))
+        if (mb <= 0) d.maxHtmlBytes
+        else math.min(mb.toLong * 1024L * 1024L, Int.MaxValue.toLong).toInt
+      },
       extractTables = bool("GRAFT_EXTRACT_TABLES", d.extractTables)
     )
   }

@@ -103,27 +103,3 @@ final class CellGrid(capacityHint: Int = 8) extends Serializable {
   }
 }
 
-object CellGrid {
-  /** Build from rows of string cells with type inference (delimited path). */
-  def fromRows(rows: IndexedSeq[IndexedSeq[String]], infer: Boolean): CellGrid = {
-    // rectangular-ish input: size the map once from the first row's width
-    val g = new CellGrid(rows.length * (if (rows.nonEmpty) rows(0).length else 0))
-    val res = new TypeInfer.Res // reused across cells (tuple-free path)
-    var r = 0
-    while (r < rows.length) {
-      val row = rows(r)
-      var c = 0
-      while (c < row.length) {
-        val v = row(c)
-        if (v != null && v.trim.nonEmpty) {
-          // text path stores stripped strings (text_reader.py:339-346);
-          // csv path infers types (csv_reader.py:307-327)
-          g.put(if (infer) Cell.inferred(v, r, c, res) else Cell.str(v.trim, r, c))
-        }
-        c += 1
-      }
-      r += 1
-    }
-    g
-  }
-}

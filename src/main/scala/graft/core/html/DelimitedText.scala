@@ -138,6 +138,7 @@ object DelimitedText {
   def parse(text: String, delimiter: Char): (CellGrid, GridKind) = {
     val g = new CellGrid
     val infer = delimiter != ' '
+    val res = new graft.core.grid.TypeInfer.Res // reused across cells (tuple-free)
     var r = 0
     text.linesIterator.takeWhile(_ => r <= MaxRows).foreach { line =>
       if (line.nonEmpty) { // reference csv path skips empty rows only implicitly
@@ -148,7 +149,7 @@ object DelimitedText {
         while (c < parts.length) {
           val v = parts(c)
           if (v != null && v.trim.nonEmpty) {
-            g.put(if (infer) Cell.inferred(v, r, c) else Cell.str(v.trim, r, c))
+            g.put(if (infer) Cell.inferred(v, r, c, res) else Cell.str(v.trim, r, c))
           }
           c += 1
         }

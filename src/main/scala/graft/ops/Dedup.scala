@@ -19,12 +19,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
   }
 
-  /** Rows dropped by exact dedup (the duplicates themselves). */
+  /** Rows dropped by exact dedup (the duplicates themselves). Null-safe on
+    * the hash (sha2(null) is null): null-text docs form ONE duplicate group,
+    * matching `exact`/`keepFirst` (GROUP BY and window partitioning both
+    * group nulls) — a plain equi-join would silently drop them.
+    */
   def exactDuplicates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val hashed = df.withColumn("text_hash", sha2(col(textCol), 256))
-    val keep = hashed.groupBy(col("text_hash")).agg(min(col(idCol)).as("keep_id"))
-    hashed.join(keep, "text_hash").filter(col(idCol) =!= col("keep_id"))
+    val keep = hashed.groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .withColumnRenamed("text_hash", "keep_hash")
+    hashed.join(keep, hashed("text_hash") <=> keep("keep_hash"))
+      .filter(col(idCol) =!= col("keep_id"))
       .select(col(idCol).as("dup_id"), col("keep_id"))
   }
 

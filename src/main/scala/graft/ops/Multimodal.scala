@@ -125,22 +125,27 @@ object Multimodal {
     var byteRate = 0L
     var dataBytes = -1L
     var sawFmt = false
-    var i = 12
+    // walk index is a Long: a declared chunk size near 2^31 must terminate
+    // the walk cleanly, never wrap negative and index out of bounds
+    var i = 12L
     while (i + 8 <= b.length) {
-      val ckSize = le32(b, i + 4)
-      if (ckSize < 0 || ckSize > Int.MaxValue) return None
-      if (fourCC(b, i, "fmt ")) {
-        if (i + 8 + 16 > b.length) return None
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12).toInt
-        byteRate = le32(b, i + 16)
+      val p = i.toInt
+      val ckSize = le32(b, p + 4)
+      if (fourCC(b, p, "fmt ")) {
+        // the 16 PCM fmt fields must be inside the DECLARED chunk, not just
+        // the buffer — otherwise a truncated fmt chunk reads the next
+        // chunk's header bytes as garbage channels/rate
+        if (ckSize < 16 || p + 8 + 16 > b.length) return None
+        channels = le16(b, p + 10)
+        rate = le32(b, p + 12).toInt
+        byteRate = le32(b, p + 16)
         sawFmt = true
-      } else if (fourCC(b, i, "data")) {
+      } else if (fourCC(b, p, "data")) {
         // trust the chunk header even if the payload is truncated — real
         // probes report declared duration
         dataBytes = ckSize
       }
-      i += 8 + ckSize.toInt + (ckSize.toInt & 1) // chunks are word-aligned
+      i += 8L + ckSize + (ckSize & 1L) // chunks are word-aligned
     }
     if (!sawFmt || dataBytes < 0 || channels <= 0 || rate <= 0 || byteRate <= 0) None
     else Some((channels, rate, dataBytes * 1000L / byteRate))

@@ -24,12 +24,15 @@ object TextOps {
     * where java.util.regex (Spark) and RE2 (DuckDB) agree exactly:
     * contraction suffixes, space-prefixed letter/digit/symbol runs, and
     * whitespace runs — leftmost-first alternation, Unicode \p{L}/\p{N}
-    * classes, ASCII \s, and crucially NO lookahead (RE2 has none; the
-    * GPT-2 original's `\s+(?!\S)` is dropped, which only changes how a
+    * classes, and crucially NO lookahead (RE2 has none; the GPT-2
+    * original's `\s+(?!\S)` is dropped, which only changes how a
     * trailing-space run splits, not the BPE-ish token count's intent).
+    * Whitespace is an EXPLICIT class, not `\s`: Java's \s includes \x0B
+    * (vertical tab) while RE2's does not, so `\s` would silently diverge
+    * between the Spark side and the DuckDB oracle on \x0B-bearing text.
     */
   val BpeTokenPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\x0B\\p{L}\\p{N}]+|[ \\t\\n\\f\\r\\x0B]+"
 
   /** BPE-ish token count: number of pre-tokenizer matches — the standard
     * proxy for "how many tokens will the tokenizer emit" when sizing a

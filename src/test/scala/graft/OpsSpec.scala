@@ -194,7 +194,8 @@ class OpsSpec extends AnyFunSuite {
       ("we'll we've won't", 6L), // we|'ll| we|'ve| won|'t
       ("x=1+2", 5L), // x | = | 1 | + | 2
       ("", 0L),
-      ("日本語テキスト", 1L) // one CJK letter run (pre-tokenizer, not BPE vocab)
+      ("日本語テキスト", 1L), // one CJK letter run (pre-tokenizer, not BPE vocab)
+      ("a\u000Bb", 3L) // vertical tab: explicit ws class (Java \s has it, RE2 \s not)
     )
     val got = cases.map(_._1).toDF("text")
       .select(TextOps.bpeTokenCount(col("text")).as("n"))
