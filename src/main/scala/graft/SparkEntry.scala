@@ -478,7 +478,7 @@ object SparkEntry {
         |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
         |        list_transform(string_split(tok, ''), ch -> unicode(ch)::HUGEINT)),
         |      (h, c) -> ((((CASE WHEN (xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) * 435::HUGEINT) % 18446744073709551616::HUGEINT + ((((((CASE WHEN (xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((h) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((c) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) % 4294967296::HUGEINT) * 256::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT)) AS hs
-        |  FROM toks),
+        |  FROM toks WHERE len(tk) > 0),
         |m1 AS (SELECT doc_id, list_transform(hs, x -> (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS hs FROM h0),
         |m2 AS (SELECT doc_id, list_transform(hs, z -> ((((CASE WHEN (xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) * 484763065::HUGEINT) % 18446744073709551616::HUGEINT + ((((((CASE WHEN (xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 1073741824::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) % 4294967296::HUGEINT) * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT) AS hs FROM m1),
         |m3 AS (SELECT doc_id, list_transform(hs, z -> ((((CASE WHEN (xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) * 321982955::HUGEINT) % 18446744073709551616::HUGEINT + ((((((CASE WHEN (xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) < 0 THEN CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST((xor(CAST((((z) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT), CAST((((z // 134217728::HUGEINT) + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT) - 9223372036854775808::HUGEINT AS BIGINT))) AS HUGEINT) END)) % 4294967296::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT) AS hs FROM m2),
@@ -865,7 +865,7 @@ object SparkEntry {
         |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
         |    ELSE list_transform(range(1, len(tk) - 1), j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2])
         |    END AS shs
-        |  FROM toks),
+        |  FROM toks WHERE len(tk) > 0),
         |bases AS (
         |  SELECT doc_id, unnest(list_transform(shs, s -> list_reduce(list_prepend(14695981039346656037::HUGEINT, list_transform(string_split(s, ''), ch -> unicode(ch)::HUGEINT)), (h, c) -> xor(h, c) * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT))) AS b FROM sh),
         |slotrows AS (

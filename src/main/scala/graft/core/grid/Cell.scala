@@ -98,7 +98,10 @@ object Cell {
     case "date" => 4
     case "datetime" => 5
     case "empty" => 6
-    case _ => 1
+    // the domain is closed (TypeInfer emits exactly the strings above);
+    // fail loudly so a typo'd fixture dataType can't round-trip as "string"
+    // and mask golden drift
+    case other => throw new IllegalArgumentException(s"unknown dataType: '$other'")
   }
 
   /** String cell with no formatting (text-reader path,

@@ -111,7 +111,10 @@ object PageParser {
           case "tr" if nestedOverflow == 0 => table.startRow()
           case "td" | "th" if nestedOverflow == 0 => table.startCell(name == "th", attrs)
           case "caption" if nestedOverflow == 0 => table.startCaption()
-          case "b" | "strong" => boldDepth += 1; table.sawBold()
+          // boldDepth still tracks for tag balance, but bold markup inside
+          // an ignored beyond-cap nested table must not leak into the
+          // tracked table's formatting signal
+          case "b" | "strong" => boldDepth += 1; if (nestedOverflow == 0) table.sawBold()
           case _ => ()
         }
       } else name match {

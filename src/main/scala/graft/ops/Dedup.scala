@@ -53,11 +53,17 @@ object Dedup {
   // ---- MinHash + LSH ----
 
 
-  /** Word shingles (n-grams of whitespace tokens), lowercased. */
+  /** Word shingles (n-grams of whitespace tokens), lowercased. A text with
+    * no tokens (null / empty / whitespace-only) has NO shingles — not one
+    * empty shingle — so content-free docs don't share a degenerate shingle
+    * set (they would otherwise all minhash-collide into one band bucket:
+    * an O(n²) pair bomb at corpus scale).
+    */
   def shingles(text: String, n: Int): Iterator[String] = {
     if (text == null) return Iterator.empty
     val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < n) Iterator.single(toks.mkString(" "))
+    if (toks.length == 0) Iterator.empty
+    else if (toks.length < n) Iterator.single(toks.mkString(" "))
     else toks.sliding(n).map(_.mkString(" "))
   }
 
@@ -83,8 +89,12 @@ object Dedup {
     * (map-side only, no shuffle).
     */
   def minhashSignature(text: String, k: Int, shingleN: Int = 3): Array[Long] = {
+    val it = shingles(text, shingleN)
+    // no shingles → EMPTY signature (callers filter these out before
+    // banding; an all-MaxValue sentinel would band-collide uniformly)
+    if (!it.hasNext) return Array.emptyLongArray
     val sig = Array.fill(k)(Long.MaxValue)
-    shingles(text, shingleN).foreach { sh =>
+    it.foreach { sh =>
       val base = hash64(sh)
       var i = 0
       while (i < k) {
@@ -98,6 +108,10 @@ object Dedup {
 
   /** Per-band FNV fold over a signature (the LSH banding hash). */
   def bandHashesOf(sig: Array[Long], bands: Int): Array[Long] = {
+    // fail loudly on a mismatched caller: integer division would silently
+    // ignore trailing signature slots and weaken recall
+    require(bands > 0 && sig.length > 0 && sig.length % bands == 0,
+      s"signature length ${sig.length} must be a positive multiple of bands=$bands")
     val rowsPerBand = sig.length / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -134,8 +148,14 @@ object Dedup {
     // localCheckpoint: the banding and both re-attach sides re-derive from
     // the signatures; eager materialization runs the (expensive) shingling
     // once and truncates lineage. Auto-cleaned on GC — no persist leak.
+    // content-free docs (null/empty/whitespace-only text) have an EMPTY
+    // signature and are dropped before banding: they carry no content
+    // signal, and as a shared-signature class they would all collide into
+    // one band bucket — an O(n²) pair cross-product and a shuffle-skew
+    // bomb at corpus scale
     val sigs = df.select(col(idCol).cast("long").as("id"),
         DedupFunctions.minhashSig(coalesce(col(textCol), lit("")), k, shingleN).as("sig"))
+      .filter(size(col("sig")) > 0)
       .localCheckpoint()
 
     val banded = sigs.select(col("id"),
@@ -189,9 +209,16 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    // content-free docs (no whitespace tokens) all share simhash 0 — the
+    // same O(n²) degenerate pair class as empty minhash shingles; drop them
+    // before the signature. The predicate replays the simhash tokenizer
+    // exactly (split on \s+, non-empty tokens) with codegen'd built-ins.
+    val hasTokens = size(filter(
+      split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+      t => length(t) > 0)) > 0
     // native Catalyst expression: the signature stage stays inside
     // whole-stage codegen (no Deserialize→map→Serialize break)
-    val sigs = df.select(col(idCol).cast("long").as("id"),
+    val sigs = df.filter(hasTokens).select(col(idCol).cast("long").as("id"),
       graft.functions.DedupFunctions.simhash64(coalesce(col(textCol), lit("")))
         .as("sim"))
 

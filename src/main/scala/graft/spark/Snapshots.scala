@@ -66,7 +66,10 @@ object Snapshots {
         e.get("tables").asLong(),
         e.get("parse_failures").asLong(),
         e.get("bytes_stripped").asLong(),
-        e.get("wall_share_ms").asLong(),
+        // field was named wall_ms before the wall_share_ms rename; read the
+        // old name too so resume works across the upgrade instead of NPEing
+        Option(e.get("wall_share_ms")).orElse(Option(e.get("wall_ms")))
+          .map(_.asLong()).getOrElse(0L),
         e.get("snapshot_id").asLong(),
         e.get("files").elements().asScala.map(_.asText()).toSeq
       )

@@ -51,6 +51,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("content-free docs never pair in minhash or simhash dedup") {
+    import spark.implicits._
+    // 40 null/empty/whitespace-only docs: pre-fix these all shared one
+    // degenerate signature (single empty shingle / simhash 0) and emitted
+    // an O(n²) pair set at est_jaccard 1.0 / hamming 0 — a shuffle-skew
+    // bomb at corpus scale. Post-fix they are dropped before banding.
+    val junk = (0 until 40).map { i =>
+      (9000L + i, i % 4 match {
+        case 0 => null: String
+        case 1 => ""
+        case 2 => "   "
+        case _ => "\t\n "
+      })
+    }
+    val df = docsWithDups.union(junk.toDF("doc_id", "text"))
+    val junkIds = junk.map(_._1).toSet
+    val mh = Dedup.minhashPairs(spark, df, k = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!mh.exists(p => junkIds(p._1) || junkIds(p._2)),
+      "content-free docs must not appear in minhash pairs")
+    assert(mh.exists { case (a, b) => a == 0L || b == 100001L },
+      "real duplicate pairs still found with junk present")
+    val sh = Dedup.simhashPairs(spark, df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!sh.exists(p => junkIds(p._1) || junkIds(p._2)),
+      "content-free docs must not appear in simhash pairs")
+    assert(sh.exists { case (a, b) => b == 100001L || a == 100001L },
+      "real exact-dup pair still found with junk present")
+  }
+
   test("simhash blocking finds exact duplicates (hamming 0)") {
     val pairs = Dedup.simhashPairs(spark, docsWithDups, maxHamming = 3).collect()
     val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -72,7 +72,7 @@ sh AS (
   SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
     ELSE list_transform(range(1, len(tk) - 1), j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2])
     END AS shs
-  FROM toks),
+  FROM toks WHERE len(tk) > 0),
 bases AS (
   SELECT doc_id, unnest(list_transform(shs, s -> {fnv_fold})) AS b FROM sh),
 slotrows AS (
@@ -129,6 +129,8 @@ def hash64_py(s):
 
 def shingles_py(text, n=3):
     toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return []  # content-free doc: NO shingles (doc is dropped)
     if len(toks) < n:
         return [" ".join(toks)]
     return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
@@ -141,8 +143,11 @@ def signed(u):
 def minhash_pairs_py(docs, k=64, bands=16, threshold=0.5):
     sigs = {}
     for doc_id, text in docs:
+        shs = shingles_py(text or "")
+        if not shs:
+            continue  # content-free doc: dropped before banding
         sig = [signed((1 << 63) - 1)] * k
-        for sh in shingles_py(text or ""):
+        for sh in shs:
             base = hash64_py(sh)
             for i in range(k):
                 h = signed(mix64_py(base ^ ((i * SLOT_C) & MASK)))
