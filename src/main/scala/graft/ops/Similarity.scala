@@ -115,9 +115,6 @@ object Similarity {
       return spark.emptyDataset[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
     val dim = dimRow(0).getInt(0)
     val planes = hyperplanes(nTables * nBits, dim, seed)
-    val bplanes = spark.sparkContext.broadcast(planes)
-    val nT = nTables
-    val nB = nBits
 
     // the corpus is materialized ONCE (it feeds the signature map and both
     // sides of the vector re-attach); blocks are executor-local and
@@ -128,16 +125,15 @@ object Similarity {
     // signatures are map-side and carry NO vector column — the candidate
     // shuffle moves 16 bytes × nTables per id, not the embedding × nTables
     // (the round-2 shape shuffled every vector 16×; at a 100 TB embedding
-    // corpus that exchange was the job). localCheckpoint: the signature set
-    // feeds FOUR plan branches (both self-join sides × (data stream +
-    // bucket-count aggregate)).
+    // corpus that exchange was the job). The signature itself is a native
+    // Catalyst expression (doGenCode) + posexplode, so the whole stage stays
+    // inside whole-stage codegen — no Deserialize→flatMap→Serialize break
+    // (the last one on a scale-path map stage, removed round 4).
+    // localCheckpoint: the signature set feeds FOUR plan branches (both
+    // self-join sides × (data stream + bucket-count aggregate)).
     val sigged = vecs
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        (0 until nT).iterator.map { t =>
-          (id, t, lshSignature(v, bplanes.value, t * nB, nB))
-        }
-      }
+      .select(col("id"), posexplode(graft.functions.LshFunctions
+        .lshSignatures(col("v"), planes, nTables, nBits)))
       .toDF("id", "tbl", "bucket")
       .localCheckpoint()
 

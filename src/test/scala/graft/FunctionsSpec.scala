@@ -39,6 +39,28 @@ class FunctionsSpec extends AnyFunSuite {
       TextOps.fingerprint("abc"))
   }
 
+  test("LshSignatures expression equals the Scala helper on the corpus") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val planes = Similarity.hyperplanes(16 * 12, 64, 42L)
+    val viaExpr = emb.select(col("vec_id"),
+        graft.functions.LshFunctions.lshSignatures(col("embedding"), planes, 16, 12))
+      .as[(Long, Array[Int])].collect().toMap
+    val viaScala = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().map { case (id, v) =>
+        id -> Array.tabulate(16)(t => Similarity.lshSignature(v, planes, t * 12, 12))
+      }.toMap
+    assert(viaExpr.keySet == viaScala.keySet)
+    viaScala.foreach { case (id, sig) =>
+      assert(viaExpr(id).sameElements(sig), s"signature mismatch for vec $id")
+    }
+    // interpreted path agrees with codegen, and null in → null out
+    val row = emb.select(graft.functions.LshFunctions
+        .lshSignatures(lit(null).cast("array<float>"), planes, 4, 8)).limit(1).collect()(0)
+    assert(row.isNullAt(0), "null in, null out")
+  }
+
   test("SQL-name registration and null handling") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT graft_fingerprint64('abc') AS fp, " +

@@ -46,6 +46,18 @@ class PlanShapeSpec extends AnyFunSuite {
         s"candidate exchange must not carry vectors, found: " +
           arrays.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
     }
+    // the signature stage is a native expression + posexplode inside
+    // whole-stage codegen — asserted on the projection itself (inside
+    // lshNearNeighbors it sits behind the localCheckpoint, which truncates
+    // the visible plan)
+    val planes = Similarity.hyperplanes(16 * 12, 64, 42L)
+    val projStr = emb.select(col("vec_id"),
+        posexplode(graft.functions.LshFunctions
+          .lshSignatures(col("embedding"), planes, 16, 12)))
+      .queryExecution.executedPlan.toString
+    assert(projStr.contains("graft_lsh_signatures"), "native expression in the plan")
+    assert(!projStr.contains("DeserializeToObject"),
+      "signature computation must not break into object serde")
   }
 
   test("lshNearNeighbors output unchanged by the id-only banding (oracle shape)") {
