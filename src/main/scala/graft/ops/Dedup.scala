@@ -142,21 +142,22 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     import graft.functions.DedupFunctions
-    // localCheckpoint: the banding and both re-attach sides re-derive from
+    // materialized: the banding and both re-attach sides re-derive from
     // the signatures; eager materialization runs the (expensive) shingling
-    // once and truncates lineage. Auto-cleaned on GC — no persist leak.
+    // once. Durability/cost policy is explicit — see [[Materialize]].
     // content-free docs (null/empty/whitespace-only text) have an EMPTY
     // signature and are dropped before banding: they carry no content
     // signal, and as a shared-signature class they would all collide into
     // one band bucket — an O(n²) pair cross-product and a shuffle-skew
     // bomb at corpus scale
-    val sigs = df.select(col(idCol).cast("long").as("id"),
+    val sigs = Materialize(df.select(col(idCol).cast("long").as("id"),
         DedupFunctions.minhashSig(coalesce(col(textCol), lit("")), k, shingleN).as("sig"))
-      .filter(size(col("sig")) > 0)
-      .localCheckpoint()
+      .filter(size(col("sig")) > 0),
+      materialize)
 
     val banded = sigs.select(col("id"),
         posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))

@@ -106,7 +106,8 @@ object Similarity {
   def lshNearNeighbors(spark: SparkSession, corpus: DataFrame, nBits: Int = 12,
       nTables: Int = 16, seed: Long = 42L, minCosine: Double = 0.9,
       bucketCap: Int = 4096, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
     import spark.implicits._
     require(nBits > 0 && nBits <= 24, "nBits in (0, 24]")
     require(nTables > 0, "nTables > 0")
@@ -117,10 +118,11 @@ object Similarity {
     val planes = hyperplanes(nTables * nBits, dim, seed)
 
     // the corpus is materialized ONCE (it feeds the signature map and both
-    // sides of the vector re-attach); blocks are executor-local and
-    // auto-cleaned by the ContextCleaner when the plan is GC'd
-    val vecs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .localCheckpoint()
+    // sides of the vector re-attach); durability/cost of the
+    // materialization is an explicit policy — see [[Materialize]]
+    val vecs = Materialize(
+      corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+      materialize)
 
     // signatures are map-side and carry NO vector column — the candidate
     // shuffle moves 16 bytes × nTables per id, not the embedding × nTables
@@ -129,13 +131,13 @@ object Similarity {
     // Catalyst expression (doGenCode) + posexplode, so the whole stage stays
     // inside whole-stage codegen — no Deserialize→flatMap→Serialize break
     // (the last one on a scale-path map stage, removed round 4).
-    // localCheckpoint: the signature set feeds FOUR plan branches (both
+    // materialized: the signature set feeds FOUR plan branches (both
     // self-join sides × (data stream + bucket-count aggregate)).
-    val sigged = vecs
+    val sigged = Materialize(vecs
       .select(col("id"), posexplode(graft.functions.LshFunctions
         .lshSignatures(col("v"), planes, nTables, nBits)))
-      .toDF("id", "tbl", "bucket")
-      .localCheckpoint()
+      .toDF("id", "tbl", "bucket"),
+      materialize)
 
     // bucket-size cap: count per (tbl, bucket) — a few bytes per OCCUPIED
     // bucket — keep only oversized ones, broadcast back, salt members
