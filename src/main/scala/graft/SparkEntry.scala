@@ -201,10 +201,13 @@ object SparkEntry {
           col("sp.a1"), col("sp.confidence"), col("sp.has_headers"))
         .orderBy(col("url"), col("region"), col("a1"))
     }),
+    // lineage rollup keyed by the stable url-hash bucket (round 4: was
+    // partition_id, which made rows depend on partition count; now
+    // partition-independent and golden-parquet oracle-checked like the
+    // other x_* surfaces)
     "x_extract_metrics" -> ((s, dir) =>
       Pipeline.metrics(Pipeline.extract(s, PageGen.pages(s, dir)))),
-    // corpus-level rollup of the same metrics (partition-independent, so
-    // unlike x_extract_metrics it IS oracle-checkable): the DuckDB oracle
+    // corpus-level rollup of the same metrics: the DuckDB oracle
     // aggregates the committed pages golden — pinning the A7/A8 rollup
     // arithmetic end to end
     "q_extract_totals" -> ((s, dir) =>
@@ -958,6 +961,10 @@ object SparkEntry {
       """SELECT * FROM read_parquet(
         |  '/root/repo/src/test/resources/golden/x_extract_hints_sf001.parquet')
         |ORDER BY url, region, source""".stripMargin,
+    "x_extract_metrics" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/x_extract_metrics_sf001.parquet')
+        |ORDER BY bucket""".stripMargin,
     "x_extract_tables" ->
       """SELECT * FROM read_parquet(
         |  '/root/repo/src/test/resources/golden/x_extract_tables_sf001.parquet')

@@ -98,10 +98,30 @@ object Pipeline {
     }
   }
 
-  /** Per-partition lineage/metrics rollup — a real Catalyst hash aggregate
-    * over the already-extracted dataset (no extra pass over the HTML).
+  /** Lineage/metrics rollup keyed by a STABLE url-hash bucket — a real
+    * Catalyst hash aggregate over the already-extracted dataset (no extra
+    * pass over the HTML). Keying by `pmod(xxhash64(url), buckets)` instead
+    * of the physical partition id makes the rows independent of partition
+    * count / scheduling, so the surface is reproducible across cluster
+    * sizes (and oracle-checkable); the same bucketing keys the snapshot
+    * manifests, so these rows align with resume lineage.
     */
-  def metrics(extracted: Dataset[Extracted]): DataFrame = {
+  def metrics(extracted: Dataset[Extracted], buckets: Int = 32): DataFrame = {
+    extracted.groupBy(pmod(xxhash64(col("url")), lit(buckets)).cast("int").as("bucket"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tables")).as("tables_found"),
+        sum(col("n_regions")).as("regions_found"),
+        sum(col("bytes_stripped")).as("bytes_stripped"),
+        sum(when(col("parse_failed"), 1L).otherwise(0L)).as("parse_failures")
+      ).orderBy(col("bucket"))
+  }
+
+  /** Physical per-partition variant of [[metrics]] — the partition-balance
+    * diagnostic (skew/salting checks). Row set depends on partition count
+    * by construction; use [[metrics]] for the stable queryable surface.
+    */
+  def partitionMetrics(extracted: Dataset[Extracted]): DataFrame = {
     extracted.groupBy(col("partition_id")).agg(
       count(lit(1)).as("docs"),
       sum(col("n_tables")).as("tables_found"),

@@ -19,7 +19,8 @@ import graft.SparkEntry
   */
 object GenExtractGoldens {
   val surfaces: Seq[String] =
-    Seq("x_extract_spans", "x_extract_pages", "x_extract_hints", "x_extract_tables")
+    Seq("x_extract_spans", "x_extract_pages", "x_extract_hints", "x_extract_tables",
+      "x_extract_metrics")
 
   def goldenFile(name: String): String =
     s"src/test/resources/golden/${name}_sf001.parquet"

@@ -37,9 +37,19 @@ class PipelineSpec extends AnyFunSuite {
     val extracted = Pipeline.extract(spark, pages)
     val m = Pipeline.metrics(extracted).collect()
     assert(m.map(_.getLong(1)).sum == 500L)
-    // columns: partition_id, docs, tables_found, regions_found, bytes_stripped, parse_failures
+    // columns: bucket, docs, tables_found, regions_found, bytes_stripped, parse_failures
     assert(m.map(_.getLong(5)).sum == 0L, "no parse failures in clean corpus")
-    assert(m.length > 1, "work must spread over multiple partitions")
+    assert(m.length > 1, "docs must spread over multiple url-hash buckets")
+    // the lineage rollup is partition-count-INDEPENDENT: same rows whether
+    // the extraction ran on 1 partition or many (oracle-checkability)
+    val coarse = Pipeline.metrics(
+      Pipeline.extract(spark, pages.coalesce(1), skewMode = Pipeline.NoShuffle))
+      .collect().map(_.toString).sorted
+    assert(coarse.toSeq == m.map(_.toString).sorted.toSeq,
+      "stable-bucket metrics must not depend on partitioning")
+    // the physical diagnostic variant still exists and accounts every doc
+    val pm = Pipeline.partitionMetrics(extracted).collect()
+    assert(pm.map(_.getLong(1)).sum == 500L)
   }
 
   test("skew key spreads the hot hosts") {
@@ -56,7 +66,7 @@ class PipelineSpec extends AnyFunSuite {
     val pages = PageGen.pages(spark, sfDir)
       .map(p => p.copy(url = "https://megahost.example/" + p.url.split("/").last))
     val extracted = Pipeline.extract(spark, pages, numPartitions = 8)
-    val perPartition = Pipeline.metrics(extracted).collect().map(_.getLong(1))
+    val perPartition = Pipeline.partitionMetrics(extracted).collect().map(_.getLong(1))
     assert(perPartition.length >= 4, s"expected fan-out, got ${perPartition.toVector}")
     val max = perPartition.max
     val total = perPartition.sum
