@@ -78,26 +78,41 @@ object Extractor {
     PageExtract(text, sha256Hex(text), tables, page.regions.size, page.bytesStripped, hints)
   }
 
+  // serialize-phase scratch: one builder per thread, reset per doc — the
+  // builder's backing buffer is the second-largest serialize allocation
+  // (the String itself is inherent output). A giant page can grow it; cap
+  // retained capacity so one outlier doesn't pin megabytes per thread.
+  private val builders = new ThreadLocal[java.lang.StringBuilder] {
+    override def initialValue(): java.lang.StringBuilder = new java.lang.StringBuilder(8192)
+  }
+  private val MaxRetainedBuilder = 4 << 20
+
   def canonicalText(page: ParsedPage, tables: Vector[DetectedTable]): String = {
     // presize: blocks dominate; tables add a marker line + cell values.
     // Avoids the builder's growth-doubling copies on the serialize hot path.
     var est = 64
     page.textBlocks.foreach(b => est += b.length + 1)
     tables.foreach(dt => est += 64 + page.regions(dt.regionIdx).grid.size * 8)
-    val sb = new StringBuilder(est)
+    var sb = builders.get()
+    if (sb.capacity > MaxRetainedBuilder) {
+      sb = new java.lang.StringBuilder(math.min(est, MaxRetainedBuilder))
+      builders.set(sb)
+    }
+    sb.setLength(0)
+    sb.ensureCapacity(est)
     page.textBlocks.foreach { b =>
-      if (sb.nonEmpty) sb.append('\n')
+      if (sb.length > 0) sb.append('\n')
       sb.append(b)
     }
     tables.foreach { dt =>
       val grid = page.regions(dt.regionIdx).grid
-      if (sb.nonEmpty) sb.append('\n')
+      if (sb.length > 0) sb.append('\n')
       appendTable(sb, grid, dt)
     }
     sb.toString
   }
 
-  private def appendTable(sb: StringBuilder, grid: CellGrid, dt: DetectedTable): Unit = {
+  private def appendTable(sb: java.lang.StringBuilder, grid: CellGrid, dt: DetectedTable): Unit = {
     val t = dt.hit
     sb.append("[table:").append(t.method)
       .append(" range=").append(t.span.a1)
@@ -134,12 +149,48 @@ object Extractor {
   }
   private val HexChars = "0123456789abcdef".toCharArray
 
-  def sha256Hex(s: String): String = {
+  private val utf8Bufs = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
+  /** SHA-256 hex of the UTF-8 encoding of `s`, WITHOUT materializing the
+    * byte array: chars are UTF-8-encoded into a reused per-thread chunk
+    * buffer and fed to the digest incrementally. Bit-identical to
+    * `digest(s.getBytes(UTF_8))` including the '?' replacement Java uses
+    * for unpaired surrogates (the text SHA pins verify this byte-for-byte).
+    */
+  def sha256Hex(s: CharSequence): String = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    val out = new Array[Char](d.length * 2)
+    val buf = utf8Bufs.get()
+    var bi = 0
+    @inline def flush(): Unit = { if (bi > 0) { md.update(buf, 0, bi); bi = 0 } }
+    @inline def putB(b: Int): Unit = {
+      if (bi == buf.length) flush()
+      buf(bi) = b.toByte
+      bi += 1
+    }
+    val n = s.length
     var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 0x80) putB(c)
+      else if (c < 0x800) { putB(0xC0 | (c >> 6)); putB(0x80 | (c & 0x3F)) }
+      else if (Character.isHighSurrogate(c)) {
+        if (i + 1 < n && Character.isLowSurrogate(s.charAt(i + 1))) {
+          val cp = Character.toCodePoint(c, s.charAt(i + 1))
+          i += 1
+          putB(0xF0 | (cp >> 18)); putB(0x80 | ((cp >> 12) & 0x3F))
+          putB(0x80 | ((cp >> 6) & 0x3F)); putB(0x80 | (cp & 0x3F))
+        } else putB('?') // unpaired high surrogate: Java getBytes emits '?'
+      } else if (Character.isLowSurrogate(c)) putB('?')
+      else { putB(0xE0 | (c >> 12)); putB(0x80 | ((c >> 6) & 0x3F)); putB(0x80 | (c & 0x3F)) }
+      i += 1
+    }
+    flush()
+    val d = md.digest()
+    val out = new Array[Char](d.length * 2)
+    i = 0
     while (i < d.length) {
       val b = d(i) & 0xff
       out(i * 2) = HexChars(b >> 4)

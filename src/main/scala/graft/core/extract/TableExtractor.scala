@@ -45,14 +45,24 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   /** reference: dataframe_extractor.py:52-116. */
   def extract(g: CellGrid, span: Span, detectHeaders: Boolean = true)
       : (Option[TableData], Option[HeaderResult], Double) = {
-    val matrix: Vector[Vector[Cell]] =
-      (span.r0 to span.r1).map { r =>
-        (span.c0 to span.c1).map { c =>
-          val cell = g.get(r, c)
-          if (cell == null || cell.isEmpty) null else cell
-        }.toVector
-      }.toVector
-    if (matrix.isEmpty || matrix.head.isEmpty) return (None, None, 0.0)
+    // dense span view as flat arrays (de-boxed round 4: the Vector-of-
+    // Vectors tree nodes were a measurable share of the extract-ON path)
+    val nRows = span.r1 - span.r0 + 1
+    val nCols = span.c1 - span.c0 + 1
+    if (nRows <= 0 || nCols <= 0) return (None, None, 0.0)
+    val matrix = new Array[Array[Cell]](nRows)
+    var mr = 0
+    while (mr < nRows) {
+      val row = new Array[Cell](nCols)
+      var mc = 0
+      while (mc < nCols) {
+        val cell = g.get(span.r0 + mr, span.c0 + mc)
+        row(mc) = if (cell == null || cell.isEmpty) null else cell
+        mc += 1
+      }
+      matrix(mr) = row
+      mr += 1
+    }
 
     val density = calcDensity(matrix)
     if (density < minDataDensity) return (None, None, 0.0)
@@ -70,15 +80,22 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   }
 
   /** reference: dataframe_extractor.py:157-183. */
-  def calcDensity(matrix: Vector[Vector[Cell]]): Double = {
-    val total = matrix.size.toLong * (if (matrix.nonEmpty) matrix.head.size else 0)
+  def calcDensity(matrix: Array[Array[Cell]]): Double = {
+    val total = matrix.length.toLong * (if (matrix.length > 0) matrix(0).length else 0)
     if (total == 0) return 0.0
-    val nonEmpty = matrix.iterator.map(_.count(_ != null)).sum
+    var nonEmpty = 0L
+    var r = 0
+    while (r < matrix.length) {
+      val row = matrix(r)
+      var c = 0
+      while (c < row.length) { if (row(c) != null) nonEmpty += 1; c += 1 }
+      r += 1
+    }
     nonEmpty.toDouble / total
   }
 
   /** reference: dataframe_extractor.py:185-240. */
-  def detectHeaderInfo(matrix: Vector[Vector[Cell]], g: CellGrid, span: Span): HeaderResult = {
+  def detectHeaderInfo(matrix: Array[Array[Cell]], g: CellGrid, span: Span): HeaderResult = {
     detectPlateFormat(matrix).getOrElse {
       val vertical = detectVerticalEnhanced(matrix, g, span)
       val horizontal = detectHorizontalEnhanced(matrix)
@@ -88,16 +105,16 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
 
   // ---- plate maps (reference: dataframe_extractor.py:516-614) ----
 
-  def detectPlateFormat(matrix: Vector[Vector[Cell]]): Option[HeaderResult] = {
-    if (matrix.size < 3) return None
+  def detectPlateFormat(matrix: Array[Array[Cell]]): Option[HeaderResult] = {
+    if (matrix.length < 3) return None
     var bestScore = 0
     var best: Option[(Int, Int)] = None
     PlateFormats.foreach { case (wells, dims) =>
       dims.foreach { case (rows, cols) =>
-        if (matrix.size >= rows + 1 && matrix.head.size >= cols + 1 &&
-            checkPlateRowLabels(matrix, rows) && checkPlateColLabels(matrix.head, cols)) {
-          val rowDiff = math.abs(matrix.size - (rows + 1))
-          val colDiff = math.abs(matrix.head.size - (cols + 1))
+        if (matrix.length >= rows + 1 && matrix(0).length >= cols + 1 &&
+            checkPlateRowLabels(matrix, rows) && checkPlateColLabels(matrix(0), cols)) {
+          val rowDiff = math.abs(matrix.length - (rows + 1))
+          val colDiff = math.abs(matrix(0).length - (cols + 1))
           val score = 1000 - (rowDiff + colDiff)
           if (score > bestScore) {
             bestScore = score
@@ -125,13 +142,13 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     * compared with a trim-bounds walk instead of building both sequences
     * (labels are single letters, so per-char case folding is exact).
     */
-  def checkPlateRowLabels(matrix: Vector[Vector[Cell]], expectedRows: Int): Boolean = {
-    if (matrix.size < expectedRows + 1) return false
+  def checkPlateRowLabels(matrix: Array[Array[Cell]], expectedRows: Int): Boolean = {
+    if (matrix.length < expectedRows + 1) return false
     var k = 0
     var i = 1
-    val until = math.min(expectedRows + 1, matrix.size)
+    val until = math.min(expectedRows + 1, matrix.length)
     while (i < until) {
-      val c = matrix(i).headOption.orNull
+      val c = if (matrix(i).length > 0) matrix(i)(0) else null
       if (c != null && c.value != null) {
         if (k >= expectedRows) return false // more labels than expected
         val v = c.value
@@ -149,9 +166,9 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   }
 
   /** reference: dataframe_extractor.py:599-614. */
-  def checkPlateColLabels(headerRow: Vector[Cell], expectedCols: Int): Boolean = {
-    if (headerRow.size < expectedCols + 1) return false
-    (1 until math.min(expectedCols + 1, headerRow.size)).forall { i =>
+  def checkPlateColLabels(headerRow: Array[Cell], expectedCols: Int): Boolean = {
+    if (headerRow.length < expectedCols + 1) return false
+    (1 until math.min(expectedCols + 1, headerRow.length)).forall { i =>
       val c = headerRow(i)
       c != null && c.value != null && {
         try Integer.parseInt(c.value.trim) == i
@@ -164,14 +181,20 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
 
   /** Title rows have ≤2 filled cells of >3 (dataframe_extractor.py:616-625).
     */
-  def isTitleRow(row: Vector[Cell]): Boolean = {
-    val filled = row.count(c => c != null && nonBlank(c.value))
-    filled <= 2 && row.size > 3
+  def isTitleRow(row: Array[Cell]): Boolean = {
+    var filled = 0
+    var i = 0
+    while (i < row.length) {
+      val c = row(i)
+      if (c != null && nonBlank(c.value)) filled += 1
+      i += 1
+    }
+    filled <= 2 && row.length > 3
   }
 
-  def detectVerticalEnhanced(matrix: Vector[Vector[Cell]], g: CellGrid, span: Span)
+  def detectVerticalEnhanced(matrix: Array[Array[Cell]], g: CellGrid, span: Span)
       : HeaderResult = {
-    if (matrix.size < 2)
+    if (matrix.length < 2)
       return HeaderResult(hasHeaders = false, 0, 0, "vertical", Vector.empty, 0.0)
 
     var bestScore = 0.0
@@ -183,30 +206,33 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     // per-row header-quality terms, computed once (candidate windows
     // overlap): the text/filled ratio and the row's distinct-value ratio.
     // Same values and summation order as headerQualityMulti over a slice.
-    val qRows = math.min(matrix.size, 13) // startRow < 10, headerRows <= 3
+    val qRows = math.min(matrix.length, 13) // startRow < 10, headerRows <= 3
     val rowRatio = new Array[Double](qRows)
     val rowHasFilled = new Array[Boolean](qRows)
     val lastRatio = new Array[Double](qRows)
     val lastNonEmpty = new Array[Boolean](qRows)
+    val distinctVals = new java.util.HashSet[String]() // reused per row
     var qi = 0
     while (qi < qRows) {
       val row = matrix(qi)
       var textCount = 0
       var filled = 0
-      row.foreach { c =>
+      var distinct = 0
+      distinctVals.clear()
+      var ci = 0
+      while (ci < row.length) {
+        val c = row(ci)
         if (c != null && nonBlank(c.value)) {
           filled += 1
           if (TypeInfer.extractorType(c) == "text") textCount += 1
+          if (distinctVals.add(c.value)) distinct += 1
         }
+        ci += 1
       }
       rowHasFilled(qi) = filled > 0
       if (filled > 0) rowRatio(qi) = textCount.toDouble / filled
-      val filledValues = row.flatMap { c =>
-        if (c != null && nonBlank(c.value)) Some(c.value) else None
-      }
-      lastNonEmpty(qi) = filledValues.nonEmpty
-      if (filledValues.nonEmpty)
-        lastRatio(qi) = filledValues.distinct.size.toDouble / filledValues.size
+      lastNonEmpty(qi) = filled > 0
+      if (filled > 0) lastRatio(qi) = distinct.toDouble / filled
       qi += 1
     }
     def headerQualityCached(from: Int, until: Int): Double = {
@@ -221,17 +247,17 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       if (n > 0) sum / n else 0.0
     }
 
-    val maxTestRows = math.min(10, matrix.size - 2)
+    val maxTestRows = math.min(10, matrix.length - 2)
     var startRow = 0
     while (startRow < maxTestRows) {
       if (isTitleRow(matrix(startRow))) {
         titleRows += startRow
       } else {
         var headerRows = 1
-        val bound = math.min(4, matrix.size - startRow - 1)
+        val bound = math.min(4, matrix.length - startRow - 1)
         while (headerRows < bound) {
           val dataStart = startRow + headerRows
-          val dataEnd = math.min(matrix.size, dataStart + 100)
+          val dataEnd = math.min(matrix.length, dataStart + 100)
           if (dataEnd > dataStart) {
             // the type score depends only on dataStart (dataEnd derives from
             // it), and candidate windows overlap heavily — memoize instead
@@ -260,11 +286,11 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       val headers = extractVerticalHeadersWithMerged(
         matrix.slice(bestStart, bestEnd), bestEnd - bestStart, g, span.r0 + bestStart)
       val dataStart = bestEnd
-      val dataEnd = math.min(matrix.size, dataStart + 100)
+      val dataEnd = math.min(matrix.length, dataStart + 100)
       val sample = matrix.slice(dataStart, dataEnd)
       val (_, columnTypes) = typeConsistency(sample)
       HeaderResult(hasHeaders = true, bestEnd - bestStart, 0, "vertical", headers, bestScore,
-        titleRows.toVector, sample.size, columnTypes, "standard")
+        titleRows.toVector, sample.length, columnTypes, "standard")
     } else {
       HeaderResult(hasHeaders = false, 0, 0, "vertical", Vector.empty, 0.0,
         titleRows.toVector)
@@ -272,26 +298,33 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   }
 
   /** reference: dataframe_extractor.py:323-329. */
-  def coverage(row: Vector[Cell]): Double = {
-    if (row.isEmpty) return 0.0
-    row.count(c => c != null && c.value != null && c.value.trim.nonEmpty).toDouble / row.size
+  def coverage(row: Array[Cell]): Double = {
+    if (row.length == 0) return 0.0
+    var n = 0
+    var i = 0
+    while (i < row.length) {
+      val c = row(i)
+      if (c != null && nonBlank(c.value)) n += 1
+      i += 1
+    }
+    n.toDouble / row.length
   }
 
   /** Score half of `typeConsistency` over matrix rows [from, until) without
     * materializing the slice — identical counters and tie order.
     */
-  private def typeConsistencyScore(matrix: Vector[Vector[Cell]], from: Int, until: Int): Double = {
-    if (from >= until || matrix(from).isEmpty) return 0.0
+  private def typeConsistencyScore(matrix: Array[Array[Cell]], from: Int, until: Int): Double = {
+    if (from >= until || matrix(from).length == 0) return 0.0
     var scoreSum = 0.0
     var scoreN = 0
-    val nCols = matrix(from).size
+    val nCols = matrix(from).length
     var colIdx = 0
     while (colIdx < nCols) {
       var nNum = 0; var nText = 0; var nDate = 0; var nBool = 0
       var r = from
       while (r < until) {
         val row = matrix(r)
-        if (colIdx < row.size) {
+        if (colIdx < row.length) {
           TypeInfer.extractorType(row(colIdx)) match {
             case "numeric" => nNum += 1
             case "text" => nText += 1
@@ -319,18 +352,18 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   /** reference: dataframe_extractor.py:749-784 (dominant-type tie broken in
     * the dict insertion order numeric→text→date→boolean).
     */
-  def typeConsistency(sample: Vector[Vector[Cell]]): (Double, Map[Int, String]) = {
-    if (sample.isEmpty || sample.head.isEmpty) return (0.0, Map.empty)
+  def typeConsistency(sample: Array[Array[Cell]]): (Double, Map[Int, String]) = {
+    if (sample.length == 0 || sample(0).length == 0) return (0.0, Map.empty)
     val columnTypes = mutable.LinkedHashMap.empty[Int, String]
     val scores = mutable.ArrayBuffer.empty[Double]
-    val nCols = sample.head.size
+    val nCols = sample(0).length
     var colIdx = 0
     while (colIdx < nCols) {
       // plain counters; dominant = first max in numeric→text→date→boolean
       // order (the reference's dict insertion order)
       var nNum = 0; var nText = 0; var nDate = 0; var nBool = 0
       sample.foreach { row =>
-        if (colIdx < row.size) {
+        if (colIdx < row.length) {
           TypeInfer.extractorType(row(colIdx)) match {
             case "numeric" => nNum += 1
             case "text" => nText += 1
@@ -370,26 +403,34 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   }
 
   /** reference: dataframe_extractor.py:821-853. */
-  def headerQualityMulti(headerRows: Vector[Vector[Cell]]): Double = {
-    if (headerRows.isEmpty) return 0.0
+  def headerQualityMulti(headerRows: Array[Array[Cell]]): Double = {
+    if (headerRows.length == 0) return 0.0
     val scores = mutable.ArrayBuffer.empty[Double]
     headerRows.foreach { row =>
       var textCount = 0
       var filled = 0
       row.foreach { c =>
-        if (c != null && c.value != null && c.value.trim.nonEmpty) {
+        if (c != null && nonBlank(c.value)) {
           filled += 1
           if (TypeInfer.extractorType(c) == "text") textCount += 1
         }
       }
       if (filled > 0) scores += textCount.toDouble / filled
     }
-    val last = headerRows.last
-    val filledValues = last.flatMap { c =>
-      if (c != null && c.value != null && c.value.trim.nonEmpty) Some(c.value) else None
+    val last = headerRows(headerRows.length - 1)
+    val distinctVals = new java.util.HashSet[String]()
+    var filled = 0
+    var distinct = 0
+    var i = 0
+    while (i < last.length) {
+      val c = last(i)
+      if (c != null && nonBlank(c.value)) {
+        filled += 1
+        if (distinctVals.add(c.value)) distinct += 1
+      }
+      i += 1
     }
-    if (filledValues.nonEmpty)
-      scores += filledValues.distinct.size.toDouble / filledValues.size
+    if (filled > 0) scores += distinct.toDouble / filled
     if (scores.nonEmpty) scores.sum / scores.size else 0.0
   }
 
@@ -397,15 +438,17 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     * cells up at absolute column index col_idx (not offset by the range's
     * start column); replicated for fidelity.
     */
-  def extractVerticalHeadersWithMerged(headerMatrix: Vector[Vector[Cell]], headerRows: Int,
+  def extractVerticalHeadersWithMerged(headerMatrix: Array[Array[Cell]], headerRows: Int,
       g: CellGrid, startRow: Int): Vector[String] = {
-    if (headerMatrix.isEmpty || headerRows == 0) return Vector.empty
+    if (headerMatrix.length == 0 || headerRows == 0) return Vector.empty
     if (headerRows == 1) {
-      return headerMatrix.head.zipWithIndex.map { case (c, i) =>
+      val row = headerMatrix(0)
+      return Vector.tabulate(row.length) { i =>
+        val c = row(i)
         if (c != null && c.value != null) c.value else s"Col_$i"
       }
     }
-    val numCols = headerMatrix.head.size
+    val numCols = headerMatrix(0).length
     val mergedValues = mutable.HashMap.empty[String, String]
     (0 until headerRows).foreach { rowIdx =>
       (0 until numCols).foreach { colIdx =>
@@ -437,15 +480,15 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
 
   // ---- horizontal (reference: dataframe_extractor.py:266-296, 722-747) ----
 
-  def detectHorizontalEnhanced(matrix: Vector[Vector[Cell]]): HeaderResult = {
-    if (matrix.isEmpty || matrix.head.size < 2)
+  def detectHorizontalEnhanced(matrix: Array[Array[Cell]]): HeaderResult = {
+    if (matrix.length == 0 || matrix(0).length < 2)
       return HeaderResult(hasHeaders = false, 0, 0, "horizontal", Vector.empty, 0.0)
     val (score, headers, cols) = detectHorizontal(matrix)
     HeaderResult(hasHeaders = score > 0.5, 0, cols, "horizontal", headers, score)
   }
 
-  private def detectHorizontal(matrix: Vector[Vector[Cell]]): (Double, Vector[String], Int) = {
-    val numCols = matrix.head.size
+  private def detectHorizontal(matrix: Array[Array[Cell]]): (Double, Vector[String], Int) = {
+    val numCols = matrix(0).length
     val maxHeaderCols = math.min(3, numCols - minDataRows)
     var bestScore = 0.0
     var bestHeaders = Vector.empty[String]
@@ -455,8 +498,9 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     // iteration, so hoisted, along with the header-only score terms
     val headers =
       if (maxHeaderCols < 1) Vector.empty[String]
-      else matrix.zipWithIndex.map { case (row, i) =>
-        val c = row.headOption.orNull
+      else Vector.tabulate(matrix.length) { i =>
+        val row = matrix(i)
+        val c = if (row.length > 0) row(0) else null
         if (c != null && c.value != null) c.value else s"Col_$i"
       }
     val headerBase =
@@ -473,7 +517,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       // scoreHeaders(headers, matrix.map(_.drop(headerCols))) without the
       // per-candidate matrix copy: same terms, column scan from headerCols
       val score =
-        if (headers.isEmpty || matrix.isEmpty) 0.0
+        if (headers.isEmpty || matrix.length == 0) 0.0
         else headerBase + columnTypeConsistencyFrom(matrix, headerCols) * 0.4
       if (score > bestScore) {
         bestScore = score
@@ -486,8 +530,8 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   }
 
   /** reference: dataframe_extractor.py:331-379. */
-  def scoreHeaders(headers: Vector[String], dataRows: Vector[Vector[Cell]]): Double = {
-    if (headers.isEmpty || dataRows.isEmpty) return 0.0
+  def scoreHeaders(headers: Vector[String], dataRows: Array[Array[Cell]]): Double = {
+    if (headers.isEmpty || dataRows.length == 0) return 0.0
     var score = 0.0
     score += headers.distinct.size.toDouble / headers.size * 0.3
     val textHeaders = headers.count { h =>
@@ -504,15 +548,15 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   /** reference: dataframe_extractor.py:381-440 (bool counts as numeric via
     * Python's bool⊂int; plain float() parse without comma stripping).
     */
-  def columnTypeConsistency(dataRows: Vector[Vector[Cell]]): Double = {
-    if (dataRows.isEmpty || dataRows.head.isEmpty) return 0.0
-    val numCols = dataRows.head.size
+  def columnTypeConsistency(dataRows: Array[Array[Cell]]): Double = {
+    if (dataRows.length == 0 || dataRows(0).length == 0) return 0.0
+    val numCols = dataRows(0).length
     var consistent = 0
     (0 until numCols).foreach { colIdx =>
       val types = mutable.HashSet.empty[String]
       var any = false
       dataRows.foreach { row =>
-        if (colIdx < row.size && row(colIdx) != null) {
+        if (colIdx < row.length && row(colIdx) != null) {
           val c = row(colIdx)
           any = true
           c.dataType match {
@@ -531,17 +575,17 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     * the matrix is rectangular over its span, so dropping columns maps to
     * scanning original indices [fromCol, width).
     */
-  private def columnTypeConsistencyFrom(matrix: Vector[Vector[Cell]], fromCol: Int): Double = {
-    if (matrix.isEmpty || matrix.head.size <= fromCol) return 0.0
-    val numCols = matrix.head.size - fromCol
+  private def columnTypeConsistencyFrom(matrix: Array[Array[Cell]], fromCol: Int): Double = {
+    if (matrix.length == 0 || matrix(0).length <= fromCol) return 0.0
+    val numCols = matrix(0).length - fromCol
     var consistent = 0
     var colIdx = fromCol
-    while (colIdx < matrix.head.size) {
+    while (colIdx < matrix(0).length) {
       var sawNumeric = false
       var sawText = false
       var any = false
       matrix.foreach { row =>
-        if (colIdx < row.size && row(colIdx) != null) {
+        if (colIdx < row.length && row(colIdx) != null) {
           val c = row(colIdx)
           any = true
           c.dataType match {
@@ -564,17 +608,26 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   // ---- table creation + quality ----
 
   /** reference: dataframe_extractor.py:442-481. */
-  def createTable(matrix: Vector[Vector[Cell]], headerInfo: Option[HeaderResult])
+  def createTable(matrix: Array[Array[Cell]], headerInfo: Option[HeaderResult])
       : Option[TableData] = {
-    if (matrix.isEmpty) return None
-    def cellStr(c: Cell): String = if (c == null || c.value == null) null else c.value
+    if (matrix.length == 0) return None
+    // output rows materialize as Vectors (TableData is the public surface);
+    // the matrix itself stays flat
+    def rowsFrom(fromRow: Int, fromCol: Int): Vector[Vector[String]] =
+      Vector.tabulate(matrix.length - fromRow) { r =>
+        val row = matrix(fromRow + r)
+        Vector.tabulate(row.length - fromCol) { c =>
+          val cell = row(fromCol + c)
+          if (cell == null || cell.value == null) null else cell.value
+        }
+      }
     headerInfo match {
       case None =>
-        Some(TableData((0 until matrix.head.size).map(_.toString).toVector,
-          matrix.map(_.map(cellStr))))
+        Some(TableData((0 until matrix(0).length).map(_.toString).toVector,
+          rowsFrom(0, 0)))
       case Some(hi) if !hi.hasHeaders =>
-        Some(TableData((0 until matrix.head.size).map(_.toString).toVector,
-          matrix.map(_.map(cellStr))))
+        Some(TableData((0 until matrix(0).length).map(_.toString).toVector,
+          rowsFrom(0, 0)))
       case Some(hi) if hi.orientation == "vertical" =>
         var startRow = 0
         if (hi.titleRows.nonEmpty) {
@@ -582,16 +635,14 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
           startRow = matrix.indices.find(i => !titleSet.contains(i)).getOrElse(0)
         }
         val dataStart = startRow + hi.headerRows
-        val dataRows = matrix.drop(dataStart)
-        if (hi.headers.size != matrix.head.size) None // pandas would raise
-        else Some(TableData(hi.headers, dataRows.map(_.map(cellStr))))
+        if (hi.headers.size != matrix(0).length) None // pandas would raise
+        else Some(TableData(hi.headers, rowsFrom(math.min(dataStart, matrix.length), 0)))
       case Some(hi) =>
-        val dataMatrix = matrix.map(_.drop(hi.headerColumns))
         // pandas raises when len(columns) != data width (headers here are one
         // per ROW — the reference's transposed path fails for non-square
         // shapes); replicate by returning None on mismatch
-        if (dataMatrix.isEmpty || hi.headers.size != dataMatrix.head.size) None
-        else Some(TableData(hi.headers, dataMatrix.map(_.map(cellStr))))
+        if (hi.headers.size != math.max(0, matrix(0).length - hi.headerColumns)) None
+        else Some(TableData(hi.headers, rowsFrom(0, math.min(hi.headerColumns, matrix(0).length))))
     }
   }
 

@@ -9,7 +9,7 @@ package graft.core.grid
   * converted value (what header extraction sees); `raw` keeps the original
   * source string (the reference's `formatted_value`).
   */
-final class Cell private (
+class Cell private[grid] (
     val value: String,
     val raw: String,
     val row: Int,
@@ -19,27 +19,22 @@ final class Cell private (
     // the detectors see the same String/Boolean API via the accessors):
     //   bit 0 bold, bit 1 merged, bits 2-3/4-5/6-7/8-9 borders (t/b/l/r),
     //   bits 10-12 dataType
-    private val packed: Int,
-    val alignment: String, // arbitrary CSS text-align value — stays a ref
-    val mergeRange: String,
-    val fontSize: Double, // 0.0 == unset
-    val fontColor: String,
-    val backgroundColor: String
+    private val packed: Int
 ) extends Serializable {
 
-  def this(value: String, raw: String, dataType: String, row: Int, col: Int,
-      isBold: Boolean = false, alignment: String = null,
-      borderTop: String = null, borderBottom: String = null,
-      borderLeft: String = null, borderRight: String = null,
-      isMerged: Boolean = false, mergeRange: String = null,
-      fontSize: Double = 0.0, fontColor: String = null,
-      backgroundColor: String = null) =
-    this(value, raw, row, col,
-      (if (isBold) 1 else 0) | (if (isMerged) 2 else 0) |
-        (Cell.borderCode(borderTop) << 2) | (Cell.borderCode(borderBottom) << 4) |
-        (Cell.borderCode(borderLeft) << 6) | (Cell.borderCode(borderRight) << 8) |
-        (Cell.dtCode(dataType) << 10),
-      alignment, mergeRange, fontSize, fontColor, backgroundColor)
+  // rare formatting attributes live only on [[FormattedCell]] (two-tier
+  // slab split): the overwhelmingly common unformatted cell — every
+  // delimited/text cell and most HTML cells — carries none of the five
+  // rare refs, shrinking the per-cell footprint by ~24 B. Construct via
+  // Cell.of, which picks the tier.
+  def alignment: String = null
+  def mergeRange: String = null
+  def fontSize: Double = 0.0 // 0.0 == unset
+  def fontColor: String = null
+  def backgroundColor: String = null
+
+  def this(value: String, raw: String, dataType: String, row: Int, col: Int) =
+    this(value, raw, row, col, Cell.dtCode(dataType) << 10)
 
   @inline def isBold: Boolean = (packed & 1) != 0
   @inline def isMerged: Boolean = (packed & 2) != 0
@@ -75,6 +70,19 @@ final class Cell private (
   @inline def hasBorder(s: String): Boolean = s != null && s != "none"
 }
 
+/** The rare tier: a cell that actually carries CSS-derived formatting
+  * attributes (alignment / merge range / font size / colors). Allocated by
+  * [[Cell.of]] only when at least one of them is set.
+  */
+final class FormattedCell private[grid] (
+    value: String, raw: String, row: Int, col: Int, packed: Int,
+    override val alignment: String,
+    override val mergeRange: String,
+    override val fontSize: Double,
+    override val fontColor: String,
+    override val backgroundColor: String
+) extends Cell(value, raw, row, col, packed)
+
 object Cell {
   // border level domain is closed (Css.level: null/thin/medium/thick;
   // "none" behaves as null for hasBorder and is mapped to it)
@@ -102,6 +110,28 @@ object Cell {
     // fail loudly so a typo'd fixture dataType can't round-trip as "string"
     // and mask golden drift
     case other => throw new IllegalArgumentException(s"unknown dataType: '$other'")
+  }
+
+  /** Full-attribute factory: picks the slim [[Cell]] tier when none of the
+    * five rare formatting refs is set, [[FormattedCell]] otherwise.
+    */
+  def of(value: String, raw: String, dataType: String, row: Int, col: Int,
+      isBold: Boolean = false, alignment: String = null,
+      borderTop: String = null, borderBottom: String = null,
+      borderLeft: String = null, borderRight: String = null,
+      isMerged: Boolean = false, mergeRange: String = null,
+      fontSize: Double = 0.0, fontColor: String = null,
+      backgroundColor: String = null): Cell = {
+    val packed = (if (isBold) 1 else 0) | (if (isMerged) 2 else 0) |
+      (borderCode(borderTop) << 2) | (borderCode(borderBottom) << 4) |
+      (borderCode(borderLeft) << 6) | (borderCode(borderRight) << 8) |
+      (dtCode(dataType) << 10)
+    if (alignment == null && mergeRange == null && fontSize == 0.0 &&
+        fontColor == null && backgroundColor == null)
+      new Cell(value, raw, row, col, packed)
+    else
+      new FormattedCell(value, raw, row, col, packed,
+        alignment, mergeRange, fontSize, fontColor, backgroundColor)
   }
 
   /** String cell with no formatting (text-reader path,

@@ -398,7 +398,7 @@ object PageParser {
           .orElse(cellAttrs.get("bgcolor").map(_.trim)).orNull
         val fc = style.get("color").map(_.trim).orNull
         val fs = style.get("font-size").flatMap(Css.pxValue).getOrElse(0.0)
-        grid.put(new Cell(py, value, dt, row, col,
+        grid.put(Cell.of(py, value, dt, row, col,
           isBold = bold, alignment = align,
           borderTop = borders(0), borderBottom = borders(1),
           borderLeft = borders(2), borderRight = borders(3),

@@ -78,12 +78,12 @@ object AllocProbe {
       denseGrids.foreach { g =>
         val span = graft.core.grid.Span(0, 0, g.maxRow, g.maxCol)
         val te = new graft.core.extract.TableExtractor()
-        val matrix = (span.r0 to span.r1).map { r =>
-          (span.c0 to span.c1).map { c =>
-            val cell = g.get(r, c)
+        val matrix = Array.tabulate(span.r1 - span.r0 + 1) { r =>
+          Array.tabulate(span.c1 - span.c0 + 1) { c =>
+            val cell = g.get(span.r0 + r, span.c0 + c)
             if (cell == null || cell.isEmpty) null else cell
-          }.toVector
-        }.toVector
+          }
+        }
         te.detectHeaderInfo(matrix, g, span)
       }
     }

@@ -119,7 +119,7 @@ object FixtureLoader {
         if (fix.kind == "txt") (fc.v.trim, "string")
         else TypeInfer.infer(fc.v)
       if (value != null) {
-        g.put(new Cell(value, fc.v, dt, fc.r, fc.c, isBold = fc.bold,
+        g.put(Cell.of(value, fc.v, dt, fc.r, fc.c, isBold = fc.bold,
           borderTop = fc.bt, borderBottom = fc.bb, borderLeft = fc.bl, borderRight = fc.br,
           isMerged = fc.mr != null, mergeRange = fc.mr, backgroundColor = fc.bg))
       }

@@ -152,6 +152,36 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("zero-copy sha256Hex == digest of String.getBytes(UTF_8)") {
+    // the serialize path hashes the canonical text via incremental manual
+    // UTF-8 encoding (no getBytes copy); it must be bit-identical to the
+    // reference formulation for every char class, including unpaired
+    // surrogates (Java replaces those with '?')
+    import java.security.MessageDigest
+    def ref(s: String): String = {
+      val d = MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val charGen = Gen.frequency(
+      (8, Gen.chooseNum(0x20, 0x7E)), // ascii
+      (2, Gen.chooseNum(0x80, 0x7FF)), // 2-byte
+      (2, Gen.chooseNum(0x800, 0xD7FF)), // 3-byte below surrogates
+      (1, Gen.chooseNum(0xD800, 0xDFFF)), // raw surrogate halves (unpaired!)
+      (1, Gen.chooseNum(0xE000, 0xFFFD)), // 3-byte above surrogates
+      (1, Gen.const(0x1F600)) // paired surrogate (emoji, 4-byte)
+    )
+    val strGen = Gen.listOf(charGen).map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    check(Prop.forAll(strGen) { s =>
+      graft.core.extract.Extractor.sha256Hex(s) == ref(s)
+    })
+    // chunk-boundary crossing: strings around the 8192-byte buffer edge
+    for (n <- Seq(8191, 8192, 8193, 20000)) {
+      val s = "é" * n // 2 bytes each — straddles flushes at odd offsets
+      assert(graft.core.extract.Extractor.sha256Hex(s) == ref(s), s"len $n")
+    }
+  }
+
   test("tokenizer never throws on arbitrary strings") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       var count = 0
