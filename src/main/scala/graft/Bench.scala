@@ -238,6 +238,19 @@ object Bench {
          |maxPartitionBytes; the salted exchange remains the guard for
          |unclustered or pathologically skewed inputs.
          |
+         |Dedup/ANN under dup-heavy load (`graft.tools.OpsScale`, sf0.1
+         |amplified 10x, round-4 clean-window run): 50k docs in 10-copy
+         |near-dup classes — minhash banding produced 420k buckets with
+         |max bucket 28 / p99 9 (no skew blow-up), funneled 1.13M raw
+         |collisions to 232.5k distinct candidates to 227.2k verified pairs
+         |in 6.0 s. LSH over 25k vectors INCLUDING a planted 5000-identical
+         |hot cluster: 16 oversized buckets at cap 4096 salted into 32
+         |sub-buckets, and the (id, tbl)-keyed salt (decorrelated across
+         |tables — round 4 fix) kept recall on the planted cluster at
+         |1.0000 (12,497,324 of 12,497,500 cosine-1.0 pairs); an id-only
+         |salt measurably lost the cross-salt HALF of those pairs in every
+         |table simultaneously.
+         |
          |Single-node vs reference (BASELINE.md): the reference publishes
          |1M+ cells/s on its simple path and 100K+ cells/s on the island path
          |(single-process Python). This kernel measures ~1.1M cells/s on ONE

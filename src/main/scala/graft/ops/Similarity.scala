@@ -146,10 +146,17 @@ object Similarity {
       .filter(col("bn") > bucketCap)
       .withColumn("nsplit", ceil(col("bn") / bucketCap).cast("int"))
       .select(col("tbl"), col("bucket"), col("nsplit"))
+    // the salt hashes (id, tbl) — NOT id alone: a near-identical cluster
+    // lands in the same bucket of EVERY table, and an id-only salt would
+    // split it identically everywhere, losing the same cross-salt pairs in
+    // all nTables at once (measured: exactly the within-salt half of a
+    // planted 5000-identical cluster survived — tools.OpsScale). With the
+    // table in the hash the splits decorrelate, so a pair lost to salting
+    // in one table is caught in another with prob 1-(1/nsplit)^(nTables-1)
     val salted = sigged.join(broadcast(oversized), Seq("tbl", "bucket"), "left")
       .withColumn("salt",
         when(col("nsplit").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col("id")), col("nsplit")).cast("int")))
+          .otherwise(pmod(xxhash64(col("id"), col("tbl")), col("nsplit")).cast("int")))
       .select(col("tbl"), col("bucket"), col("salt"), col("id"))
 
     // candidate pairs: ids only, deduped across tables BEFORE the verify so

@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Dedup/ANN under dup-heavy amplified load (round-4 VERDICT item 6): the
+  * per-round bench runs at sf0.1 where candidate sets are tiny; this tool
+  * amplifies the sf0.1 corpus AMP× with planted duplicate classes and
+  * logs the numbers that evidence the scale design under load:
+  *
+  *  - minhash: band-bucket size distribution (max/p99/occupied), candidate
+  *    pairs before/after the id-distinct, verified output pairs, wall;
+  *  - LSH: occupied (tbl,bucket) sizes, oversized-bucket count at the cap,
+  *    salted sub-bucket fanout, candidate/verified pairs, wall — including
+  *    a planted 5000-vector identical cluster that MUST trip the cap.
+  *
+  * Usage: SPARK_GRAFT_AMP=10 sbt "runMain graft.tools.OpsScale [sfDir]"
+  * Output: OPSSCALE lines (one per metric block) — recorded in the Bench
+  * template's static context after a clean-window run.
+  */
+object OpsScale {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val amp = sys.env.getOrElse("SPARK_GRAFT_AMP", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- dup-heavy document corpus: AMP near-identical copies per doc ----
+    // copy 0 is the original; copies 1.. mutate one token per 40 so each
+    // class is a genuine near-dup cluster (est_jaccard well above 0.5)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val nBase = docs.count()
+    val amped = docs.flatMap { case (id, text) =>
+      (0 until amp).iterator.map { k =>
+        val t =
+          if (k == 0 || text == null) text
+          else {
+            val toks = text.split(" ")
+            var i = k % 40
+            while (i < toks.length) { toks(i) = s"mut${k}x$i"; i += 40 }
+            toks.mkString(" ")
+          }
+        (id * amp + k, t)
+      }
+    }.toDF("doc_id", "text").localCheckpoint()
+    val nDocs = amped.count()
+    println(s"OPSSCALE corpus docs=$nDocs (base=$nBase amp=$amp)")
+
+    // ---- minhash bucket distribution + candidate funnel ----
+    import graft.functions.DedupFunctions
+    val k = 64; val bands = 16
+    val sigs = amped.select(col("doc_id").cast("long").as("id"),
+        DedupFunctions.minhashSig(coalesce(col("text"), lit("")), k, 3).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val banded = sigs.select(col("id"),
+      posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
+      .toDF("id", "band", "bhash")
+    val bstats = banded.groupBy("band", "bhash").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("buckets"), max("n").as("maxb"),
+        expr("percentile_approx(n, 0.99)").as("p99"),
+        sum(expr("n * (n - 1) / 2")).as("raw_pairs")).collect()(0)
+    println(s"OPSSCALE minhash buckets=${bstats.getLong(0)} max_bucket=${bstats.getLong(1)} " +
+      s"p99_bucket=${bstats.getLong(2)} raw_candidate_pairs=${java.lang.Math.round(bstats.getDouble(3))}")
+
+    val t0 = System.nanoTime()
+    val mh = Dedup.minhashPairs(spark, amped, threshold = 0.5)
+    val mhPairs = mh.count()
+    val mhWall = (System.nanoTime() - t0) / 1e9
+    // distinct candidate pairs (the post-distinct, pre-verify funnel stage)
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
+    val distinctCands = a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    println(f"OPSSCALE minhash distinct_candidates=$distinctCands verified_pairs=$mhPairs wall=$mhWall%.1fs")
+
+    // ---- LSH under load + a planted cap-tripping cluster ----
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val baseVecs = emb.collect()
+    val dim = baseVecs(0)._2.length
+    // AMP near-dup copies (orthogonalized noise, cos ~0.97) + one 5000-
+    // vector identical cluster that must overflow the default bucketCap
+    val hot = baseVecs(0)._2
+    val ampedEmb = emb.flatMap { case (id, v) =>
+      (0 until amp).iterator.map { j =>
+        if (j == 0) (id * amp, v)
+        else {
+          var s = id * 1000L + j
+          val out = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) {
+            s += 0x9E3779B97F4A7C15L
+            var z = s
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            val n = (((z ^ (z >>> 31)) >>> 11) * 1.1102230246251565e-16 - 0.5) * 0.1
+            out(i) = (v(i) + n).toFloat
+            i += 1
+          }
+          (id * amp + j, out)
+        }
+      }
+    }.toDF("vec_id", "embedding")
+    val hotCluster = spark.range(5000)
+      .select((col("id") + 90000000L).as("vec_id"), typedLit(hot).as("embedding"))
+    val allVecs = ampedEmb.union(hotCluster).localCheckpoint()
+    val nVecs = allVecs.count()
+
+    // bucket occupancy at the operator's parameters (nBits=12, nTables=16)
+    val planes = Similarity.hyperplanes(16 * 12, dim, 42L)
+    val lshBuckets = allVecs
+      .select(col("vec_id"), posexplode(graft.functions.LshFunctions
+        .lshSignatures(col("embedding"), planes, 16, 12)))
+      .toDF("id", "tbl", "bucket")
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
+    val cap = 4096
+    val lstats = lshBuckets.agg(count(lit(1)).as("buckets"), max("n").as("maxb"),
+      sum(when(col("n") > cap, 1).otherwise(0)).as("oversized"),
+      sum(when(col("n") > cap, ceil(col("n") / cap)).otherwise(0)).as("salted_subbuckets"))
+      .collect()(0)
+    println(s"OPSSCALE lsh vecs=$nVecs occupied_buckets=${lstats.getLong(0)} " +
+      s"max_bucket=${lstats.getLong(1)} oversized(cap=$cap)=${lstats.getLong(2)} " +
+      s"salted_subbuckets=${lstats.getLong(3)}")
+
+    val t1 = System.nanoTime()
+    val lsh = Similarity.lshNearNeighbors(spark, allVecs, nBits = 12, nTables = 16,
+      minCosine = 0.9, bucketCap = cap).localCheckpoint()
+    val lshPairs = lsh.count()
+    val lshWall = (System.nanoTime() - t1) / 1e9
+    // recall on the planted identical cluster: every pair is at cosine 1.0,
+    // so the only losses are salting losses — this is the direct measure of
+    // the per-table-decorrelated salt (an id-only salt loses ~1/nsplit of
+    // these pairs in EVERY table simultaneously)
+    val hotPairs = lsh.filter(col("id_a") >= 90000000L && col("id_b") >= 90000000L).count()
+    val hotExpected = 5000L * 4999L / 2L
+    println(f"OPSSCALE lsh verified_pairs=$lshPairs wall=$lshWall%.1fs " +
+      f"hot_cluster_recall=${hotPairs.toDouble / hotExpected}%.4f ($hotPairs/$hotExpected)")
+    require(lstats.getLong(2) > 0, "planted hot cluster must trip the bucket cap")
+    require(hotPairs.toDouble / hotExpected >= 0.99,
+      "salted-bucket recall on the identical cluster must be ~1 (decorrelated salts)")
+
+    spark.stop()
+  }
+}

@@ -166,6 +166,25 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("salt splits decorrelate across tables (identical-cluster recall)") {
+    import spark.implicits._
+    // 120 IDENTICAL vectors land in the same bucket of EVERY table; at
+    // cap 64 each bucket splits into nsplit=2 salted sub-buckets. The salt
+    // hashes (id, tbl): splits decorrelate, so a pair separated in one
+    // table collides in another — recall 1-(1/2)^nTables ≈ 0.996. An
+    // id-only salt splits identically in all tables and recall collapses
+    // to the within-salt half (~0.5) — the round-4 OpsScale finding.
+    val hot = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("embedding")).as[Array[Float]].head()
+    val cluster = (0 until 120).map(i => (50000L + i, hot))
+    val pairs = Similarity.lshNearNeighbors(spark, cluster.toDF("vec_id", "embedding"),
+      nBits = 2, nTables = 8, minCosine = 0.99, bucketCap = 64).count()
+    val expected = 120L * 119 / 2
+    val recall = pairs.toDouble / expected
+    info(s"identical-cluster recall under forced salting: $recall ($pairs/$expected)")
+    assert(recall >= 0.9, s"recall $recall — salt splits must decorrelate across tables")
+  }
+
   test("LSH bucket cap salts oversized buckets without breaking verification") {
     val emb = embWithNearDups
     // nBits=2 → 4 buckets/table, every bucket oversized at cap 16: forces
