@@ -138,13 +138,16 @@ object Dedup {
     * once-materialized signature set → slot-match estimate (codegen'd
     * higher-order functions) → threshold. Signature bytes cross the wire
     * O(corpus + candidates) instead of O(corpus × bands) — the same
-    * de-amplification as lshNearNeighbors.
+    * de-amplification as lshNearNeighbors, and the same `bucketCap` guard:
+    * a giant exact-duplicate class (routine in crawl data) salts into
+    * band-decorrelated sub-buckets instead of quadratic pair work.
     */
   def minhashPairs(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      threshold: Double = 0.8,
+      threshold: Double = 0.8, bucketCap: Int = 65536,
       materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    require(bucketCap > 0, "bucketCap > 0")
     import graft.functions.DedupFunctions
     // materialized: the banding and both re-attach sides re-derive from
     // the signatures; eager materialization runs the (expensive) shingling
@@ -163,11 +166,30 @@ object Dedup {
         posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
       .toDF("id", "band", "bhash")
 
-    // within-bucket candidate pairing; buckets are tiny when data is clean,
-    // so a self-join on (band, bhash) stays a hash join on the bucket key
-    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bhash")).filter(col("id_a") < col("id_b"))
+    // bucket-size cap (the lshNearNeighbors analogue): buckets are tiny on
+    // clean data (band equality needs 4 identical signature slots), but a
+    // crawl corpus with a large exact-duplicate class puts the WHOLE class
+    // in one bucket of every band — quadratic pair work. Oversized buckets
+    // salt into ceil(n/bucketCap) sub-buckets; the salt hashes (id, band)
+    // so splits decorrelate across bands and a pair separated in one band
+    // still collides in another (recall 1-(1/nsplit)^(bands-1) for
+    // exact-dup classes, whose signatures agree in every band).
+    val oversized = banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > bucketCap)
+      .withColumn("nsplit", ceil(col("bn") / bucketCap).cast("int"))
+      .select(col("band"), col("bhash"), col("nsplit"))
+    val salted = banded.join(broadcast(oversized), Seq("band", "bhash"), "left")
+      .withColumn("salt",
+        when(col("nsplit").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("id"), col("band")), col("nsplit")).cast("int")))
+      .select(col("band"), col("bhash"), col("salt"), col("id"))
+
+    // within-bucket candidate pairing; a self-join on the bucket key stays
+    // a plain hash join with bounded per-bucket pair work
+    val a = salted.select(col("band"), col("bhash"), col("salt"), col("id").as("id_a"))
+    val b = salted.select(col("band"), col("bhash"), col("salt"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bhash", "salt")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // dedup across bands BEFORE the verify: 16 bytes/pair
 

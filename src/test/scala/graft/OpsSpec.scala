@@ -51,6 +51,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash bucket cap salts a giant duplicate class with ~no recall loss") {
+    import spark.implicits._
+    // 60 identical docs: every band puts the whole class in ONE bucket; at
+    // cap 16 each splits into nsplit=4 salted sub-buckets hashed on
+    // (id, band), so splits decorrelate across the 32 bands — exact-dup
+    // recall 1-(3/4)^32 ≈ 0.9999. Non-clone pairs must be unaffected.
+    val clones = (0 until 60).map(i => (60000L + i, "identical clone text block " * 8))
+    val df = docsWithDups.union(clones.toDF("doc_id", "text"))
+    val cloneIds = clones.map(_._1).toSet
+    def run(cap: Int) = Dedup.minhashPairs(spark, df, k = 128, bands = 32,
+      threshold = 0.5, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run(16)
+    val uncapped = run(Int.MaxValue)
+    val clonePairs = capped.count { case (x, y) => cloneIds(x) && cloneIds(y) }
+    assert(clonePairs >= 1760, s"expected ~1770 clone pairs, got $clonePairs")
+    assert(capped.subsetOf(uncapped), "capping may only drop pairs, never invent them")
+    def nonClone(s: Set[(Long, Long)]) = s.filterNot { case (x, y) => cloneIds(x) && cloneIds(y) }
+    assert(nonClone(capped) == nonClone(uncapped),
+      "salting a hot bucket must not affect pairs outside the duplicate class")
+  }
+
   test("content-free docs never pair in minhash or simhash dedup") {
     import spark.implicits._
     // 40 null/empty/whitespace-only docs: pre-fix these all shared one
