@@ -274,9 +274,12 @@ object SparkEntry {
       a.join(b, "id_a")
         .select(col("id_a"), col("t_a"), col("id_b"), col("t_b"))
         .as[(Long, String, Long, String)]
-        // null ≡ '' exactly like the oracle's coalesce (shingles(null) would
-        // otherwise give an EMPTY set vs {''} for empty text — 0.0 vs 1.0
-        // on a null-vs-empty adjacent pair)
+        // null ≡ '' exactly like the oracle's coalesce. Since round 4,
+        // shingles() of ANY zero-token text is the empty set, so both-empty
+        // pairs hit ngramJaccard's both-empty guard (1.0) — matching the
+        // oracle, whose sh CTE yields {''} for content-free docs ({''}∩{''}
+        // → 1.0; one-sided → 0.0 on both engines). Editing that guard or
+        // the oracle's CASE len(tk)<3 branch breaks this parity.
         .map { case (ia, ta, ib, tb) =>
           (ia, ib, Dedup.ngramJaccard(if (ta == null) "" else ta,
             if (tb == null) "" else tb, 3))

@@ -93,11 +93,7 @@ object Extractor {
     var est = 64
     page.textBlocks.foreach(b => est += b.length + 1)
     tables.foreach(dt => est += 64 + page.regions(dt.regionIdx).grid.size * 8)
-    var sb = builders.get()
-    if (sb.capacity > MaxRetainedBuilder) {
-      sb = new java.lang.StringBuilder(math.min(est, MaxRetainedBuilder))
-      builders.set(sb)
-    }
+    val sb = builders.get()
     sb.setLength(0)
     sb.ensureCapacity(est)
     page.textBlocks.foreach { b =>
@@ -109,7 +105,12 @@ object Extractor {
       if (sb.length > 0) sb.append('\n')
       appendTable(sb, grid, dt)
     }
-    sb.toString
+    val out = sb.toString
+    // trim AFTER use: an outlier page must not pin its giant buffer in the
+    // ThreadLocal until the thread happens to serialize again
+    if (sb.capacity > MaxRetainedBuilder)
+      builders.set(new java.lang.StringBuilder(8192))
+    out
   }
 
   private def appendTable(sb: java.lang.StringBuilder, grid: CellGrid, dt: DetectedTable): Unit = {

@@ -77,7 +77,6 @@ object PageParser {
 
     var dropDepth = 0
     var anchorDepth = 0
-    var boldDepth = 0
     var preDepth = 0
     val blockText = new java.lang.StringBuilder
     var blockLinkChars = 0
@@ -111,10 +110,12 @@ object PageParser {
           case "tr" if nestedOverflow == 0 => table.startRow()
           case "td" | "th" if nestedOverflow == 0 => table.startCell(name == "th", attrs)
           case "caption" if nestedOverflow == 0 => table.startCaption()
-          // boldDepth still tracks for tag balance, but bold markup inside
-          // an ignored beyond-cap nested table must not leak into the
-          // tracked table's formatting signal
-          case "b" | "strong" => boldDepth += 1; if (nestedOverflow == 0) table.sawBold()
+          // deliberate asymmetry in the beyond-cap overflow region: nested
+          // TEXT still flows into the tracked cell (the documented
+          // degraded-structure behavior — content is preserved as plain
+          // text), but bold is a STRUCTURAL formatting signal and must not
+          // cross the cap into the tracked table's header heuristics
+          case "b" | "strong" => if (nestedOverflow == 0) table.sawBold()
           case _ => ()
         }
       } else name match {
@@ -126,8 +127,6 @@ object PageParser {
           preDepth += 1
         case "a" =>
           if (!selfClosing) anchorDepth += 1
-        case "b" | "strong" =>
-          if (!selfClosing) boldDepth += 1
         case "br" =>
           if (preDepth > 0) preText.append('\n') else blockText.append('\n')
         case n if BlockTags.contains(n) =>
@@ -155,7 +154,6 @@ object PageParser {
           case "tr" if nestedOverflow == 0 => table.endRow()
           case "td" | "th" if nestedOverflow == 0 => table.endCell()
           case "caption" if nestedOverflow == 0 => table.endCaption()
-          case "b" | "strong" => if (boldDepth > 0) boldDepth -= 1
           case _ => ()
         }
       } else name match {
@@ -165,7 +163,6 @@ object PageParser {
             if (preDepth == 0) finishPre()
           }
         case "a" => if (anchorDepth > 0) anchorDepth -= 1
-        case "b" | "strong" => if (boldDepth > 0) boldDepth -= 1
         case n if BlockTags.contains(n) => flushBlock()
         case _ => ()
       }

@@ -162,9 +162,14 @@ object Dedup {
       .filter(size(col("sig")) > 0),
       materialize)
 
-    val banded = sigs.select(col("id"),
+    // materialized: the banded stream feeds THREE plan branches (the
+    // oversized-bucket aggregate + both self-join sides) — without this the
+    // per-doc band fold and explode re-run per branch (same treatment as
+    // lshNearNeighbors' sigged)
+    val banded = Materialize(sigs.select(col("id"),
         posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
-      .toDF("id", "band", "bhash")
+      .toDF("id", "band", "bhash"),
+      materialize)
 
     // bucket-size cap (the lshNearNeighbors analogue): buckets are tiny on
     // clean data (band equality needs 4 identical signature slots), but a
