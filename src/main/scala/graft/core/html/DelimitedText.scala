@@ -128,6 +128,17 @@ object DelimitedText {
   /** 1M-row safety cap (reference: csv_reader.py:252-255). */
   val MaxRows = 1000000
 
+  /** Allocation-free line count ('\n' count + 1), capped at MaxRows + 1. */
+  private def countLines(text: String): Int = {
+    var n = 1
+    var i = 0
+    while (i < text.length && n <= MaxRows) {
+      if (text.charAt(i) == '\n') n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Parse delimited text to a grid.
     *
     * The grid kind steers the downstream cascade the way the reference's
@@ -136,7 +147,7 @@ object DelimitedText {
     * TXT (string cells, structured-text detection).
     */
   def parse(text: String, delimiter: Char): (CellGrid, GridKind) = {
-    val g = new CellGrid
+    var g: CellGrid = null
     val infer = delimiter != ' '
     val res = new graft.core.grid.TypeInfer.Res // reused across cells (tuple-free)
     var r = 0
@@ -145,6 +156,10 @@ object DelimitedText {
         val parts: Array[String] =
           if (delimiter == ' ') WsRe.split(line).filter(_.trim.nonEmpty)
           else splitQuoted(line, delimiter)
+        // bounds are knowable up front here (line count × first row width):
+        // dense flat backing — no hash probes, no growth copies; ragged
+        // wider rows migrate to the map inside CellGrid
+        if (g == null) g = CellGrid.dense(countLines(text), parts.length)
         var c = 0
         while (c < parts.length) {
           val v = parts(c)
@@ -156,6 +171,7 @@ object DelimitedText {
         if (parts.nonEmpty) r += 1
       } else r += 1
     }
+    if (g == null) g = new CellGrid
     val kind = delimiter match {
       case '\t' | ' ' => GridKind.DelimitedText
       case _ => GridKind.Csv

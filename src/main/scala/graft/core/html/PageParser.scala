@@ -309,7 +309,11 @@ object PageParser {
 
   /** Builds a CellGrid from table markup with rowspan/colspan handling. */
   private final class TableBuilder(tableAttrs: Map[String, String]) {
-    private val grid = new CellGrid
+    // cells buffer until build(): the final dimensions are only known at
+    // </table>, and a bounds-declared CellGrid.dense (flat row-major
+    // array) beats incremental hash-map puts on both allocation and the
+    // detect path's random access
+    private val cells = mutable.ArrayBuffer.empty[Cell]
     private val occupied = mutable.HashSet.empty[Long]
     private var row = -1
     private var col = 0
@@ -395,12 +399,12 @@ object PageParser {
           .orElse(cellAttrs.get("bgcolor").map(_.trim)).orNull
         val fc = style.get("color").map(_.trim).orNull
         val fs = style.get("font-size").flatMap(Css.pxValue).getOrElse(0.0)
-        grid.put(Cell.of(py, value, dt, row, col,
+        cells += Cell.of(py, value, dt, row, col,
           isBold = bold, alignment = align,
           borderTop = borders(0), borderBottom = borders(1),
           borderLeft = borders(2), borderRight = borders(3),
           isMerged = merged, mergeRange = mergeRange,
-          fontSize = fs, fontColor = fc, backgroundColor = bg))
+          fontSize = fs, fontColor = fc, backgroundColor = bg)
       }
       // mark covered cells (merge shadows + future rowspan slots)
       var r = row
@@ -417,7 +421,15 @@ object PageParser {
 
     def build(): CellGrid = {
       if (inCell) endCell()
-      grid
+      var mr = 0
+      var mc = 0
+      cells.foreach { c =>
+        if (c.row > mr) mr = c.row
+        if (c.col > mc) mc = c.col
+      }
+      val g = CellGrid.dense(mr + 1, mc + 1)
+      cells.foreach(g.put)
+      g
     }
 
     private def parseIntOpt(s: String): Option[Int] =

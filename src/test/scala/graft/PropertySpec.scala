@@ -109,6 +109,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("dense-backed grid == map-backed grid (incl. ragged migration)") {
+    // CellGrid.dense stores cells in a flat row-major array; cells outside
+    // the declared bounds migrate the grid to the sparse map. Every
+    // observable (sorted traversal, random access, size, bounds, counts)
+    // must be identical to a map-backed grid over the same puts —
+    // including duplicates (overwrite) and the migration path (cellGen
+    // spans 0..30 × 0..20, often exceeding the declared bounds).
+    check(Prop.forAll(Gen.listOfN(80, cellGen),
+        Gen.chooseNum(1, 35), Gen.chooseNum(1, 25)) { (coords, dr, dc) =>
+      val dense = CellGrid.dense(dr, dc)
+      val sparse = new CellGrid
+      coords.foreach { case (r, c) =>
+        dense.put(Cell.str(s"v$r-$c", r, c))
+        sparse.put(Cell.str(s"v$r-$c", r, c))
+      }
+      dense.cellsSorted.map(c => (c.row, c.col, c.value)).toSeq ==
+        sparse.cellsSorted.map(c => (c.row, c.col, c.value)).toSeq &&
+        dense.size == sparse.size && dense.maxRow == sparse.maxRow &&
+        dense.maxCol == sparse.maxCol &&
+        (0 to 31).forall(r => (0 to 21).forall(c =>
+          (dense.get(r, c) == null) == (sparse.get(r, c) == null))) &&
+        dense.countIn(0, 31, 0, 21) == sparse.countIn(0, 31, 0, 21)
+    })
+  }
+
   test("islands partition the non-empty cells (no cell lost, no overlap)") {
     check(Prop.forAll(Gen.listOfN(60, cellGen)) { coords =>
       val g = gridOf(coords.distinct)
