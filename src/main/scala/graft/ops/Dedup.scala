@@ -236,7 +236,8 @@ object Dedup {
     * hamming distance within buckets.
     */
   def simhashPairs(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
     // content-free docs (no whitespace tokens) all share simhash 0 — the
     // same O(n²) degenerate pair class as empty minhash shingles; drop them
     // before the signature. The predicate replays the simhash tokenizer
@@ -245,10 +246,14 @@ object Dedup {
       split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
       t => length(t) > 0)) > 0
     // native Catalyst expression: the signature stage stays inside
-    // whole-stage codegen (no Deserialize→map→Serialize break)
-    val sigs = df.filter(hasTokens).select(col(idCol).cast("long").as("id"),
-      graft.functions.DedupFunctions.simhash64(coalesce(col(textCol), lit("")))
-        .as("sim"))
+    // whole-stage codegen (no Deserialize→map→Serialize break).
+    // materialized: both self-join sides derive from it — without this the
+    // per-doc simhash (a full token scan) computes twice
+    val sigs = Materialize(
+      df.filter(hasTokens).select(col(idCol).cast("long").as("id"),
+        graft.functions.DedupFunctions.simhash64(coalesce(col(textCol), lit("")))
+          .as("sim")),
+      materialize)
 
     val chunked = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
