@@ -314,7 +314,7 @@ object PageParser {
     // array) beats incremental hash-map puts on both allocation and the
     // detect path's random access
     private val cells = mutable.ArrayBuffer.empty[Cell]
-    private val occupied = mutable.HashSet.empty[Long]
+    private val occupied = new graft.core.grid.LongHashSet(16) // primitive, no boxing
     private var row = -1
     private var col = 0
     private var inCell = false
@@ -411,7 +411,7 @@ object PageParser {
       while (r < row + rowspan) {
         var c = col
         while (c < col + colspan) {
-          if (!(r == row && c == col)) occupied += key(r, c)
+          if (!(r == row && c == col)) occupied.add(key(r, c))
           c += 1
         }
         r += 1
