@@ -55,11 +55,13 @@ object Extractor {
       val outcome = Cascade.detect(region.grid, region.kind, config)
       outcome.tables.take(config.maxTablesPerSheet).foreach { hit =>
         if (tableExtractor != null) {
-          val (table, hi, quality) = tableExtractor.extract(region.grid, hit.span)
+          // stats-only variant: the span ships (rows, cols, quality) — the
+          // TableData row Vectors extract() builds were always discarded
+          val (shape, hi, quality) = tableExtractor.extractStats(region.grid, hit.span)
           detected += DetectedTable(regionIdx, region.kind, region.origin, outcome.methodUsed,
             hit, hi.map(_.orientation).getOrElse(""), hi.map(_.headerRows).getOrElse(0),
             hi.exists(_.hasHeaders), hi.map(_.tableType).getOrElse(""), quality,
-            table.map(_.rowCount).getOrElse(0), table.map(_.colCount).getOrElse(0))
+            shape.map(_._1).getOrElse(0), shape.map(_._2).getOrElse(0))
         } else {
           detected += DetectedTable(regionIdx, region.kind, region.origin, outcome.methodUsed,
             hit)

@@ -607,10 +607,44 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
 
   // ---- table creation + quality ----
 
+  /** Output shape of [[createTable]] WITHOUT materializing it:
+    * (fromRow, fromCol, rowCount, colCount), None exactly when createTable
+    * returns None. Single source of truth for both the materializing path
+    * and the stats-only kernel path.
+    */
+  private def tableShape(matrix: Array[Array[Cell]], headerInfo: Option[HeaderResult])
+      : Option[(Int, Int, Int, Int)] = {
+    if (matrix.length == 0) return None
+    headerInfo match {
+      case Some(hi) if hi.hasHeaders && hi.orientation == "vertical" =>
+        var startRow = 0
+        if (hi.titleRows.nonEmpty) {
+          val titleSet = hi.titleRows.toSet
+          startRow = matrix.indices.find(i => !titleSet.contains(i)).getOrElse(0)
+        }
+        val dataStart = startRow + hi.headerRows
+        if (hi.headers.size != matrix(0).length) None // pandas would raise
+        else {
+          val fr = math.min(dataStart, matrix.length)
+          Some((fr, 0, matrix.length - fr, hi.headers.size))
+        }
+      case Some(hi) if hi.hasHeaders =>
+        // pandas raises when len(columns) != data width (headers here are one
+        // per ROW — the reference's transposed path fails for non-square
+        // shapes); replicate by returning None on mismatch
+        if (hi.headers.size != math.max(0, matrix(0).length - hi.headerColumns)) None
+        else {
+          val fc = math.min(hi.headerColumns, matrix(0).length)
+          Some((0, fc, matrix.length, hi.headers.size))
+        }
+      case _ => // no header info, or !hasHeaders: numbered columns, all rows
+        Some((0, 0, matrix.length, matrix(0).length))
+    }
+  }
+
   /** reference: dataframe_extractor.py:442-481. */
   def createTable(matrix: Array[Array[Cell]], headerInfo: Option[HeaderResult])
       : Option[TableData] = {
-    if (matrix.length == 0) return None
     // output rows materialize as Vectors (TableData is the public surface);
     // the matrix itself stays flat
     def rowsFrom(fromRow: Int, fromCol: Int): Vector[Vector[String]] =
@@ -621,47 +655,90 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
           if (cell == null || cell.value == null) null else cell.value
         }
       }
-    headerInfo match {
-      case None =>
-        Some(TableData((0 until matrix(0).length).map(_.toString).toVector,
-          rowsFrom(0, 0)))
-      case Some(hi) if !hi.hasHeaders =>
-        Some(TableData((0 until matrix(0).length).map(_.toString).toVector,
-          rowsFrom(0, 0)))
-      case Some(hi) if hi.orientation == "vertical" =>
-        var startRow = 0
-        if (hi.titleRows.nonEmpty) {
-          val titleSet = hi.titleRows.toSet
-          startRow = matrix.indices.find(i => !titleSet.contains(i)).getOrElse(0)
-        }
-        val dataStart = startRow + hi.headerRows
-        if (hi.headers.size != matrix(0).length) None // pandas would raise
-        else Some(TableData(hi.headers, rowsFrom(math.min(dataStart, matrix.length), 0)))
-      case Some(hi) =>
-        // pandas raises when len(columns) != data width (headers here are one
-        // per ROW — the reference's transposed path fails for non-square
-        // shapes); replicate by returning None on mismatch
-        if (hi.headers.size != math.max(0, matrix(0).length - hi.headerColumns)) None
-        else Some(TableData(hi.headers, rowsFrom(0, math.min(hi.headerColumns, matrix(0).length))))
+    tableShape(matrix, headerInfo).map { case (fr, fc, _, _) =>
+      val columns = headerInfo match {
+        case Some(hi) if hi.hasHeaders => hi.headers
+        case _ => (0 until matrix(0).length).map(_.toString).toVector
+      }
+      TableData(columns, rowsFrom(fr, fc))
     }
   }
 
   /** reference: dataframe_extractor.py:483-514. */
   def qualityScore(t: TableData, headerInfo: Option[HeaderResult], density: Double): Double = {
+    val nonNull = t.rows.iterator.map(_.count(_ != null)).sum
+    qualityScoreStats(t.rowCount, t.colCount, nonNull, headerInfo, density)
+  }
+
+  private def qualityScoreStats(rows: Int, cols: Int, nonNull: Long,
+      headerInfo: Option[HeaderResult], density: Double): Double = {
     var score = density * 0.3
     headerInfo match {
       case Some(hi) if hi.hasHeaders => score += hi.confidence * 0.3
       case _ => score += 0.1
     }
-    val rows = t.rowCount
-    val cols = t.colCount
     if (rows >= minDataRows && cols > 0) {
       val aspect = math.min(rows.toDouble / cols, cols.toDouble / rows)
       score += math.min(1.0, aspect / 0.1) * 0.2
     }
-    val nonNull = t.rows.iterator.map(_.count(_ != null)).sum
     val total = rows.toLong * cols
     if (total > 0) score += (nonNull.toDouble / total) * 0.2
     math.min(1.0, score)
+  }
+
+  /** The kernel-pipeline variant of [[extract]]: same matrix build, density
+    * gate, header detection, shape logic and quality arithmetic — but the
+    * TableData row Vectors are never materialized (the pipeline only ships
+    * (rows, cols, quality) on the span; the created rows were discarded).
+    * Returns (Some((rowCount, colCount)) iff extract would return a table,
+    * headerInfo, quality) — equality with extract() is asserted per golden
+    * fixture in OperatorGoldenSpec.
+    */
+  def extractStats(g: CellGrid, span: Span): (Option[(Int, Int)], Option[HeaderResult], Double) = {
+    val nRows = span.r1 - span.r0 + 1
+    val nCols = span.c1 - span.c0 + 1
+    if (nRows <= 0 || nCols <= 0) return (None, None, 0.0)
+    val matrix = new Array[Array[Cell]](nRows)
+    var mr = 0
+    while (mr < nRows) {
+      val row = new Array[Cell](nCols)
+      var mc = 0
+      while (mc < nCols) {
+        val cell = g.get(span.r0 + mr, span.c0 + mc)
+        row(mc) = if (cell == null || cell.isEmpty) null else cell
+        mc += 1
+      }
+      matrix(mr) = row
+      mr += 1
+    }
+    val density = calcDensity(matrix)
+    if (density < minDataDensity) return (None, None, 0.0)
+    val headerInfo = Some(detectHeaderInfo(matrix, g, span))
+    tableShape(matrix, headerInfo) match {
+      case None => (None, headerInfo, 0.0)
+      case Some((fr, fc, nr, nc)) =>
+        if (nr < minDataRows) {
+          if (headerInfo.exists(_.tableType == "plate_map"))
+            (Some((nr, nc)), headerInfo, 0.95)
+          else (None, headerInfo, 0.0)
+        } else {
+          // nonNull over the same region createTable would materialize:
+          // a slot counts when the cell exists AND its value is non-null
+          var nonNull = 0L
+          var r = fr
+          while (r < matrix.length) {
+            val row = matrix(r)
+            var c = fc
+            while (c < row.length) {
+              val cell = row(c)
+              if (cell != null && cell.value != null) nonNull += 1
+              c += 1
+            }
+            r += 1
+          }
+          (Some((nr, nc)), headerInfo,
+            qualityScoreStats(nr, nc, nonNull, headerInfo, density))
+        }
+    }
   }
 }
