@@ -42,14 +42,15 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     1536 -> Seq((32, 48), (48, 32))
   )
 
-  /** reference: dataframe_extractor.py:52-116. */
-  def extract(g: CellGrid, span: Span, detectHeaders: Boolean = true)
-      : (Option[TableData], Option[HeaderResult], Double) = {
-    // dense span view as flat arrays (de-boxed round 4: the Vector-of-
-    // Vectors tree nodes were a measurable share of the extract-ON path)
+  /** Dense span view as flat arrays (de-boxed round 4: the Vector-of-
+    * Vectors tree nodes were a measurable share of the extract-ON path).
+    * Empty array iff the span is degenerate. Shared by [[extract]] and
+    * [[extractStats]] so the two paths cannot drift.
+    */
+  private def spanMatrix(g: CellGrid, span: Span): Array[Array[Cell]] = {
     val nRows = span.r1 - span.r0 + 1
     val nCols = span.c1 - span.c0 + 1
-    if (nRows <= 0 || nCols <= 0) return (None, None, 0.0)
+    if (nRows <= 0 || nCols <= 0) return Array.empty
     val matrix = new Array[Array[Cell]](nRows)
     var mr = 0
     while (mr < nRows) {
@@ -63,6 +64,14 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       matrix(mr) = row
       mr += 1
     }
+    matrix
+  }
+
+  /** reference: dataframe_extractor.py:52-116. */
+  def extract(g: CellGrid, span: Span, detectHeaders: Boolean = true)
+      : (Option[TableData], Option[HeaderResult], Double) = {
+    val matrix = spanMatrix(g, span)
+    if (matrix.length == 0) return (None, None, 0.0)
 
     val density = calcDensity(matrix)
     if (density < minDataDensity) return (None, None, 0.0)
@@ -695,22 +704,8 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     * fixture in OperatorGoldenSpec.
     */
   def extractStats(g: CellGrid, span: Span): (Option[(Int, Int)], Option[HeaderResult], Double) = {
-    val nRows = span.r1 - span.r0 + 1
-    val nCols = span.c1 - span.c0 + 1
-    if (nRows <= 0 || nCols <= 0) return (None, None, 0.0)
-    val matrix = new Array[Array[Cell]](nRows)
-    var mr = 0
-    while (mr < nRows) {
-      val row = new Array[Cell](nCols)
-      var mc = 0
-      while (mc < nCols) {
-        val cell = g.get(span.r0 + mr, span.c0 + mc)
-        row(mc) = if (cell == null || cell.isEmpty) null else cell
-        mc += 1
-      }
-      matrix(mr) = row
-      mr += 1
-    }
+    val matrix = spanMatrix(g, span)
+    if (matrix.length == 0) return (None, None, 0.0)
     val density = calcDensity(matrix)
     if (density < minDataDensity) return (None, None, 0.0)
     val headerInfo = Some(detectHeaderInfo(matrix, g, span))

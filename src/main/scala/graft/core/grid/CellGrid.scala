@@ -8,11 +8,12 @@ package graft.core.grid
   * order-sensitive step, island_detector.py:658). Backed by a primitive
   * open-addressing map — the kernel is allocation-bound otherwise.
   */
-final class CellGrid(capacityHint: Int = 8) extends Serializable {
+final class CellGrid private (capacityHint: Int, denseRows: Int, denseCols: Int)
+    extends Serializable {
   private var map: LongObjMap[Cell] = null
   // dense row-major backing, active when bounds were declared up front
-  // (CellGrid.dense — the delimited-text path knows its dimensions): no
-  // hash probes on the detect path's random access, no growth copies, and
+  // (CellGrid.dense — the parse paths know their dimensions): no hash
+  // probes on the detect path's random access, no growth copies, and
   // cellsSorted needs no sort. A cell outside the declared bounds migrates
   // the grid to the map transparently (ragged rows).
   private var dArr: Array[Cell] = null
@@ -23,14 +24,13 @@ final class CellGrid(capacityHint: Int = 8) extends Serializable {
   private var _maxCol: Int = 0
   private var sortedCache: Array[Cell] = null
 
-  if (capacityHint >= 0) map = new LongObjMap[Cell](math.max(8, capacityHint))
+  if (denseRows > 0 && denseCols > 0) {
+    dArr = new Array[Cell](denseRows * denseCols)
+    dH = denseRows
+    dW = denseCols
+  } else map = new LongObjMap[Cell](math.max(8, capacityHint))
 
-  private def this(rows: Int, cols: Int, dense: Boolean) = {
-    this(-1)
-    dArr = new Array[Cell](rows * cols)
-    dH = rows
-    dW = cols
-  }
+  def this(capacityHint: Int = 8) = this(capacityHint, 0, 0)
 
   @inline private def key(r: Int, c: Int): Long = (r.toLong << 32) | (c & 0xffffffffL)
 
@@ -57,6 +57,9 @@ final class CellGrid(capacityHint: Int = 8) extends Serializable {
     */
   def put(cell: Cell): Unit = {
     if (cell != null && !cell.isEmpty) {
+      // fail loudly on both backings (the map path would throw inside
+      // LongObjMap; the dense path would index out of bounds or corrupt)
+      require(cell.row >= 0 && cell.col >= 0, "negative cell coordinates")
       if (dArr != null) {
         if (cell.row < dH && cell.col < dW) {
           val i = cell.row * dW + cell.col
@@ -176,7 +179,7 @@ object CellGrid {
     */
   def dense(rows: Int, cols: Int): CellGrid =
     if (rows > 0 && cols > 0 && rows.toLong * cols <= MaxDenseArea)
-      new CellGrid(rows, cols, true)
+      new CellGrid(8, rows, cols)
     else new CellGrid()
 }
 

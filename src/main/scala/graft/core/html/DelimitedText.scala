@@ -158,8 +158,10 @@ object DelimitedText {
           else splitQuoted(line, delimiter)
         // bounds are knowable up front here (line count × first row width):
         // dense flat backing — no hash probes, no growth copies; ragged
-        // wider rows migrate to the map inside CellGrid
-        if (g == null) g = CellGrid.dense(countLines(text), parts.length)
+        // wider rows migrate to the map inside CellGrid. Wait for the first
+        // row that actually has cells (a zero-part first line would forfeit
+        // the dense backing for the whole document via dense(n, 0))
+        if (g == null && parts.nonEmpty) g = CellGrid.dense(countLines(text), parts.length)
         var c = 0
         while (c < parts.length) {
           val v = parts(c)

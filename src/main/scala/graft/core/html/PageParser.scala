@@ -307,6 +307,9 @@ object PageParser {
     bytes
   }
 
+  /** Max rowspan×colspan shadow slots one cell may claim (DoS clamp). */
+  private val MaxShadowArea = 65536
+
   /** Builds a CellGrid from table markup with rowspan/colspan handling. */
   private final class TableBuilder(tableAttrs: Map[String, String]) {
     // cells buffer until build(): the final dimensions are only known at
@@ -379,8 +382,15 @@ object PageParser {
       // advance past cells covered by earlier rowspans
       while (occupied.contains(key(row, col))) col += 1
 
-      val colspan = math.max(1, cellAttrs.get("colspan").flatMap(parseIntOpt).getOrElse(1))
-      val rowspan = math.max(1, cellAttrs.get("rowspan").flatMap(parseIntOpt).getOrElse(1))
+      // clamp spans against hostile pages: colspan at the HTML-spec 1000,
+      // rowspan spec limit is 65534 but the eager shadow walk below does
+      // rowspan×colspan occupied-set inserts, so bound the PRODUCT at 64k
+      // (a crafted rowspan=colspan=2e9 would otherwise hang the parser on
+      // one document — crawl input is adversarial by default)
+      val colspan = math.min(1000,
+        math.max(1, cellAttrs.get("colspan").flatMap(parseIntOpt).getOrElse(1)))
+      val rowspan = math.min(math.max(1, MaxShadowArea / colspan),
+        math.max(1, cellAttrs.get("rowspan").flatMap(parseIntOpt).getOrElse(1)))
       val style = Css.parse(cellAttrs.getOrElse("style", ""))
 
       val value = normalizeWs(cellText.toString)

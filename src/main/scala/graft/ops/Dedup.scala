@@ -177,8 +177,10 @@ object Dedup {
     // in one bucket of every band — quadratic pair work. Oversized buckets
     // salt into ceil(n/bucketCap) sub-buckets; the salt hashes (id, band)
     // so splits decorrelate across bands and a pair separated in one band
-    // still collides in another (recall 1-(1/nsplit)^(bands-1) for
-    // exact-dup classes, whose signatures agree in every band).
+    // still collides in another: per band a pair co-collides with prob
+    // 1/nsplit, so exact-dup recall is 1-((nsplit-1)/nsplit)^bands (their
+    // signatures agree in every band) — near 1 only while nsplit stays
+    // small relative to bands; exact-dedup first for massive clone classes.
     val oversized = banded.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > bucketCap)

@@ -151,8 +151,10 @@ object Similarity {
     // split it identically everywhere, losing the same cross-salt pairs in
     // all nTables at once (measured: exactly the within-salt half of a
     // planted 5000-identical cluster survived — tools.OpsScale). With the
-    // table in the hash the splits decorrelate, so a pair lost to salting
-    // in one table is caught in another with prob 1-(1/nsplit)^(nTables-1)
+    // table in the hash the splits decorrelate: per table a pair
+    // co-collides with prob 1/nsplit, so an identical-cluster pair
+    // survives with prob 1-((nsplit-1)/nsplit)^nTables — near 1 while
+    // nsplit stays small relative to nTables
     val salted = sigged.join(broadcast(oversized), Seq("tbl", "bucket"), "left")
       .withColumn("salt",
         when(col("nsplit").isNull, lit(0))

@@ -51,6 +51,27 @@ class MessyHtmlSpec extends AnyFunSuite {
     assert(page.regions.head.grid.get(0, 0).value == "leaf")
   }
 
+  test("hostile rowspan/colspan are clamped (bounded shadow work)") {
+    // a crafted page with astronomically large spans must parse in bounded
+    // time/memory: the eager merge-shadow walk is rowspan×colspan inserts,
+    // clamped at colspan<=1000 and rowspan×colspan<=64k per cell
+    val html = "<table><tr>" +
+      "<td rowspan=\"2000000000\" colspan=\"2000000000\">bomb</td>" +
+      "<td>b</td></tr><tr><td>c</td></tr></table>"
+    val t0 = System.nanoTime()
+    val page = PageParser.parse(html)
+    assert((System.nanoTime() - t0) < 30e9, "parse must not hang")
+    val g = page.regions.head.grid
+    assert(g.get(0, 0).value == "bomb")
+    assert(g.get(0, 0).isMerged, "clamped span still records a merge")
+    // negative/garbage spans degrade to 1
+    val page2 = PageParser.parse(
+      "<table><tr><td rowspan=\"-5\" colspan=\"x\">v</td><td>w</td></tr></table>")
+    val g2 = page2.regions.head.grid
+    assert(g2.get(0, 0).value == "v" && !g2.get(0, 0).isMerged)
+    assert(g2.get(0, 1).value == "w")
+  }
+
   test("uppercase tags and unquoted attributes parse") {
     val html = "<TABLE BORDER=1><TR><TD COLSPAN=2><B>Wide</B></TD></TR>" +
       "<TR><TD>x</TD><TD>y</TD></TR></TABLE>"
