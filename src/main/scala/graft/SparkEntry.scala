@@ -253,6 +253,15 @@ object SparkEntry {
     // cross-validated by tools/gen_minhash_sql.py
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(s, t(s, dir, "documents"), threshold = 0.5)),
+    // the APPLY step of near-dedup: connected components over the minhash
+    // pair set (near-dup similarity is not transitive — components, not
+    // pairs, are the dedup unit). Min-label propagation + pointer jumping,
+    // O(log diameter) rounds; cluster_id = min id per component. The
+    // oracle recomputes the closure with a recursive CTE over the SAME
+    // replayed pair set.
+    "q_dedup_cluster" -> ((s, dir) =>
+      Dedup.connectedComponents(s,
+        Dedup.minhashPairs(s, t(s, dir, "documents"), threshold = 0.5))),
     // oracle-checked end to end: the pigeonhole blocking is complete for
     // hamming <= 3, so the output equals ALL pairs at that distance and the
     // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
@@ -351,6 +360,60 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per `q_*` query (same column names/order). */
+  // Shared CTE block: the full MinHash-LSH pipeline replayed in exact
+  // mod-2^64 hugeint arithmetic, ending in the mh_pairs CTE (pairs +
+  // est_jaccard at threshold 0.5). Used by q_dedup_minhash (pair surface)
+  // and q_dedup_cluster (connected-components apply step).
+  private val MinhashCtes: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE list_transform(range(1, len(tk) - 1), j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2])
+      |    END AS shs
+      |  FROM toks WHERE len(tk) > 0),
+      |bases AS (
+      |  SELECT doc_id, unnest(list_transform(shs, s -> list_reduce(list_prepend(14695981039346656037::HUGEINT, list_transform(string_split(s, ''), ch -> unicode(ch)::HUGEINT)), (h, c) -> xor(h, c) * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT))) AS b FROM sh),
+      |slotrows AS (
+      |  SELECT doc_id, i,
+      |    min(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT
+      |             ELSE h END AS BIGINT)) AS slot
+      |  FROM (SELECT doc_id, b, unnest(range(0, 64)) AS i FROM bases) e,
+      |       LATERAL (SELECT ((xor(b, i * 11694633085474628615::HUGEINT % 18446744073709551616::HUGEINT)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1) l1,
+      |       LATERAL (SELECT xor(z1, z1 // 1073741824::HUGEINT) AS x1) l2,
+      |       LATERAL (SELECT ((x1) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((x1) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2) l3,
+      |       LATERAL (SELECT xor(z2, z2 // 134217728::HUGEINT) AS x2) l4,
+      |       LATERAL (SELECT xor(((x2) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((x2) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT, (((x2) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((x2) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 2147483648::HUGEINT) AS h) l5
+      |  GROUP BY doc_id, i),
+      |sigs AS (
+      |  SELECT doc_id, list(slot ORDER BY i) AS sig,
+      |    list(CAST(CASE WHEN slot < 0 THEN slot::HUGEINT + 18446744073709551616::HUGEINT
+      |              ELSE slot::HUGEINT END AS HUGEINT) ORDER BY i) AS usig
+      |  FROM slotrows GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, unnest(range(0, 16)) AS band FROM sigs),
+      |bhashes AS (
+      |  SELECT b.doc_id, b.band,
+      |    list_reduce(
+      |      list_prepend(xor(14695981039346656037::HUGEINT, b.band::HUGEINT),
+      |        s.usig[b.band * 4 + 1 : b.band * 4 + 4]),
+      |      (h, s) -> xor((((xor((((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 134217728::HUGEINT)) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 134217728::HUGEINT)) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 134217728::HUGEINT)) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 134217728::HUGEINT)) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 2147483648::HUGEINT)) AS bhash
+      |  FROM bands b JOIN sigs s ON b.doc_id = s.doc_id),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bhashes a JOIN bhashes b
+      |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+      |mh_pairs AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 64 AS est_jaccard
+      |  FROM cands c
+      |  JOIN sigs sa ON sa.doc_id = c.id_a
+      |  JOIN sigs sb ON sb.doc_id = c.id_b
+      |  WHERE CAST(len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 64 >= 0.5)""".stripMargin
+
+
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -861,55 +924,32 @@ object SparkEntry {
     // MinHash-LSH replayed in exact mod-2^64 hugeint arithmetic (DuckDB 1.x
     // xor/'//' are native on HUGEINT; the two mix64 multiplies are 32-bit-limb
     // decomposed). Generated and cross-validated against both a pure-python
-    // replay and the Spark output by tools/gen_minhash_sql.py.
+    // replay and the Spark output by tools/gen_minhash_sql.py. The CTE block
+    // is shared with q_dedup_cluster (MinhashCtes below).
     "q_dedup_minhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |    ELSE list_transform(range(1, len(tk) - 1), j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2])
-        |    END AS shs
-        |  FROM toks WHERE len(tk) > 0),
-        |bases AS (
-        |  SELECT doc_id, unnest(list_transform(shs, s -> list_reduce(list_prepend(14695981039346656037::HUGEINT, list_transform(string_split(s, ''), ch -> unicode(ch)::HUGEINT)), (h, c) -> xor(h, c) * 1099511628211::HUGEINT % 18446744073709551616::HUGEINT))) AS b FROM sh),
-        |slotrows AS (
-        |  SELECT doc_id, i,
-        |    min(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT
-        |             ELSE h END AS BIGINT)) AS slot
-        |  FROM (SELECT doc_id, b, unnest(range(0, 64)) AS i FROM bases) e,
-        |       LATERAL (SELECT ((xor(b, i * 11694633085474628615::HUGEINT % 18446744073709551616::HUGEINT)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1) l1,
-        |       LATERAL (SELECT xor(z1, z1 // 1073741824::HUGEINT) AS x1) l2,
-        |       LATERAL (SELECT ((x1) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((x1) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2) l3,
-        |       LATERAL (SELECT xor(z2, z2 // 134217728::HUGEINT) AS x2) l4,
-        |       LATERAL (SELECT xor(((x2) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((x2) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT, (((x2) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((x2) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 2147483648::HUGEINT) AS h) l5
-        |  GROUP BY doc_id, i),
-        |sigs AS (
-        |  SELECT doc_id, list(slot ORDER BY i) AS sig,
-        |    list(CAST(CASE WHEN slot < 0 THEN slot::HUGEINT + 18446744073709551616::HUGEINT
-        |              ELSE slot::HUGEINT END AS HUGEINT) ORDER BY i) AS usig
-        |  FROM slotrows GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, unnest(range(0, 16)) AS band FROM sigs),
-        |bhashes AS (
-        |  SELECT b.doc_id, b.band,
-        |    list_reduce(
-        |      list_prepend(xor(14695981039346656037::HUGEINT, b.band::HUGEINT),
-        |        s.usig[b.band * 4 + 1 : b.band * 4 + 4]),
-        |      (h, s) -> xor((((xor((((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 134217728::HUGEINT)) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 134217728::HUGEINT)) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 134217728::HUGEINT)) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), (((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((xor((((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT), (((xor(h, s)) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 1073741824::HUGEINT)) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 134217728::HUGEINT)) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 2147483648::HUGEINT)) AS bhash
-        |  FROM bands b JOIN sigs s ON b.doc_id = s.doc_id),
-        |cands AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bhashes a JOIN bhashes b
-        |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
-        |SELECT c.id_a, c.id_b,
-        |  CAST(len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 64 AS est_jaccard
-        |FROM cands c
-        |JOIN sigs sa ON sa.doc_id = c.id_a
-        |JOIN sigs sb ON sb.doc_id = c.id_b
-        |WHERE CAST(len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 64 >= 0.5
+      s"""$MinhashCtes
+        |SELECT id_a, id_b, est_jaccard FROM mh_pairs
         |ORDER BY 1, 2""".stripMargin,
+    // connected components over the SAME replayed minhash pair set: the
+    // apply step of near-dedup. DuckDB computes the transitive closure with
+    // a recursive CTE (UNION dedups, so the undirected closure terminates);
+    // cluster_id = min id of the component — matching the Spark operator's
+    // min-label propagation fixpoint. Validated by tools/gen_minhash_sql.py
+    // against a python union-find over the same pairs.
+    "q_dedup_cluster" ->
+      s"""$MinhashCtes,
+        |nodes AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT id_a AS id FROM mh_pairs UNION ALL SELECT id_b FROM mh_pairs)),
+        |cedges AS (
+        |  SELECT id_a AS a, id_b AS b FROM mh_pairs
+        |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
     // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
     // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)
     "q_fingerprint" ->

@@ -277,6 +277,60 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over near-duplicate pair edges — the APPLY step
+    * for near-dedup: pair lists (minhashPairs / simhashPairs / lshNearNeighbors)
+    * become clusters, and `min(id)` per cluster is the canonical survivor
+    * (the near-dup analogue of [[keepFirst]]'s exact-hash groups; near-dup
+    * similarity is not transitive, so components — not pairs — are the
+    * right dedup unit).
+    *
+    * Returns (id, cluster_id) for every id appearing in `pairs`, with
+    * cluster_id = min id of the component.
+    *
+    * Scale shape: iterative min-label propagation with POINTER JUMPING
+    * (label(v) ← label(label(v)) each round), so convergence is
+    * O(log diameter) rounds, not O(diameter) — and dup-cluster graphs are
+    * near-cliques with tiny diameters, so this terminates in 2-3 rounds in
+    * practice. Each round is two hash joins + a groupBy on id (plain
+    * key-equality shuffles); labels are materialized per round
+    * ([[Materialize]]) so lineage doesn't grow with iterations. The
+    * converged check compares changed-label counts — one tiny aggregate
+    * per round.
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      maxIter: Int = 25,
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = Materialize(
+      edges.select(col("id_a").as("id")).distinct()
+        .withColumn("label", col("id")),
+      materialize)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // 1) propagate: candidate label of v = min over neighbors' labels
+      val nbrMin = edges
+        .join(labels.select(col("id").as("id_a"), col("label").as("la")), Seq("id_a"))
+        .groupBy(col("id_b").as("id")).agg(min(col("la")).as("nl"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // 2) pointer jumping: label(v) <- label(label(v)) (halves chains)
+      val jumped = Materialize(
+        prop.join(prop.select(col("id").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("ll"), col("label")).as("label")),
+        materialize)
+      val changed = jumped.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+      .orderBy(col("id"))
+  }
+
   /** Exact n-gram Jaccard for a candidate pair set (verification stage). */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
     val sa = shingles(a, n).toSet

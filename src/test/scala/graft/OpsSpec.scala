@@ -51,6 +51,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents clusters transitive near-dup chains") {
+    import spark.implicits._
+    // chain a-b, b-c, c-d (no a-c/a-d/b-d edges) + an isolated pair + a
+    // clique: all must resolve to min-id clusters despite multi-hop paths
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // 4-chain: diameter 3 exercises jumping
+      (10L, 11L), // isolated pair
+      (20L, 21L), (20L, 22L), (21L, 22L) // triangle
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // longer chain than one propagate+jump round can close: 9 hops
+    val chain = (0 until 9).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
+    val got2 = Dedup.connectedComponents(spark, chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == (100L to 109L).map(i => (i, 100L)).toSet)
+    // empty pair set: empty output, correct schema
+    val empty = Dedup.connectedComponents(spark,
+      spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.columns.toSeq == Seq("id", "cluster_id") && empty.count() == 0)
+  }
+
   test("minhash bucket cap salts a giant duplicate class with ~no recall loss") {
     import spark.implicits._
     // 60 identical docs: every band puts the whole class in ONE bucket; at

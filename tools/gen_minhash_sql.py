@@ -176,6 +176,55 @@ def minhash_pairs_py(docs, k=64, bands=16, threshold=0.5):
     return out
 
 
+def cluster_sql(table="documents", threshold="0.5"):
+    """q_dedup_cluster: recursive-CTE transitive closure over the SAME
+    replayed pair set; cluster_id = min id of the component (matches the
+    Spark operator's min-label-propagation fixpoint)."""
+    base = oracle_sql(table, threshold)
+    # rewrap: pairs query -> mh_pairs CTE + closure (mirrors SparkEntry's
+    # MinhashCtes refactor)
+    head, tail = base.rsplit("SELECT c.id_a, c.id_b,", 1)
+    tail = tail.replace("\nORDER BY 1, 2", "")
+    head = head.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    head = head.rstrip()
+    assert head.endswith(")"), head[-60:]
+    mh = head + ",\nmh_pairs AS (\n  SELECT c.id_a, c.id_b," + tail.rstrip() + ")"
+    # the final select became a CTE: its WHERE keeps the threshold filter
+    return mh + """,
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM mh_pairs UNION ALL SELECT id_b FROM mh_pairs)),
+cedges AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+ORDER BY id"""
+
+
+def clusters_py(pairs):
+    """Union-find over the pair list: (id, min id of component)."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    ids = set()
+    for a, b, _ in pairs:
+        ids.add(a)
+        ids.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((i, find(i)) for i in ids)
+
+
 def check(sfdir):
     import duckdb
     con = duckdb.connect()
@@ -188,6 +237,14 @@ def check(sfdir):
     if not ok:
         print(" duckdb:", got[:5])
         print(" python:", want[:5])
+        sys.exit(1)
+    cgot = [(a, b) for a, b in con.sql(cluster_sql()).fetchall()]
+    cwant = clusters_py(want)
+    cok = cgot == cwant
+    print(f"{sfdir}: cluster duckdb={len(cgot)} python={len(cwant)} match={cok}")
+    if not cok:
+        print(" duckdb:", cgot[:5])
+        print(" python:", cwant[:5])
         sys.exit(1)
 
 
