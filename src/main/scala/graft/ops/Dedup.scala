@@ -321,8 +321,12 @@ object Dedup {
             Seq("label"), "left")
           .select(col("id"), coalesce(col("ll"), col("label")).as("label")),
         materialize)
-      val changed = jumped.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
+      // the first round always changes on a non-empty pair set (id_a <
+      // id_b, so some label strictly drops) — skip its convergence job
+      val changed =
+        if (iter == 0) 1L
+        else jumped.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter(col("label") =!= col("old")).limit(1).count()
       labels = jumped
       converged = changed == 0
       iter += 1
