@@ -74,7 +74,7 @@ object OpsScale {
       s"p99_bucket=${bstats.getLong(2)} raw_candidate_pairs=${java.lang.Math.round(bstats.getDouble(3))}")
 
     val t0 = System.nanoTime()
-    val mh = Dedup.minhashPairs(spark, amped, threshold = 0.5)
+    val mh = Dedup.minhashPairs(spark, amped, threshold = 0.5).localCheckpoint()
     val mhPairs = mh.count()
     val mhWall = (System.nanoTime() - t0) / 1e9
     // distinct candidate pairs (the post-distinct, pre-verify funnel stage)
@@ -84,6 +84,23 @@ object OpsScale {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct().count()
     println(f"OPSSCALE minhash distinct_candidates=$distinctCands verified_pairs=$mhPairs wall=$mhWall%.1fs")
+
+    // ---- near-dup clustering (the apply step) over the amplified pairs ----
+    val t2 = System.nanoTime()
+    val comps = Dedup.connectedComponents(spark, mh).localCheckpoint()
+    val nNodes = comps.count()
+    val nClusters = comps.select(col("cluster_id")).distinct().count()
+    val compWall = (System.nanoTime() - t2) / 1e9
+    // each base doc's AMP near-identical copies should cluster to the base
+    // min id (id = base*amp + k -> cluster base*amp) unless cross-class
+    // near-dups merge clusters — a handful exist in the base corpus
+    val ownBase = comps
+      .filter(col("cluster_id") === (col("id") - pmod(col("id"), lit(amp.toLong)))).count()
+    println(f"OPSSCALE cluster nodes=$nNodes clusters=$nClusters wall=$compWall%.1fs " +
+      f"own_base_fraction=${ownBase.toDouble / nNodes}%.4f")
+    require(nClusters < nNodes, "clustering must merge near-dup copies")
+    require(ownBase.toDouble / nNodes >= 0.9,
+      "most nodes must cluster to their base class min id")
 
     // ---- LSH under load + a planted cap-tripping cluster ----
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
