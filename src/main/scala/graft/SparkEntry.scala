@@ -262,6 +262,15 @@ object SparkEntry {
     "q_dedup_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(s,
         Dedup.minhashPairs(s, t(s, dir, "documents"), threshold = 0.5))),
+    // near-dedup APPLIED: the kept corpus (min-id survivor per component +
+    // all unpaired docs) — the near-dup analogue of q_dedup_keep
+    "q_dedup_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepFirstByPairs(s, docs,
+          Dedup.minhashPairs(s, docs, threshold = 0.5))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // oracle-checked end to end: the pigeonhole blocking is complete for
     // hamming <= 3, so the output equals ALL pairs at that distance and the
     // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
@@ -950,6 +959,27 @@ object SparkEntry {
         |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+    // near-dedup applied: documents minus the closure's losers (id !=
+    // component min) — same CTE block again, so the three dedup surfaces
+    // share one replayed pipeline
+    "q_dedup_apply" ->
+      s"""$MinhashCtes,
+        |nodes AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT id_a AS id FROM mh_pairs UNION ALL SELECT id_b FROM mh_pairs)),
+        |cedges AS (
+        |  SELECT id_a AS a, id_b AS b FROM mh_pairs
+        |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |  WHERE id != cluster_id)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
     // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)
     "q_fingerprint" ->

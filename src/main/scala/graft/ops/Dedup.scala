@@ -335,6 +335,21 @@ object Dedup {
       .orderBy(col("id"))
   }
 
+  /** Near-dedup APPLIED end to end: keep the min-id survivor of every
+    * near-dup component plus all unpaired docs — the near-dup analogue of
+    * [[keepFirst]]. The loser set rides a key-equality LEFT ANTI join
+    * (never broadcast-forced: it is O(duplicates) and unbounded at corpus
+    * scale; AQE may still choose broadcast when it measures small).
+    */
+  def keepFirstByPairs(spark: SparkSession, df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id",
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
+    val losers = connectedComponents(spark, pairs, materialize = materialize)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("_loser_id"))
+    df.join(losers, df(idCol) === col("_loser_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for a candidate pair set (verification stage). */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
     val sa = shingles(a, n).toSet

@@ -75,6 +75,16 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("id", "cluster_id") && empty.count() == 0)
   }
 
+  test("keepFirstByPairs keeps one survivor per component plus unpaired docs") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepFirstByPairs(spark, docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // components {1,2,3} -> keep 1; {5,6} -> keep 5; 4,7..10 unpaired
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L, 9L, 10L))
+  }
+
   test("minhash bucket cap salts a giant duplicate class with ~no recall loss") {
     import spark.implicits._
     // 60 identical docs: every band puts the whole class in ONE bucket; at
