@@ -62,6 +62,22 @@ case class LshSignatures(child: Expression, planes: Array[Array[Double]],
   override protected def withNewChildInternal(newChild: Expression): LshSignatures =
     copy(child = newChild)
 
+  // case-class equality on Array[Array[Double]] is reference identity —
+  // semantically identical expressions would never compare equal, silently
+  // defeating Catalyst canonicalization / common-subexpression elimination
+  // if the expression appears twice in one plan. Compare plane VALUES.
+  override def equals(other: Any): Boolean = other match {
+    case o: LshSignatures =>
+      child == o.child && nTables == o.nTables && nBits == o.nBits &&
+        java.util.Arrays.deepEquals(
+          planes.asInstanceOf[Array[AnyRef]], o.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nTables), Integer.valueOf(nBits),
+      Integer.valueOf(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
+
   override def prettyName: String = "graft_lsh_signatures"
 }
 

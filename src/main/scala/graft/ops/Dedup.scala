@@ -106,11 +106,20 @@ object Dedup {
     sig
   }
 
-  /** Per-band FNV fold over a signature (the LSH banding hash). */
+  /** Per-band FNV fold over a signature (the LSH banding hash).
+    *
+    * An EMPTY signature (content-free doc — see [[minhashSignature]]) yields
+    * an empty band array: the doc simply lands in no bucket. Total at the
+    * expression layer, so a caller that forgets the `size(sig) > 0`
+    * pre-filter degrades to the same drop semantics instead of killing the
+    * job on the first blank document. The require below still fails loudly
+    * on the real programming error (length not a multiple of bands —
+    * integer division would silently ignore trailing slots and weaken
+    * recall).
+    */
   def bandHashesOf(sig: Array[Long], bands: Int): Array[Long] = {
-    // fail loudly on a mismatched caller: integer division would silently
-    // ignore trailing signature slots and weaken recall
-    require(bands > 0 && sig.length > 0 && sig.length % bands == 0,
+    if (sig.length == 0) return Array.emptyLongArray
+    require(bands > 0 && sig.length % bands == 0,
       s"signature length ${sig.length} must be a positive multiple of bands=$bands")
     val rowsPerBand = sig.length / bands
     val out = new Array[Long](bands)
@@ -299,10 +308,31 @@ object Dedup {
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxIter: Int = 25,
-      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    var labels = Materialize(
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame =
+    connectedComponentsRounds(spark, pairs, maxIter, materialize)._1
+
+  /** [[connectedComponents]] plus the number of propagate+jump rounds it
+    * took to converge (including the final no-change detection round) — the
+    * observable for the O(log diameter) claim: a D-hop path must converge in
+    * ~log2(D)+O(1) rounds, where min-label propagation alone needs D.
+    */
+  def connectedComponentsRounds(spark: SparkSession, pairs: DataFrame,
+      maxIter: Int = 25,
+      materialize: Materialize.Strategy = Materialize.fromEnv): (DataFrame, Int) = {
+    // edges MUST be materialized: the incoming `pairs` is typically the tail
+    // of the whole minhash/LSH candidate pipeline (banded self-join + pair
+    // distinct + signature re-attach + verify — the job's biggest shuffle),
+    // and the loop references edges once per round. Unmaterialized, every
+    // round re-executes that entire pipeline — at 100 TB that is rounds ×
+    // the largest shuffle in the job. Loop state uses Materialize.iterative
+    // (Recompute upgraded to Local): a no-op here would nest the
+    // pointer-jumping self-join's double reference each round — lineage and
+    // recompute cost exponential in the iteration count.
+    val edges = Materialize.iterative(
+      pairs.select(col("id_a"), col("id_b"))
+        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
+      materialize)
+    var labels = Materialize.iterative(
       edges.select(col("id_a").as("id")).distinct()
         .withColumn("label", col("id")),
       materialize)
@@ -313,10 +343,14 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("id_a"), col("label").as("la")), Seq("id_a"))
         .groupBy(col("id_b").as("id")).agg(min(col("la")).as("nl"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // materialized: the pointer-jumping self-join references prop TWICE —
+      // without this each round runs the propagate join+groupBy twice
+      val prop = Materialize.iterative(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label")),
+        materialize)
       // 2) pointer jumping: label(v) <- label(label(v)) (halves chains)
-      val jumped = Materialize(
+      val jumped = Materialize.iterative(
         prop.join(prop.select(col("id").as("label"), col("label").as("ll")),
             Seq("label"), "left")
           .select(col("id"), coalesce(col("ll"), col("label")).as("label")),
@@ -331,8 +365,17 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels.select(col("id"), col("label").as("cluster_id"))
-      .orderBy(col("id"))
+    // fail loudly, not silently-wrong cluster ids: practically unreachable
+    // (pointer jumping converges in O(log diameter) rounds — maxIter=25
+    // covers diameter ~2^25), but if a caller lowers maxIter below the
+    // graph's need, returning non-converged labels would be a correctness
+    // bug with no signal.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+          "raise maxIter (pointer jumping needs ~log2(diameter)+2 rounds)")
+    (labels.select(col("id"), col("label").as("cluster_id"))
+      .orderBy(col("id")), iter)
   }
 
   /** Near-dedup APPLIED end to end: keep the min-id survivor of every

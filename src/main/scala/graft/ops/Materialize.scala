@@ -43,7 +43,28 @@ object Materialize {
 
   def apply(df: DataFrame, s: Strategy): DataFrame = s match {
     case Local => df.localCheckpoint()
-    case Reliable => df.checkpoint()
+    case Reliable =>
+      // fail fast with the fix spelled out, not a SparkException deep inside
+      // a dedup/ANN job hours in: checkpoint() requires a checkpoint dir
+      if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+        throw new IllegalStateException(
+          "GRAFT_MATERIALIZE=reliable (Materialize.Reliable) requires " +
+            "SparkContext.setCheckpointDir(<hdfs/object-store path>) before the job")
+      df.checkpoint()
     case Recompute => df
+  }
+
+  /** Materialization for ITERATIVE loop state (per-round labels in
+    * [[Dedup.connectedComponents]]): [[Recompute]] is upgraded to [[Local]].
+    * A no-op inside a loop is not "recompute the map stage once per branch" —
+    * each round's plan would reference the previous round's un-truncated plan
+    * twice (the pointer-jumping self-join), so lineage and cost grow
+    * EXPONENTIALLY with iterations. The three strategies are proven
+    * value-identical (OpsSpec), so this only changes cost, never results;
+    * [[Reliable]] is honored as requested.
+    */
+  def iterative(df: DataFrame, s: Strategy): DataFrame = s match {
+    case Recompute => apply(df, Local)
+    case other => apply(df, other)
   }
 }

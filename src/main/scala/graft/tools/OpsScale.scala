@@ -102,6 +102,23 @@ object OpsScale {
     require(ownBase.toDouble / nNodes >= 0.9,
       "most nodes must cluster to their base class min id")
 
+    // ---- CC at adversarial diameter: a 10k-node path graph ----
+    // dup-cluster graphs are near-cliques (diameter 2-3); this is the
+    // opposite extreme. Pointer jumping must converge in ~log2(10000)+O(1)
+    // rounds where min-label propagation alone needs 10,000 — the direct
+    // evidence for the O(log diameter) claim and the maxIter=25 bound.
+    val chainN = 10000
+    val chain = spark.range(chainN - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val t3 = System.nanoTime()
+    val (chainLabels, rounds) = Dedup.connectedComponentsRounds(spark, chain)
+    val chainOk = chainLabels.filter(col("cluster_id") === 0L).count()
+    val chainWall = (System.nanoTime() - t3) / 1e9
+    println(f"OPSSCALE cc_chain nodes=$chainN rounds=$rounds wall=$chainWall%.1fs " +
+      s"all_min_label=${chainOk == chainN}")
+    require(chainOk == chainN, s"all $chainN chain nodes must take label 0 (got $chainOk)")
+    require(rounds <= 20, s"10k-node path must converge in ~log2(d) rounds, took $rounds")
+
     // ---- LSH under load + a planted cap-tripping cluster ----
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]

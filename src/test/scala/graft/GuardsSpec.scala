@@ -28,8 +28,38 @@ class GuardsSpec extends AnyFunSuite {
 
   test("bandHashesOf rejects a signature length not divisible by bands") {
     intercept[IllegalArgumentException] { Dedup.bandHashesOf(new Array[Long](65), 16) }
-    intercept[IllegalArgumentException] { Dedup.bandHashesOf(Array.emptyLongArray, 16) }
     assert(Dedup.bandHashesOf(new Array[Long](64), 16).length == 16)
+    // an EMPTY signature (content-free doc) is total, not a throw: the doc
+    // lands in no band bucket — same drop semantics as the size(sig) > 0
+    // pre-filter, so a call site missing the filter degrades instead of
+    // killing the job on the first blank document (round-5 ADVICE)
+    assert(Dedup.bandHashesOf(Array.emptyLongArray, 16).isEmpty)
+  }
+
+  test("connectedComponents throws loudly when maxIter is exhausted") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // a 9-hop chain needs ~3 propagate+jump rounds + 1 convergence round;
+    // maxIter = 1 cannot converge → must throw, never return wrong labels
+    val chain = (0 until 9).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(spark, chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
+  test("Materialize.iterative never degrades to a no-op under Recompute") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    // plain Recompute is the identity (no materialization)...
+    assert(graft.ops.Materialize(df, graft.ops.Materialize.Recompute) eq df)
+    // ...but iterative loop state upgrades to Local: lineage must truncate
+    // per round or the pointer-jumping self-join's double reference grows
+    // the plan exponentially with iterations
+    val it = graft.ops.Materialize.iterative(df, graft.ops.Materialize.Recompute)
+    assert(!(it eq df))
+    assert(it.collect().toSeq == df.collect().toSeq)
   }
 
   test("manifest reader falls back to the legacy wall_ms field name") {

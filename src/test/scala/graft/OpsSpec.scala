@@ -64,11 +64,14 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
-    // longer chain than one propagate+jump round can close: 9 hops
+    // longer chain than one propagate+jump round can close: 9 hops.
+    // round count is the O(log diameter) observable: ~log2(9)+O(1), far
+    // below the 9 rounds min-label propagation alone would need
     val chain = (0 until 9).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
-    val got2 = Dedup.connectedComponents(spark, chain)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (chainDf, rounds) = Dedup.connectedComponentsRounds(spark, chain)
+    val got2 = chainDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == (100L to 109L).map(i => (i, 100L)).toSet)
+    assert(rounds <= 7, s"9-hop chain must converge in ~log2(9) rounds, took $rounds")
     // empty pair set: empty output, correct schema
     val empty = Dedup.connectedComponents(spark,
       spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b"))
