@@ -281,28 +281,25 @@ object SparkEntry {
     // end to end on a deterministic pair set (each doc vs its successor):
     // the DuckDB oracle replays word 3-shingling and the set Jaccard with
     // identical tokenization, so the operator itself is verified, not just
-    // its shape. Pair generation is an id-equality hash join (scales);
-    // the jaccard is computed in a typed map over the joined pair.
+    // its shape. Pair generation is an id-equality hash join (scales); the
+    // jaccard runs as a native doGenCode expression over the joined pair —
+    // no typed-map serde break.
     "q_ngram_jaccard" -> ((s, dir) => {
-      import s.implicits._
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val a = d.select(col("doc_id").as("id_a"), col("text").as("t_a"))
       val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
         col("text").as("t_b"))
       a.join(b, "id_a")
-        .select(col("id_a"), col("t_a"), col("id_b"), col("t_b"))
-        .as[(Long, String, Long, String)]
         // null ≡ '' exactly like the oracle's coalesce. Since round 4,
         // shingles() of ANY zero-token text is the empty set, so both-empty
         // pairs hit ngramJaccard's both-empty guard (1.0) — matching the
         // oracle, whose sh CTE yields {''} for content-free docs ({''}∩{''}
         // → 1.0; one-sided → 0.0 on both engines). Editing that guard or
         // the oracle's CASE len(tk)<3 branch breaks this parity.
-        .map { case (ia, ta, ib, tb) =>
-          (ia, ib, Dedup.ngramJaccard(if (ta == null) "" else ta,
-            if (tb == null) "" else tb, 3))
-        }
-        .toDF("id_a", "id_b", "jaccard")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.TextFunctions.ngramJaccard(
+            coalesce(col("t_a"), lit("")), coalesce(col("t_b"), lit("")), 3)
+            .as("jaccard"))
         .orderBy(col("id_a"))
     }),
     "q_ann_topk" -> ((s, dir) => {
@@ -336,12 +333,14 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => {
       // confusion matrix of the language classifier; the DuckDB oracle
       // replicates the classifier exactly (script tiers + ordered stopword
-      // argmax + thresholds), so the whole classifier is oracle-checked
-      import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-        .as[(Long, String, String)]
-        .map { case (id, lang, text) => (id, lang, TextOps.classifyLang(text)) }
-        .toDF("doc_id", "lang", "predicted")
+      // argmax + thresholds), so the whole classifier is oracle-checked.
+      // The classifier runs as a native doGenCode expression — no typed-map
+      // serde break; classifyLang(null)=classifyLang("")="und", so the
+      // coalesce preserves the old typed-map null handling exactly
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.functions.TextFunctions.langId(coalesce(col("text"), lit("")))
+            .as("predicted"))
         .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
     }),

@@ -276,23 +276,37 @@ object Similarity {
       nList: Int = 16, nProbe: Int = 4, trainSampleN: Int = 4096, iters: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
+    // training sample: bounded (trainSampleN vectors) but the TakeOrdered
+    // below still SCANS the corpus once to find the lowest ids — at 100 TB
+    // prune the scan first (feed a manifest/partition-pruned slice of the
+    // corpus as `corpus`, e.g. the first file split per partition), or
+    // swap the orderBy for a per-partition deterministic sample
+    // (mapPartitions taking the first N/parts rows per split). Kept as the
+    // global TakeOrdered here because the oracle replays centroid training
+    // bit-exactly from "the trainSampleN lowest-id vectors" — a stable,
+    // engine-independent definition.
     val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(trainSampleN).select(col(vecCol)).as[Array[Float]].collect()
     if (sample.isEmpty) // empty corpus: empty result, correct schema
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("query_id", "neighbor_id", "cos", "rank")
     val cents = trainCentroids(sample, nList, iters)
-    val bc = spark.sparkContext.broadcast(cents)
 
-    val assigned = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("cv"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, nearestCells(v, bc.value, 1)(0)) }
-      .toDF("neighbor_id", "cvec", "cell")
+    // assignment/probes are native Catalyst expressions (doGenCode; the
+    // centroid matrix rides the plan as a codegen reference object) — the
+    // corpus-wide assignment scan stays inside whole-stage codegen instead
+    // of a Deserialize→map→Serialize break around a broadcast closure.
+    // Cell ids are bit-identical to the previous typed maps (same
+    // Similarity.nearestCells arithmetic — the oracle replays it).
+    import graft.functions.IvfFunctions
+    val assigned = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cvec"),
+      IvfFunctions.nearestCell(col(vecCol), cents).as("cell"))
 
-    val probes = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) => nearestCells(v, bc.value, nProbe).map(c => (id, v, c)) }
-      .toDF("query_id", "qvec", "cell")
+    val probes = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qvec"),
+        explode(IvfFunctions.probeCells(col(vecCol), cents, nProbe)).as("cell"))
+      .select(col("query_id"), col("qvec"), col("cell"))
 
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -109,6 +109,27 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("lang-id, ngram-jaccard, IVF plans carry no object-serde break") {
+    // round-5: the last typed-map surfaces (classifyLang map, ngramJaccard
+    // map, IVF assignment/probe closures) run as native doGenCode
+    // expressions — whole plans stay on Tungsten rows
+    for (name <- Seq("q_lang_id", "q_ngram_jaccard", "q_ann_ivf")) {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(!planStr.contains("DeserializeToObject"),
+        s"$name plan must not break into object serde")
+    }
+    // the native expressions are actually in the plans (not optimized into
+    // something else that happens to avoid serde)
+    val lang = graft.SparkEntry.queries("q_lang_id")(spark, sfDir)
+    assert(lang.queryExecution.executedPlan.toString.contains("graft_lang_id"))
+    val ivf = graft.SparkEntry.queries("q_ann_ivf")(spark, sfDir)
+    val ivfStr = ivf.queryExecution.executedPlan.toString
+    assert(ivfStr.contains("graft_ivf_nearest_cell") && ivfStr.contains("graft_ivf_probe_cells"))
+    val ngram = graft.SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
+    assert(ngram.queryExecution.executedPlan.toString.contains("graft_ngram_jaccard"))
+  }
+
   test("keepFirst: one hash exchange, no broadcast, text never shuffles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = Dedup.keepFirst(docs).select(col("doc_id"), col("lang"), col("n_chars"))
