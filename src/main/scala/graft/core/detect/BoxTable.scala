@@ -108,7 +108,7 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
     var c = s.c0
     while (c <= s.c1) {
       val cell = g.get(s.r0, c)
-      if (cell != null && cell.value != null) {
+      if (cell != null && !cell.valueIsNull) {
         any = true
         if (cell.dataType != "string") allStrings = false
         if (cell.isBold) anyBold = true
@@ -121,7 +121,7 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
       var c2 = s.c0
       while (c2 <= s.c1 && !hasDifferentTypes) {
         val cell = g.get(s.r0 + 1, c2)
-        if (cell != null && cell.value != null && cell.dataType != "string")
+        if (cell != null && !cell.valueIsNull && cell.dataType != "string")
           hasDifferentTypes = true
         c2 += 1
       }

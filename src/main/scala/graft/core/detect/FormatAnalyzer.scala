@@ -71,14 +71,14 @@ final class SemanticFormatAnalyzer {
     val rowCells: Vector[Cell] =
       (range.c0 to range.c1).map(c => g.get(rowIdx, c)).toVector
 
-    val emptyCount = rowCells.count(c => c == null || c.value == null)
+    val emptyCount = rowCells.count(c => c == null || c.valueIsNull)
     if (emptyCount.toDouble / rowCells.size >= blankRowThreshold)
       return SemanticRow(rowOffset, RowType.Blank, 1.0)
 
     if (isHeader) return SemanticRow(rowOffset, RowType.Header, 1.0)
 
     val rowText = rowCells.iterator
-      .filter(c => c != null && c.value != null && c.value.nonEmpty)
+      .filter(c => c != null && c.valueNonEmpty)
       .map(_.value.toLowerCase)
       .mkString(" ")
 
@@ -113,8 +113,8 @@ final class SemanticFormatAnalyzer {
 
   /** reference: format_analyzer.py:279-294. */
   def isSectionHeader(rowCells: Vector[Cell], rowText: String): Boolean = {
-    val nonEmpty = rowCells.filter(c => c != null && c.value != null && c.value.nonEmpty)
-    if (nonEmpty.size == 1 && rowCells.head != null && rowCells.head.value != null &&
+    val nonEmpty = rowCells.filter(c => c != null && c.valueNonEmpty)
+    if (nonEmpty.size == 1 && rowCells.head != null && !rowCells.head.valueIsNull &&
         rowCells.head.value.nonEmpty) {
       val first = rowCells.head
       if (first.isBold || first.backgroundColor != null) return true
@@ -126,7 +126,7 @@ final class SemanticFormatAnalyzer {
     * dead hasattr check — only background color counts).
     */
   def isSeparatorRow(rowCells: Seq[Cell]): Boolean = {
-    val nonEmpty = rowCells.count(c => c != null && c.value != null && c.value.nonEmpty)
+    val nonEmpty = rowCells.count(c => c != null && c.valueNonEmpty)
     val hasFormatting = rowCells.exists(c => c != null && c.backgroundColor != null)
     nonEmpty <= 1 && hasFormatting
   }

@@ -58,7 +58,7 @@ final class DataIsland extends Serializable {
     var c = minCol
     while (c <= maxCol) {
       val cell = g.get(minRow, c)
-      if (cell == null || cell.value == null || cell.dataType != "string") allText = false
+      if (cell == null || cell.valueIsNull || cell.dataType != "string") allText = false
       if (cell != null && cell.isBold) anyBold = true
       c += 1
     }
@@ -196,7 +196,7 @@ final class DataIsland extends Serializable {
       var r = startRow
       while (r <= maxRow) {
         val cell = g.get(r, c)
-        if (cell != null && cell.value != null) {
+        if (cell != null && !cell.valueIsNull) {
           total += 1
           counts(cell.dataTypeCode) += 1
         }

@@ -102,7 +102,7 @@ final class MultiHeaderDetector {
     var c = range.c0
     while (c <= range.c1) {
       val cell = g.get(rowIdx, c)
-      if (cell != null && cell.value != null) {
+      if (cell != null && !cell.valueIsNull) {
         nonEmpty += 1
         if (cell.dataType == "number") numeric += 1
         if (cell.isBold) bold += 1

@@ -64,7 +64,7 @@ object SimpleCase {
   def findDataBounds(g: CellGrid): (Int, Int, Int, Int) = {
     if (!g.hasData) return (0, 0, 0, 0)
     val first = g.get(0, 0)
-    if (first != null && first.value != null) {
+    if (first != null && !first.valueIsNull) {
       val total = (g.maxRow + 1).toLong * (g.maxCol + 1)
       if (g.size.toDouble / total > 0.3) return (0, g.maxRow, 0, g.maxCol)
     }
@@ -93,7 +93,7 @@ object SimpleCase {
     var c = minCol
     while (c <= maxCol) {
       val cell = g.get(firstRow, c)
-      if (cell != null && cell.value != null) {
+      if (cell != null && !cell.valueIsNull) {
         any = true
         if (cell.dataType != "string") allStrings = false
         if (cell.isBold) anyBold = true
@@ -107,7 +107,7 @@ object SimpleCase {
       var c2 = minCol
       while (c2 <= maxCol && !hasDifferentTypes) {
         val cell = g.get(firstRow + 1, c2)
-        if (cell != null && cell.value != null && cell.dataType != "string")
+        if (cell != null && !cell.valueIsNull && cell.dataType != "string")
           hasDifferentTypes = true
         c2 += 1
       }
@@ -134,7 +134,7 @@ object SimpleCase {
   def extractHeaders(g: CellGrid, span: Span): Vector[String] = {
     (span.c0 to span.c1).map { c =>
       val cell = g.get(span.r0, c)
-      if (cell != null && cell.value != null) cell.value.trim
+      if (cell != null && !cell.valueIsNull) cell.value.trim
       else A1.colLetter(c)
     }.toVector
   }

@@ -101,7 +101,7 @@ object StructuredText {
     while (i < expectedRows) {
       val row = island.minRow + i + 1
       val cell = g.get(row, island.minCol)
-      if (cell != null && cell.value != null && cell.value.nonEmpty) {
+      if (cell != null && cell.valueNonEmpty) {
         val expected = ('A' + i).toChar.toString
         if (cell.value.trim.toUpperCase == expected) found += 1
       }
@@ -114,7 +114,7 @@ object StructuredText {
   def extractHeaders(g: CellGrid, span: Span): Vector[String] = {
     (span.c0 to span.c1).map { c =>
       val cell = g.get(span.r0, c)
-      if (cell != null && cell.value != null && cell.value.nonEmpty) cell.value
+      if (cell != null && cell.valueNonEmpty) cell.value
       else s"Column_${c + 1}"
     }.toVector
   }
@@ -123,7 +123,7 @@ object StructuredText {
   private def enhanceMetadata(g: CellGrid, t: TableHit): TableHit = {
     val firstRowCells = (t.span.c0 to t.span.c1).flatMap { c =>
       val cell = g.get(t.span.r0, c)
-      if (cell != null && cell.value != null && cell.value.nonEmpty) Some(cell.value) else None
+      if (cell != null && cell.valueNonEmpty) Some(cell.value) else None
     }
     val headerScore = firstRowCells.count(h => InstrumentKeywords.exists(h.toLowerCase.contains))
     var out = t

@@ -140,7 +140,9 @@ object Extractor {
       while (c <= t.span.c1) {
         if (c > t.span.c0) sb.append('\t')
         val cell = grid.get(r, c)
-        if (cell != null && cell.value != null) sb.append(cell.value)
+        // span-append: a span-backed cell's value flows into the canonical
+        // text without ever materializing a per-cell String
+        if (cell != null) cell.appendValueTo(sb)
         c += 1
       }
       r += 1

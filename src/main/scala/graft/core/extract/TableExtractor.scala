@@ -158,7 +158,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     val until = math.min(expectedRows + 1, matrix.length)
     while (i < until) {
       val c = if (matrix(i).length > 0) matrix(i)(0) else null
-      if (c != null && c.value != null) {
+      if (c != null && !c.valueIsNull) {
         if (k >= expectedRows) return false // more labels than expected
         val v = c.value
         var a = 0
@@ -179,7 +179,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     if (headerRow.length < expectedCols + 1) return false
     (1 until math.min(expectedCols + 1, headerRow.length)).forall { i =>
       val c = headerRow(i)
-      c != null && c.value != null && {
+      c != null && !c.valueIsNull && {
         try Integer.parseInt(c.value.trim) == i
         catch { case _: NumberFormatException => false }
       }
@@ -454,7 +454,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       val row = headerMatrix(0)
       return Vector.tabulate(row.length) { i =>
         val c = row(i)
-        if (c != null && c.value != null) c.value else s"Col_$i"
+        if (c != null && !c.valueIsNull) c.value else s"Col_$i"
       }
     }
     val numCols = headerMatrix(0).length
@@ -462,7 +462,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     (0 until headerRows).foreach { rowIdx =>
       (0 until numCols).foreach { colIdx =>
         val cell = g.get(startRow + rowIdx, colIdx)
-        if (cell != null && cell.isMerged && cell.mergeRange != null && cell.value != null)
+        if (cell != null && cell.isMerged && cell.mergeRange != null && !cell.valueIsNull)
           mergedValues(cell.mergeRange) = cell.value.trim
       }
     }
@@ -470,7 +470,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       val parts = mutable.ArrayBuffer.empty[String]
       (0 until headerRows).foreach { rowIdx =>
         val cell = g.get(startRow + rowIdx, colIdx)
-        if (cell != null && cell.value != null) {
+        if (cell != null && !cell.valueIsNull) {
           val v = cell.value.trim
           if (v.nonEmpty) parts += v
         } else if (cell != null && cell.isMerged && cell.mergeRange != null) {
@@ -510,7 +510,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       else Vector.tabulate(matrix.length) { i =>
         val row = matrix(i)
         val c = if (row.length > 0) row(0) else null
-        if (c != null && c.value != null) c.value else s"Col_$i"
+        if (c != null && !c.valueIsNull) c.value else s"Col_$i"
       }
     val headerBase =
       if (headers.isEmpty) 0.0
@@ -661,7 +661,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
         val row = matrix(fromRow + r)
         Vector.tabulate(row.length - fromCol) { c =>
           val cell = row(fromCol + c)
-          if (cell == null || cell.value == null) null else cell.value
+          if (cell == null || cell.valueIsNull) null else cell.value
         }
       }
     tableShape(matrix, headerInfo).map { case (fr, fc, _, _) =>
@@ -726,7 +726,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
             var c = fc
             while (c < row.length) {
               val cell = row(c)
-              if (cell != null && cell.value != null) nonNull += 1
+              if (cell != null && !cell.valueIsNull) nonNull += 1
               c += 1
             }
             r += 1

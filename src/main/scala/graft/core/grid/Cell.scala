@@ -10,8 +10,19 @@ package graft.core.grid
   * source string (the reference's `formatted_value`).
   */
 class Cell private[grid] (
-    val value: String,
-    val raw: String,
+    // SPAN-BACKED VALUES (round 5): `_v`/`_r` hold either the materialized
+    // String or a shared backing CharSequence (the document text for
+    // delimited parses, the per-table CharSlab for HTML) with the actual
+    // span packed into `_span`. Identity-rendered cells — plain strings,
+    // canonical numbers, dates: the overwhelming majority — allocate NO
+    // per-cell string at parse time; `value`/`raw` materialize lazily (and
+    // cache) only if something actually reads the String, and the
+    // serializer appends straight from the span (appendValueTo). Converted
+    // cells (py != source text) store the render in `_v` but still keep
+    // `raw` span-backed — raw has no reader in the whole engine, so its
+    // String was pure parse-phase waste.
+    private var _v: AnyRef,
+    private var _r: AnyRef,
     val row: Int,
     val col: Int,
     // closed-domain attributes packed into one int (slab-style compaction:
@@ -19,8 +30,15 @@ class Cell private[grid] (
     // the detectors see the same String/Boolean API via the accessors):
     //   bit 0 bold, bit 1 merged, bits 2-3/4-5/6-7/8-9 borders (t/b/l/r),
     //   bits 10-12 dataType
-    private val packed: Int
+    private val packed: Int,
+    // vFrom:26 | vLen:18 | leftTrim:10 | rightTrim:10 — value span is
+    // [vFrom, vFrom+vLen) of the backing; raw span widens it by the trim
+    // amounts on each side (String.trim semantics). 0 when String-backed.
+    private val _span: Long
 ) extends Serializable {
+
+  private[grid] def this(value: String, raw: String, row: Int, col: Int, packed: Int) =
+    this(value, raw, row, col, packed, 0L)
 
   // rare formatting attributes live only on [[FormattedCell]] (two-tier
   // slab split): the overwhelmingly common unformatted cell — every
@@ -34,7 +52,66 @@ class Cell private[grid] (
   def backgroundColor: String = null
 
   def this(value: String, raw: String, dataType: String, row: Int, col: Int) =
-    this(value, raw, row, col, Cell.dtCode(dataType) << 10)
+    this(value, raw, row, col, Cell.dtCode(dataType) << 10, 0L)
+
+  @inline private def vFrom: Int = (_span & 0x3FFFFFFL).toInt
+  @inline private def vLen: Int = ((_span >>> 26) & 0x3FFFFL).toInt
+  @inline private def rFrom: Int = vFrom - ((_span >>> 44) & 0x3FFL).toInt
+  @inline private def rUntil: Int = vFrom + vLen + ((_span >>> 54) & 0x3FFL).toInt
+
+  // NOTE: a bare String can never be a backing — `_v match { case s: String }`
+  // is the materialized-value discriminator — so document-text backings ride
+  // in a [[StrView]] (one wrapper per document, not per cell)
+  @inline private def str(cs: CharSequence, a: Int, b: Int): String = cs match {
+    case v: StrView => v.s.substring(a, b)
+    case sl: CharSlab => sl.str(a, b)
+    case other => other.subSequence(a, b).toString
+  }
+
+  /** Python-`str()`-compatible value rendering; materialized lazily (and
+    * cached) from the backing span when this cell is span-backed.
+    */
+  def value: String = _v match {
+    case s: String => s
+    case null => null
+    case cs: CharSequence =>
+      val s = str(cs, vFrom, vFrom + vLen)
+      _v = s
+      s
+  }
+
+  /** Original source text (the reference's `formatted_value`). */
+  def raw: String = _r match {
+    case s: String => s
+    case null => null
+    case cs: CharSequence =>
+      val s = str(cs, rFrom, rUntil)
+      _r = s
+      s
+  }
+
+  /** `value == null` without forcing materialization (the detect-path
+    * guards check nullness tens of times per cell).
+    */
+  @inline def valueIsNull: Boolean = _v == null
+
+  /** `value != null && value.nonEmpty` without materializing. */
+  def valueNonEmpty: Boolean = _v match {
+    case s: String => s.length > 0
+    case null => false
+    case _ => vLen > 0
+  }
+
+  /** Append the value to `sb` without materializing a per-cell String —
+    * the serialize phase writes every cell exactly once, so this is the
+    * path that lets span-backed cells stay strings-free end to end.
+    */
+  def appendValueTo(sb: java.lang.StringBuilder): Unit = _v match {
+    case s: String => sb.append(s)
+    case null => ()
+    case v: StrView => sb.append(v.s, vFrom, vFrom + vLen) // String fast path (getChars)
+    case cs: CharSequence => sb.append(cs, vFrom, vFrom + vLen)
+  }
 
   @inline def isBold: Boolean = (packed & 1) != 0
   @inline def isMerged: Boolean = (packed & 2) != 0
@@ -49,17 +126,27 @@ class Cell private[grid] (
   @inline def dataTypeCode: Int = (packed >>> 10) & 7
 
   /** reference: sheet_data.py:67-70 — empty when value is None or blank.
-    * Allocation-free (trim-isEmpty is a kernel hot path).
+    * Allocation-free (trim-isEmpty is a kernel hot path; span-backed cells
+    * check the backing chars directly).
     */
-  def isEmpty: Boolean = {
-    if (value == null) return true
-    var i = 0
-    val n = value.length
-    while (i < n) {
-      if (!Character.isWhitespace(value.charAt(i))) return false
-      i += 1
-    }
-    true
+  def isEmpty: Boolean = _v match {
+    case s: String =>
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        if (!Character.isWhitespace(s.charAt(i))) return false
+        i += 1
+      }
+      true
+    case null => true
+    case cs: CharSequence =>
+      var i = vFrom
+      val n = vFrom + vLen
+      while (i < n) {
+        if (!Character.isWhitespace(cs.charAt(i))) return false
+        i += 1
+      }
+      true
   }
 
   /** Memoized TypeInfer.extractorType verdict — the extractor's header
@@ -82,6 +169,46 @@ final class FormattedCell private[grid] (
     override val fontColor: String,
     override val backgroundColor: String
 ) extends Cell(value, raw, row, col, packed)
+
+/** A String wrapped as a span backing (one per parsed document, shared by
+  * all its cells). Exists because a bare String cannot back spans: the
+  * lazy-materialization discriminator is `_v match { case s: String }`.
+  */
+final class StrView(val s: String) extends CharSequence with Serializable {
+  @inline def length: Int = s.length
+  @inline def charAt(i: Int): Char = s.charAt(i)
+  def subSequence(a: Int, b: Int): CharSequence = s.substring(a, b)
+  override def toString: String = s
+}
+
+/** Growable append-only char buffer backing span-based cells (the HTML
+  * table path appends normalized cell text here instead of allocating a
+  * String per cell). Append-only means recorded spans stay valid across
+  * growth; cells hold the slab object, not the array.
+  */
+final class CharSlab(initial: Int = 64) extends CharSequence with Serializable {
+  private var buf = new Array[Char](math.max(initial, 16))
+  private var n = 0
+
+  @inline def length: Int = n
+  @inline def charAt(i: Int): Char = buf(i)
+
+  def append(c: Char): Unit = {
+    if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+    buf(n) = c
+    n += 1
+  }
+
+  /** Retract the write position to `len` (only ever backwards; used to drop
+    * a single trailing normalized space at cell end).
+    */
+  def truncate(len: Int): Unit = { require(len <= n); n = len }
+
+  def str(a: Int, b: Int): String = new String(buf, a, b - a)
+
+  def subSequence(a: Int, b: Int): CharSequence = str(a, b)
+  override def toString: String = new String(buf, 0, n)
+}
 
 object Cell {
   // border level domain is closed (Css.level: null/thin/medium/thick;
@@ -132,6 +259,73 @@ object Cell {
     else
       new FormattedCell(value, raw, row, col, packed,
         alignment, mergeRange, fontSize, fontColor, backgroundColor)
+  }
+
+  // span-encoding limits (vFrom:26 | vLen:18 | leftTrim:10 | rightTrim:10);
+  // out-of-range spans (67M+ char backing offset, 262k+ char cell, 1k+ char
+  // trim run) fall back to materialized strings — correctness never depends
+  // on the encoding
+  private val MaxFrom = (1 << 26) - 1
+  private val MaxLen = (1 << 18) - 1
+  private val MaxTrim = (1 << 10) - 1
+
+  /** Formatting bits for the packed int, for callers that build span cells
+    * directly (same layout as [[of]]).
+    */
+  def packBits(isBold: Boolean, isMerged: Boolean, borderTop: String,
+      borderBottom: String, borderLeft: String, borderRight: String): Int =
+    (if (isBold) 1 else 0) | (if (isMerged) 2 else 0) |
+      (borderCode(borderTop) << 2) | (borderCode(borderBottom) << 4) |
+      (borderCode(borderLeft) << 6) | (borderCode(borderRight) << 8)
+
+  @inline private def sub(cs: CharSequence, a: Int, b: Int): String = cs match {
+    case v: StrView => v.s.substring(a, b)
+    case sl: CharSlab => sl.str(a, b)
+    case other => other.subSequence(a, b).toString
+  }
+
+  // a bare String as backing would be indistinguishable from a materialized
+  // value (the lazy discriminator is `_v: String`); wrap in StrView
+  @inline private def checkBacking(backing: CharSequence): Unit =
+    require(!backing.isInstanceOf[String],
+      "span backing must not be a bare String — wrap it in StrView")
+
+  /** Identity-rendered cell backed by a span of `backing`: value =
+    * backing[vFrom, vUntil) (already trimmed by the caller), raw =
+    * backing[rFrom, rUntil). No string is allocated unless someone reads
+    * `value`/`raw` as a String.
+    */
+  def spanned(backing: CharSequence, rFrom: Int, rUntil: Int, vFrom: Int,
+      vUntil: Int, dataType: String, row: Int, col: Int, fmtBits: Int = 0): Cell = {
+    checkBacking(backing)
+    val packed = fmtBits | (dtCode(dataType) << 10)
+    val lT = vFrom - rFrom
+    val rT = rUntil - vUntil
+    val vL = vUntil - vFrom
+    if (vFrom <= MaxFrom && vL <= MaxLen && lT >= 0 && lT <= MaxTrim &&
+        rT >= 0 && rT <= MaxTrim) {
+      val span = vFrom.toLong | (vL.toLong << 26) | (lT.toLong << 44) | (rT.toLong << 54)
+      new Cell(backing, backing, row, col, packed, span)
+    } else {
+      val v = sub(backing, vFrom, vUntil)
+      val r = if (lT == 0 && rT == 0) v else sub(backing, rFrom, rUntil)
+      new Cell(v, r, row, col, packed, 0L)
+    }
+  }
+
+  /** Converted cell (py render != source text): value is the materialized
+    * render, raw stays span-backed — `raw` has no reader in the engine, so
+    * its string is allocated only on an actual access.
+    */
+  def convertedSpan(py: String, backing: CharSequence, rFrom: Int, rUntil: Int,
+      dataType: String, row: Int, col: Int, fmtBits: Int = 0): Cell = {
+    checkBacking(backing)
+    val packed = fmtBits | (dtCode(dataType) << 10)
+    val rL = rUntil - rFrom
+    if (rFrom <= MaxFrom && rL <= MaxLen) {
+      val span = rFrom.toLong | (rL.toLong << 26) // trims 0: raw == [vFrom, vFrom+vLen)
+      new Cell(py, backing, row, col, packed, span)
+    } else new Cell(py, sub(backing, rFrom, rUntil), row, col, packed, 0L)
   }
 
   /** String cell with no formatting (text-reader path,

@@ -20,10 +20,18 @@ object TypeInfer {
   /** Mutable result holder for the tuple-free kernel path: one instance per
     * parse (NOT per cell), so inference allocates nothing beyond the value
     * string itself. `dt` is always one of the shared type-name constants.
+    *
+    * Span mode ([[inferSpan]]) additionally reports: `identity` — the
+    * Python render IS the trimmed source span (py left null; build a
+    * span-backed cell over [vFrom, vUntil) instead of materializing), with
+    * `vFrom`/`vUntil` the String.trim-semantics trimmed bounds.
     */
   final class Res {
     var py: String = null
     var dt: String = null
+    var identity: Boolean = false
+    var vFrom: Int = 0
+    var vUntil: Int = 0
     @inline private[TypeInfer] def set(p: String, d: String): Unit = { py = p; dt = d }
   }
 
@@ -38,6 +46,7 @@ object TypeInfer {
 
   /** Tuple-free inference into a caller-owned holder (the kernel hot path). */
   def inferInto(value: String, out: Res): Unit = {
+    out.identity = false
     val stripped = value.trim
     if (stripped.isEmpty) return out.set(null, "empty")
 
@@ -109,6 +118,14 @@ object TypeInfer {
       }
     }
 
+    inferSlow(stripped, out)
+  }
+
+  /** The tail of [[inferInto]] after the allocation-free fast paths: bool
+    * words, comma-stripped int, float, date-likeness, string. Shared by the
+    * String path and [[inferSpan]]'s materializing fallback.
+    */
+  private def inferSlow(stripped: String, out: Res): Unit = {
     val low = stripped.toLowerCase
     if (BoolAll.contains(low))
       return out.set(if (BoolTrue.contains(low)) "True" else "False", "boolean")
@@ -135,6 +152,184 @@ object TypeInfer {
 
     if (looksLikeDate(stripped)) return out.set(stripped, "date")
     out.set(stripped, "string")
+  }
+
+  @inline private def subStr(cs: CharSequence, a: Int, b: Int): String = cs match {
+    case s: String => s.substring(a, b)
+    case sl: CharSlab => sl.str(a, b)
+    case other => other.subSequence(a, b).toString
+  }
+
+  /** Case-insensitive span == ASCII word, via per-char Character.toLowerCase.
+    * Exact vs `stripped.toLowerCase == w` for these targets: no character's
+    * full-string lowercase special casing (the İ→"i̇" expansion is the only
+    * one in the default locale) can produce the pure-ASCII bool words, and
+    * the sole non-ASCII→ASCII simple mapping (U+212A KELVIN → 'k') hits no
+    * target word.
+    */
+  private def eqLower(cs: CharSequence, from: Int, until: Int, w: String): Boolean = {
+    if (until - from != w.length) return false
+    var i = 0
+    while (i < w.length) {
+      if (Character.toLowerCase(cs.charAt(from + i)) != w.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** [[looksLikeDate]] over a span, allocation-free. Month-word search uses
+    * per-char lowercase — exact for the same reason as [[eqLower]] (no month
+    * word contains 'i' or 'k', the only chars reachable via special-cased
+    * lowercasing).
+    */
+  private def looksLikeDateSpan(cs: CharSequence, from: Int, until: Int): Boolean = {
+    val len = until - from
+    var hasSeparator = false
+    var hasDigits = false
+    var dashes = 0
+    var slashes = 0
+    var i = from
+    while (i < until) {
+      val c = cs.charAt(i)
+      if (c == '-' || c == '/' || c == '.' || c == ' ') hasSeparator = true
+      if (Character.isDigit(c)) hasDigits = true
+      if (c == '-') dashes += 1
+      else if (c == '/') slashes += 1
+      i += 1
+    }
+    if (!hasSeparator || !hasDigits) return false
+    if (len == 10 && (dashes == 2 || slashes == 2)) return true
+    if (len < 8) return false
+    var w = 0
+    while (w < MonthWords.length) {
+      val m = MonthWords(w)
+      var j = from
+      val last = until - 3
+      while (j <= last) {
+        if (Character.toLowerCase(cs.charAt(j)) == m.charAt(0) &&
+            Character.toLowerCase(cs.charAt(j + 1)) == m.charAt(1) &&
+            Character.toLowerCase(cs.charAt(j + 2)) == m.charAt(2)) return true
+        j += 1
+      }
+      w += 1
+    }
+    false
+  }
+
+  /** Span-mode inference: identical verdicts to
+    * `inferInto(cs.subSequence(from0, until0).toString, out)` but without
+    * materializing a String for identity-rendered outcomes (canonical
+    * numbers, dates, plain strings — the overwhelming majority of cells).
+    * On `out.identity == true` the value is the trimmed span
+    * [out.vFrom, out.vUntil) and `out.py` is null; otherwise `out.py` holds
+    * the materialized render exactly as in String mode. Conversion paths
+    * (non-canonical numbers, comma'd ints, exotic floats) materialize the
+    * trimmed span and delegate to the shared slow tail, so their semantics
+    * are the String path's by construction. Equivalence is property-pinned
+    * (PropertySpec) over arbitrary unicode, trims, and chunk boundaries.
+    */
+  def inferSpan(cs: CharSequence, from0: Int, until0: Int, out: Res): Unit = {
+    out.identity = false
+    // String.trim semantics exactly: strip chars <= ' '
+    var from = from0
+    var until = until0
+    while (from < until && cs.charAt(from) <= ' ') from += 1
+    while (until > from && cs.charAt(until - 1) <= ' ') until -= 1
+    out.vFrom = from
+    out.vUntil = until
+    val len = until - from
+    if (len == 0) return out.set(null, "empty")
+
+    // fast path: plain ASCII digits (mirrors inferInto exactly)
+    if (len <= 18) {
+      var allDigits = true
+      var i = from
+      while (allDigits && i < until) {
+        val ch = cs.charAt(i)
+        if (ch < '0' || ch > '9') allDigits = false
+        i += 1
+      }
+      if (allDigits) {
+        if (len == 1 && (cs.charAt(from) == '0' || cs.charAt(from) == '1'))
+          return out.set(if (cs.charAt(from) == '1') "True" else "False", "boolean")
+        if (cs.charAt(from) != '0') { out.identity = true; return out.set(null, "number") }
+        return out.set(java.lang.Long.parseLong(subStr(cs, from, until)).toString, "number")
+      }
+    }
+
+    // fast path: digits '.' digits with the canonical-form identity shortcut
+    if (len <= 17) {
+      var digits = 0
+      var dots = 0
+      var ok = true
+      var i = from
+      while (ok && i < until) {
+        val ch = cs.charAt(i)
+        if (ch >= '0' && ch <= '9') digits += 1
+        else if (ch == '.') dots += 1
+        else ok = false
+        i += 1
+      }
+      if (ok && dots == 1 && digits > 0) {
+        var dot = from
+        while (cs.charAt(dot) != '.') dot += 1
+        val intLen = dot - from
+        val fracLen = until - dot - 1
+        val canonicalInt = intLen >= 1 && (cs.charAt(from) != '0' || intLen == 1)
+        val sigDigits =
+          if (intLen == 1 && cs.charAt(from) == '0') fracLen else intLen + fracLen
+        val magnitudeOk =
+          if (intLen == 1 && cs.charAt(from) == '0') {
+            var z = 0
+            while (z < fracLen && cs.charAt(dot + 1 + z) == '0') z += 1
+            z <= 3 && z < fracLen
+          } else true
+        if (canonicalInt && fracLen >= 1 && sigDigits <= 7 && magnitudeOk &&
+            cs.charAt(until - 1) != '0') {
+          out.identity = true
+          return out.set(null, "number")
+        }
+        val d = java.lang.Double.parseDouble(subStr(cs, from, until))
+        return out.set(PyFloat.repr(d), "number")
+      }
+    }
+
+    // bool words ("1"/"0" were handled by the digits fast path above,
+    // exactly as in inferInto)
+    if (len <= 5) {
+      if (eqLower(cs, from, until, "true") || eqLower(cs, from, until, "yes"))
+        return out.set("True", "boolean")
+      if (eqLower(cs, from, until, "false") || eqLower(cs, from, until, "no"))
+        return out.set("False", "boolean")
+    }
+
+    // int/float paths: IntRe/FloatRe are ASCII-only, so any char outside
+    // [0-9 + - . , e E] (or a digit-free span) can never match — skip
+    // without materializing. Possible matches materialize and run the
+    // SHARED slow tail, so conversion semantics are inferInto's verbatim.
+    var numericPossible = true
+    var hasDigit = false
+    var i = from
+    while (numericPossible && i < until) {
+      val ch = cs.charAt(i)
+      if (ch >= '0' && ch <= '9') hasDigit = true
+      else if (ch != '+' && ch != '-' && ch != '.' && ch != ',' && ch != 'e' && ch != 'E')
+        numericPossible = false
+      i += 1
+    }
+    if (numericPossible && hasDigit) {
+      // the slow tail may still conclude date/string (e.g. "1,2,3" fails
+      // both regexes): py is then the materialized stripped — same
+      // allocations as the String path, no identity claim
+      return inferSlow(subStr(cs, from, until), out)
+    }
+
+    if (looksLikeDateSpan(cs, from, until)) {
+      out.identity = true
+      return out.set(null, "date")
+    }
+    out.identity = true
+    out.set(null, "string")
   }
 
   /** reference: csv_reader.py:371-409. */

@@ -146,32 +146,131 @@ object DelimitedText {
     * comma/pipe/semicolon → CSV (typed cells, island detection), space →
     * TXT (string cells, structured-text detection).
     */
+  // java-regex \s (the WsRe split class): ASCII whitespace only — NOT
+  // Character.isWhitespace
+  @inline private def isWsSplitChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def parse(text: String, delimiter: Char): (CellGrid, GridKind) = {
+    // SPAN-BACKED PARSE (round 5): cells reference [from, until) spans of
+    // `text` itself instead of per-cell substrings — identity-rendered
+    // cells (plain strings, canonical numbers, dates: the overwhelming
+    // majority) allocate NO string at parse time; materialization is lazy
+    // and the serializer appends straight from the span. Verdicts are
+    // inferInto's exactly (inferSpan equivalence is property-pinned). The
+    // quoted-CSV dialect (doubled-quote escapes change the field text)
+    // falls back to the materializing path per line — quotes are rare in
+    // crawl-embedded CSV and that path's semantics stay byte-identical.
     var g: CellGrid = null
-    val infer = delimiter != ' '
     val res = new graft.core.grid.TypeInfer.Res // reused across cells (tuple-free)
+    // one backing wrapper per document (a bare String cannot back spans —
+    // see StrView); every span cell of this grid shares it
+    val view = new graft.core.grid.StrView(text)
     var r = 0
-    text.linesIterator.takeWhile(_ => r <= MaxRows).foreach { line =>
-      if (line.nonEmpty) { // reference csv path skips empty rows only implicitly
-        val parts: Array[String] =
-          if (delimiter == ' ') WsRe.split(line).filter(_.trim.nonEmpty)
-          else splitQuoted(line, delimiter)
-        // bounds are knowable up front here (line count × first row width):
-        // dense flat backing — no hash probes, no growth copies; ragged
-        // wider rows migrate to the map inside CellGrid. Wait for the first
-        // row that actually has cells (a zero-part first line would forfeit
-        // the dense backing for the whole document via dense(n, 0))
-        if (g == null && parts.nonEmpty) g = CellGrid.dense(countLines(text), parts.length)
-        var c = 0
-        while (c < parts.length) {
-          val v = parts(c)
-          if (v != null && v.trim.nonEmpty) {
-            g.put(if (infer) Cell.inferred(v, r, c, res) else Cell.str(v.trim, r, c))
+    val n = text.length
+    // reusable field-span buffer (starts/ends per line)
+    var fFrom = new Array[Int](16)
+    var fUntil = new Array[Int](16)
+    @inline def grow(k: Int): Unit =
+      if (k == fFrom.length) {
+        fFrom = java.util.Arrays.copyOf(fFrom, k * 2)
+        fUntil = java.util.Arrays.copyOf(fUntil, k * 2)
+      }
+    var lineStart = 0
+    while (lineStart < n && r <= MaxRows) {
+      // linesIterator semantics: terminators \n, \r\n, \r; no trailing
+      // empty line after a final terminator
+      var le = lineStart
+      while (le < n && text.charAt(le) != '\n' && text.charAt(le) != '\r') le += 1
+
+      if (le == lineStart) { // empty line: advance the row counter only
+        r += 1
+      } else if (delimiter == ' ') {
+        // ≡ WsRe.split(line).filter(_.trim.nonEmpty): maximal non-\s runs,
+        // kept only when String.trim leaves something; the cell value is
+        // the trimmed run (Cell.str(v.trim)), raw == value
+        var k = 0
+        var i = lineStart
+        while (i < le) {
+          while (i < le && isWsSplitChar(text.charAt(i))) i += 1
+          if (i < le) {
+            val a = i
+            while (i < le && !isWsSplitChar(text.charAt(i))) i += 1
+            // String.trim semantics on the run (strips chars <= ' ')
+            var ta = a
+            var tb = i
+            while (ta < tb && text.charAt(ta) <= ' ') ta += 1
+            while (tb > ta && text.charAt(tb - 1) <= ' ') tb -= 1
+            if (tb > ta) {
+              grow(k)
+              fFrom(k) = ta
+              fUntil(k) = tb
+              k += 1
+            }
           }
-          c += 1
         }
-        if (parts.nonEmpty) r += 1
-      } else r += 1
+        if (k > 0) {
+          if (g == null) g = CellGrid.dense(countLines(text), k)
+          var c = 0
+          while (c < k) {
+            g.put(Cell.spanned(view, fFrom(c), fUntil(c), fFrom(c), fUntil(c),
+              "string", r, c))
+            c += 1
+          }
+          r += 1
+        }
+        // zero kept runs: no cells, and (matching the old parts.isEmpty
+        // behavior) the row counter does NOT advance
+      } else {
+        // delimiter-char path: field spans between delimiter positions;
+        // a quote anywhere on the line falls back to the quoted dialect
+        var k = 0
+        var hasQuote = false
+        var start = lineStart
+        var i = lineStart
+        while (!hasQuote && i <= le) {
+          if (i == le || text.charAt(i) == delimiter) {
+            grow(k)
+            fFrom(k) = start
+            fUntil(k) = i
+            k += 1
+            start = i + 1
+          } else if (text.charAt(i) == '"') hasQuote = true
+          i += 1
+        }
+        if (hasQuote) {
+          val parts = splitQuoted(text.substring(lineStart, le), delimiter)
+          if (g == null && parts.nonEmpty) g = CellGrid.dense(countLines(text), parts.length)
+          var c = 0
+          while (c < parts.length) {
+            val v = parts(c)
+            if (v != null && v.trim.nonEmpty) g.put(Cell.inferred(v, r, c, res))
+            c += 1
+          }
+        } else {
+          if (g == null) g = CellGrid.dense(countLines(text), k)
+          var c = 0
+          while (c < k) {
+            graft.core.grid.TypeInfer.inferSpan(text, fFrom(c), fUntil(c), res)
+            if (res.dt != "empty") { // ≡ the old v.trim.nonEmpty guard
+              g.put(
+                if (res.identity)
+                  Cell.spanned(view, fFrom(c), fUntil(c), res.vFrom, res.vUntil,
+                    res.dt, r, c)
+                else
+                  Cell.convertedSpan(res.py, view, fFrom(c), fUntil(c), res.dt, r, c))
+            }
+            c += 1
+          }
+        }
+        r += 1 // both delimiter-path variants always have >= 1 field
+      }
+
+      if (le < n) {
+        lineStart =
+          if (text.charAt(le) == '\r' && le + 1 < n && text.charAt(le + 1) == '\n') le + 2
+          else le + 1
+      } else lineStart = n
     }
     if (g == null) g = new CellGrid
     val kind = delimiter match {

@@ -321,7 +321,15 @@ object PageParser {
     private var row = -1
     private var col = 0
     private var inCell = false
-    private val cellText = new java.lang.StringBuilder
+    // SPAN-BACKED CELLS (round 5): normalized cell text streams into one
+    // append-only per-table slab (whitespace collapsed on the fly — the
+    // same output normalizeWs(raw) produced) and cells reference
+    // [cellStart, len) spans of it; identity-rendered unformatted cells
+    // allocate NO per-cell string. The slab outlives the builder via the
+    // cells that reference it; append-only growth keeps spans valid.
+    private val slab = new graft.core.grid.CharSlab(64)
+    private var cellStart = 0
+    private var lastWs = true // streaming-normalize state: last emitted/seen ws
     private val inferRes = new graft.core.grid.TypeInfer.Res // per-grid, not per-cell
     private var cellBold = false
     private var cellIsTh = false
@@ -353,7 +361,8 @@ object PageParser {
       cellIsTh = isTh
       cellBold = isTh
       cellAttrs = attrs
-      cellText.setLength(0)
+      cellStart = slab.length
+      lastWs = true // leading whitespace never emits (normalizeWs semantics)
     }
 
     def sawBold(): Unit = if (inCell) cellBold = true
@@ -361,12 +370,32 @@ object PageParser {
     def startCaption(): Unit = if (!inCell) inCaption = true
     def endCaption(): Unit = inCaption = false
 
+    /** Streaming normalizeWs into the slab: whitespace runs collapse to one
+      * ' ', leading whitespace emits nothing (lastWs starts true), and the
+      * possible single trailing space is retracted at endCell — the slab
+      * span is exactly normalizeWs(concatenated raw text).
+      */
+    @inline private def appendNormalized(src: CharSequence, from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val c = src.charAt(i)
+        if (Character.isWhitespace(c)) {
+          if (!lastWs) slab.append(' ')
+          lastWs = true
+        } else {
+          slab.append(c)
+          lastWs = false
+        }
+        i += 1
+      }
+    }
+
     def text(s: String): Unit =
-      if (inCell) cellText.append(s)
+      if (inCell) appendNormalized(s, 0, s.length)
       else if (inCaption) captionText.append(s)
 
     def text(src: String, from: Int, until: Int): Unit =
-      if (inCell) cellText.append(src, from, until)
+      if (inCell) appendNormalized(src, from, until)
       else if (inCaption) captionText.append(src, from, until)
 
     /** Declared table metadata (caption/summary/id/class) — see RegionMeta. */
@@ -393,11 +422,13 @@ object PageParser {
         math.max(1, cellAttrs.get("rowspan").flatMap(parseIntOpt).getOrElse(1)))
       val style = Css.parse(cellAttrs.getOrElse("style", ""))
 
-      val value = normalizeWs(cellText.toString)
-      if (value.nonEmpty) {
-        graft.core.grid.TypeInfer.inferInto(value, inferRes)
-        val py = inferRes.py
-        val dt = inferRes.dt
+      // retract the single possible trailing normalized space (normalizeWs
+      // drops it); the slab span is then exactly the normalized cell text
+      if (slab.length > cellStart && slab.charAt(slab.length - 1) == ' ')
+        slab.truncate(slab.length - 1)
+      val vFrom = cellStart
+      val vUntil = slab.length
+      if (vUntil > vFrom) {
         val borders = Css.borders(style, tableBorder)
         val merged = colspan > 1 || rowspan > 1
         val mergeRange =
@@ -409,12 +440,31 @@ object PageParser {
           .orElse(cellAttrs.get("bgcolor").map(_.trim)).orNull
         val fc = style.get("color").map(_.trim).orNull
         val fs = style.get("font-size").flatMap(Css.pxValue).getOrElse(0.0)
-        cells += Cell.of(py, value, dt, row, col,
-          isBold = bold, alignment = align,
-          borderTop = borders(0), borderBottom = borders(1),
-          borderLeft = borders(2), borderRight = borders(3),
-          isMerged = merged, mergeRange = mergeRange,
-          fontSize = fs, fontColor = fc, backgroundColor = bg)
+        // the value is normalized (no edge whitespace), so inferSpan's trim
+        // is a no-op and identity cells span exactly [vFrom, vUntil)
+        graft.core.grid.TypeInfer.inferSpan(slab, vFrom, vUntil, inferRes)
+        val dt = inferRes.dt
+        val slimTier = align == null && mergeRange == null && fs == 0.0 &&
+          fc == null && bg == null
+        if (slimTier) {
+          val fmtBits = Cell.packBits(bold, merged, borders(0), borders(1),
+            borders(2), borders(3))
+          cells +=
+            (if (inferRes.identity)
+              Cell.spanned(slab, vFrom, vUntil, inferRes.vFrom, inferRes.vUntil,
+                dt, row, col, fmtBits)
+            else
+              Cell.convertedSpan(inferRes.py, slab, vFrom, vUntil, dt, row, col, fmtBits))
+        } else {
+          val value = slab.str(vFrom, vUntil)
+          val py = if (inferRes.identity) value else inferRes.py
+          cells += Cell.of(py, value, dt, row, col,
+            isBold = bold, alignment = align,
+            borderTop = borders(0), borderBottom = borders(1),
+            borderLeft = borders(2), borderRight = borders(3),
+            isMerged = merged, mergeRange = mergeRange,
+            fontSize = fs, fontColor = fc, backgroundColor = bg)
+        }
       }
       // mark covered cells (merge shadows + future rowspan slots)
       var r = row

@@ -279,4 +279,70 @@ class PropertySpec extends AnyFunSuite {
       PageParser.normalizeWs(once) == once
     })
   }
+
+  test("inferSpan matches inferInto verdicts on arbitrary embedded spans") {
+    import graft.core.grid.{StrView, TypeInfer}
+    // cell-ish content: mixes of digits, separators, words, unicode
+    // (including the toLowerCase special cases), embedded whitespace
+    val cellGen: Gen[String] = Gen.oneOf(
+      Gen.asciiStr,
+      Gen.listOf(Gen.oneOf(Gen.numChar, Gen.oneOf('.', ',', '-', '+', 'e', 'E', ' ')))
+        .map(_.mkString),
+      Gen.oneOf("true", "TRUE", "Yes", "no", "0", "1", "007", "1.5", "1.50",
+        "2024-01-15", "01/02/2024", "15 Jan 2024", "3,141", "1e10", "0.00001",
+        "İstanbul", "Kelvin", "café", "日本語", " padded ",
+        " nbsp ", "-12.75", "0.5", "  "),
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\t', '.', '-', '/',
+        'İ', 'K', ' ', 'm', 'a', 'r'))).map(_.mkString))
+    val padGen: Gen[String] =
+      Gen.listOf(Gen.oneOf(' ', '\t', 'x', '7', '\n')).map(_.mkString)
+    check(Prop.forAll(padGen, cellGen, padGen) { (pre, cell, post) =>
+      val text = pre + cell + post
+      val res = new TypeInfer.Res
+      TypeInfer.inferSpan(text, pre.length, pre.length + cell.length, res)
+      val (wantPy, wantDt) = TypeInfer.infer(cell)
+      val gotPy =
+        if (res.identity) text.substring(res.vFrom, res.vUntil) else res.py
+      res.dt == wantDt && gotPy == wantPy &&
+        // identity must never be claimed when the render differs
+        (!res.identity || wantPy == cell.trim)
+    })
+  }
+
+  test("span-backed cells behave exactly like string cells") {
+    import graft.core.grid.{StrView, TypeInfer}
+    val cellGen: Gen[String] = Gen.oneOf(Gen.asciiStr,
+      Gen.oneOf("42", "x", "1.5", "2024-01-15", "hello world", "  inner  ",
+        " ", "true"))
+    check(Prop.forAll(Gen.asciiStr, cellGen, Gen.asciiStr) { (pre, cell, post) =>
+      val text = pre + cell + post
+      val view = new StrView(text)
+      val res = new TypeInfer.Res
+      TypeInfer.inferSpan(text, pre.length, pre.length + cell.length, res)
+      val spanCell =
+        if (res.dt == "empty") null
+        else if (res.identity)
+          Cell.spanned(view, pre.length, pre.length + cell.length,
+            res.vFrom, res.vUntil, res.dt, 0, 0)
+        else Cell.convertedSpan(res.py, view, pre.length, pre.length + cell.length,
+          res.dt, 0, 0)
+      val stringCell =
+        if (res.dt == "empty") null
+        else Cell.inferred(cell, 0, 0, new TypeInfer.Res)
+      (spanCell == null) == (stringCell == null) && (spanCell == null || {
+        val sb1 = new java.lang.StringBuilder
+        spanCell.appendValueTo(sb1)
+        // probe BEFORE materialization, then force it, then re-check
+        val preChecks = spanCell.valueIsNull == stringCell.valueIsNull &&
+          spanCell.valueNonEmpty == stringCell.valueNonEmpty &&
+          spanCell.isEmpty == stringCell.isEmpty
+        preChecks &&
+          spanCell.value == stringCell.value &&
+          spanCell.raw == cell && // inferred keeps the untrimmed part as raw
+          sb1.toString == (if (stringCell.value == null) "" else stringCell.value) &&
+          spanCell.isEmpty == stringCell.isEmpty &&
+          spanCell.dataType == stringCell.dataType
+      })
+    })
+  }
 }
