@@ -405,14 +405,18 @@ object Bench {
          |
          |Single-node vs reference (BASELINE.md): the reference publishes
          |1M+ cells/s on its simple path and 100K+ cells/s on the island path
-         |(single-process Python). This kernel measures ~1.1M cells/s on ONE
+         |(single-process Python). This kernel measures ~1.43M cells/s on ONE
          |thread over a corpus mix that routes ~60 % of pages through the
          |island path (reproduce: `sbt "runMain graft.tools.KernelBench"` —
-         |phase split ≈ parse 50 % / detect 30 % / serialize 20 %, with
-         |per-phase and per-variant allocation printed; the round-2
-         |allocation work cut 159→85 KB allocated per doc), i.e. it beats
+         |phase split and per-variant allocation printed), i.e. it beats
          |the reference's SIMPLE-path rate per core on island-heavy input
-         |before any parallelism.
+         |before any parallelism. Allocation trajectory per doc: 159 KB
+         |(round 1) → 85 KB (r2) → 78 KB (r3) → 64.9 KB (r4) → 55.4 KB
+         |(round 5's span-backed cell values: identity-rendered cells
+         |reference [from,until) spans of a shared backing instead of
+         |per-cell Strings — parse phase 26.3k → 16.7k B/doc, delimited
+         |variants down 50-60 %, values materialize lazily only if read,
+         |and the serializer appends spans without materializing).
          |
          |Reading: the wall-based number on this box conflates engine scaling
          |with hypervisor CPU steal — identical pure-ALU per-thread work was
