@@ -330,6 +330,30 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearNeighbors(s, t(s, dir, "embeddings"), nBits = 12, nTables = 16,
         minCosine = 0.35)),
+    // embedding-cosine near-dedup, CLUSTER step: connected components over
+    // the LSH-verified cosine pair set (composition of two verified
+    // operators — lshNearNeighbors emits the edges, connectedComponents the
+    // min-id labels). Same 0.35 threshold as q_ann_lsh: on this synthetic
+    // near-orthogonal corpus genuine >=0.9 near-dups don't exist, so the
+    // documented dedup regime would be vacuously empty; the low threshold
+    // keeps the closure non-trivial while the oracle replays the identical
+    // pipeline bit-exactly (shared LshCtes block).
+    "q_dedup_cosine_cluster" -> ((s, dir) =>
+      Dedup.connectedComponents(s,
+        Similarity.lshNearNeighbors(s, t(s, dir, "embeddings"),
+          nBits = 12, nTables = 16, minCosine = 0.35))),
+    // embedding-cosine near-dedup APPLIED: the kept vector corpus (min-id
+    // survivor per cosine component + all unpaired vectors) — the
+    // embedding-space analogue of q_dedup_apply, keyed by vec_id
+    "q_dedup_cosine_apply" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.keepFirstByPairs(s, emb,
+          Similarity.lshNearNeighbors(s, emb, nBits = 12, nTables = 16,
+            minCosine = 0.35),
+          idCol = "vec_id")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
     "q_lang_id" -> ((s, dir) => {
       // confusion matrix of the language classifier; the DuckDB oracle
       // replicates the classifier exactly (script tiers + ordered stopword
@@ -420,6 +444,51 @@ object SparkEntry {
       |  JOIN sigs sa ON sa.doc_id = c.id_a
       |  JOIN sigs sb ON sb.doc_id = c.id_b
       |  WHERE CAST(len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 64 >= 0.5)""".stripMargin
+
+  /** Shared hyperplane-LSH replay (the q_ann_lsh oracle pipeline, factored
+    * like [[MinhashCtes]]): splitmix64 draws in mod-2^64 hugeint, [-1,1)
+    * mapping and dot products in IEEE order, 12-bit sign signatures per
+    * table, (table, bucket) candidate join, exact-cosine verify — ending in
+    * an `lsh_pairs` CTE (cos >= 0.35, the embedding-cosine near-dup edge
+    * set). Shared by q_ann_lsh, q_dedup_cosine_cluster and
+    * q_dedup_cosine_apply so the three embedding-cosine surfaces replay ONE
+    * pipeline (edits here hit all three oracles). The 4096 bucket cap
+    * cannot trigger on a 500-vector corpus, so the salt stage is provably
+    * inert and elided (asserted by tools/gen_lsh_sql.py's checker).
+    * RECURSIVE is for the closure CTEs the dedup consumers append. */
+  private val LshCtes: String =
+    """WITH RECURSIVE draws AS (
+      |  SELECT i, (i - 1) // 64 AS p, (i - 1) % 64 AS d,
+      |    CAST(h // 2048::HUGEINT AS DOUBLE) * 1.1102230246251565e-16 * 2.0 - 1.0 AS comp
+      |  FROM (SELECT unnest(range(1, 12289)) AS i) r,
+      |       LATERAL (SELECT (((42::HUGEINT + (i - 1)::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1) l1,
+      |       LATERAL (SELECT xor(z1, z1 // 1073741824::HUGEINT) AS x1) l2,
+      |       LATERAL (SELECT ((x1) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((x1) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2) l3,
+      |       LATERAL (SELECT xor(z2, z2 // 134217728::HUGEINT) AS x2) l4,
+      |       LATERAL (SELECT ((x2) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((x2) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z3) l5,
+      |       LATERAL (SELECT xor(z3, z3 // 2147483648::HUGEINT) AS h) l6),
+      |planes AS (
+      |  SELECT p, p // 12 AS tbl, p % 12 AS bit, list(comp ORDER BY d) AS plane
+      |  FROM draws GROUP BY p),
+      |vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sigs AS (
+      |  SELECT vec_id, tbl,
+      |    CAST(sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> plane[ii] * v[ii])), (acc, x) -> acc + x) >= 0 THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
+      |  FROM vecs, planes GROUP BY vec_id, tbl),
+      |cands AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |    AND a.vec_id < b.vec_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(CASE WHEN sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sa.v[ii] * sa.v[ii])), (acc, x) -> acc + x)) = 0 OR sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sb.v[ii] * sb.v[ii])), (acc, x) -> acc + x)) = 0 THEN 0.0
+      |      ELSE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sa.v[ii] * sb.v[ii])), (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sa.v[ii] * sa.v[ii])), (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sb.v[ii] * sb.v[ii])), (acc, x) -> acc + x))) END, 6) AS cos
+      |  FROM cands c
+      |  JOIN vecs sa ON sa.vec_id = c.id_a
+      |  JOIN vecs sb ON sb.vec_id = c.id_b),
+      |lsh_pairs AS (
+      |  SELECT id_a, id_b, cos FROM verified WHERE cos >= 0.35)""".stripMargin
 
 
   def oracleSql: Map[String, String] = Map(
@@ -892,43 +961,52 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // Hyperplane-LSH near-neighbors replayed exactly: splitmix64 draws in
-    // mod-2^64 hugeint, [-1,1) mapping and dot products in IEEE order, sign
-    // signatures, bucket join, cosine verify. The 4096 bucket cap cannot
-    // trigger on a 500-vector corpus, so the salt stage is provably inert
-    // and elided (asserted by tools/gen_lsh_sql.py's checker).
+    // Hyperplane-LSH near-neighbors replayed exactly (LshCtes — splitmix64
+    // draws in mod-2^64 hugeint, IEEE-order dot products, sign signatures,
+    // bucket join, cosine verify; shared with the two dedup_cosine oracles).
     "q_ann_lsh" ->
-      """WITH draws AS (
-        |  SELECT i, (i - 1) // 64 AS p, (i - 1) % 64 AS d,
-        |    CAST(h // 2048::HUGEINT AS DOUBLE) * 1.1102230246251565e-16 * 2.0 - 1.0 AS comp
-        |  FROM (SELECT unnest(range(1, 12289)) AS i) r,
-        |       LATERAL (SELECT (((42::HUGEINT + (i - 1)::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1) l1,
-        |       LATERAL (SELECT xor(z1, z1 // 1073741824::HUGEINT) AS x1) l2,
-        |       LATERAL (SELECT ((x1) * 484763065::HUGEINT % 18446744073709551616::HUGEINT + ((x1) * 3210233709::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2) l3,
-        |       LATERAL (SELECT xor(z2, z2 // 134217728::HUGEINT) AS x2) l4,
-        |       LATERAL (SELECT ((x2) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((x2) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z3) l5,
-        |       LATERAL (SELECT xor(z3, z3 // 2147483648::HUGEINT) AS h) l6),
-        |planes AS (
-        |  SELECT p, p // 12 AS tbl, p % 12 AS bit, list(comp ORDER BY d) AS plane
-        |  FROM draws GROUP BY p),
-        |vecs AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |sigs AS (
-        |  SELECT vec_id, tbl,
-        |    CAST(sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> plane[ii] * v[ii])), (acc, x) -> acc + x) >= 0 THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
-        |  FROM vecs, planes GROUP BY vec_id, tbl),
-        |cands AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
-        |    AND a.vec_id < b.vec_id),
-        |verified AS (
-        |  SELECT c.id_a, c.id_b,
-        |    round(CASE WHEN sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sa.v[ii] * sa.v[ii])), (acc, x) -> acc + x)) = 0 OR sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sb.v[ii] * sb.v[ii])), (acc, x) -> acc + x)) = 0 THEN 0.0
-        |      ELSE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sa.v[ii] * sb.v[ii])), (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sa.v[ii] * sa.v[ii])), (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> sb.v[ii] * sb.v[ii])), (acc, x) -> acc + x))) END, 6) AS cos
-        |  FROM cands c
-        |  JOIN vecs sa ON sa.vec_id = c.id_a
-        |  JOIN vecs sb ON sb.vec_id = c.id_b)
-        |SELECT id_a, id_b, cos FROM verified WHERE cos >= 0.35 ORDER BY 1, 2""".stripMargin,
+      s"""$LshCtes
+        |SELECT id_a, id_b, cos FROM lsh_pairs ORDER BY 1, 2""".stripMargin,
+    // connected components over the SAME replayed embedding-cosine pair
+    // set: the cluster step of embedding-cosine near-dedup (cosine
+    // similarity is not transitive — components, not pairs, are the dedup
+    // unit). Same recursive-CTE closure as q_dedup_cluster, over lsh_pairs
+    // instead of mh_pairs; cluster_id = min vec_id of the component.
+    "q_dedup_cosine_cluster" ->
+      s"""$LshCtes,
+        |nodes AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT id_a AS id FROM lsh_pairs UNION ALL SELECT id_b FROM lsh_pairs)),
+        |cedges AS (
+        |  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+        |  UNION ALL SELECT id_b, id_a FROM lsh_pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+    // embedding-cosine near-dedup APPLIED: the vector corpus minus the
+    // closure's losers (vec_id != component min) — the embedding-space
+    // analogue of q_dedup_apply, sharing the one replayed LSH pipeline
+    "q_dedup_cosine_apply" ->
+      s"""$LshCtes,
+        |nodes AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT id_a AS id FROM lsh_pairs UNION ALL SELECT id_b FROM lsh_pairs)),
+        |cedges AS (
+        |  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+        |  UNION ALL SELECT id_b, id_a FROM lsh_pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |  WHERE id != cluster_id)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
     // MinHash-LSH replayed in exact mod-2^64 hugeint arithmetic (DuckDB 1.x
     // xor/'//' are native on HUGEINT; the two mix64 multiplies are 32-bit-limb
     // decomposed). Generated and cross-validated against both a pure-python

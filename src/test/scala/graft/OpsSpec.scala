@@ -225,6 +225,28 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("embedding-cosine near-dedup applies end to end (cluster + keep)") {
+    val emb = embWithNearDups
+    // pairs at 0.9: exactly the planted (id, id+100000) duplicates — the
+    // base corpus is near-orthogonal (max pairwise cos ≈ 0.5) and the
+    // orthogonalized noise keeps planted-vs-planted below threshold too,
+    // so every component is one isolated pair and the expected loser set
+    // is derivable from the pair list without re-running the operator
+    val pairs = Similarity.lshNearNeighbors(spark, emb, nBits = 12, nTables = 16,
+      minCosine = 0.9)
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.nonEmpty, "planted near-dups must surface as pairs")
+    pairRows.foreach { case (a, b) =>
+      assert(b == a + 100000L, s"unexpected non-planted pair ($a,$b)")
+    }
+    val losers = pairRows.map(_._2).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.keepFirstByPairs(spark, emb, pairs, idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == allIds -- losers,
+      s"cosine near-dedup must keep min-id survivors + unpaired vectors")
+  }
+
   test("salt splits decorrelate across tables (identical-cluster recall)") {
     import spark.implicits._
     // 120 IDENTICAL vectors land in the same bucket of EVERY table; at

@@ -93,6 +93,50 @@ verified AS (
 SELECT id_a, id_b, cos FROM verified WHERE cos >= {MIN_COS} ORDER BY 1, 2"""
 
 
+def cluster_sql(table="embeddings"):
+    """q_dedup_cosine_cluster: recursive-CTE closure over the same verified
+    LSH pair set (the cluster step of embedding-cosine near-dedup);
+    cluster_id = min vec_id per component, matching the Spark operator's
+    min-label propagation fixpoint."""
+    base = oracle_sql(table)
+    head, _tail = base.rsplit("\nSELECT id_a, id_b, cos FROM verified", 1)
+    return f"""{head.replace("WITH draws", "WITH RECURSIVE draws", 1)},
+lsh_pairs AS (
+  SELECT id_a, id_b, cos FROM verified WHERE cos >= {MIN_COS}),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM lsh_pairs UNION ALL SELECT id_b FROM lsh_pairs)),
+cedges AS (
+  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+  UNION ALL SELECT id_b, id_a FROM lsh_pairs),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+ORDER BY id"""
+
+
+def clusters_py(pairs):
+    """Union-find over the pair list: (id, min id of component)."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    ids = set()
+    for a, b, _ in pairs:
+        ids.add(a)
+        ids.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((i, find(i)) for i in ids)
+
+
 # ---- pure-python replay of the Scala implementation (validation) ----
 MASK = (1 << 64) - 1
 
@@ -181,6 +225,14 @@ def check(sfdir, spark_parquet=None):
     if not ok:
         print(" duckdb:", got[:5])
         print(" python:", want[:5])
+        sys.exit(1)
+    cgot = [(a, b) for a, b in con.sql(cluster_sql()).fetchall()]
+    cwant = clusters_py([(a, b, float(c)) for a, b, c in want])
+    cok = cgot == cwant
+    print(f"{sfdir}: cluster duckdb={len(cgot)} python={len(cwant)} match={cok}")
+    if not cok:
+        print(" duckdb:", cgot[:5])
+        print(" python:", cwant[:5])
         sys.exit(1)
 
 
