@@ -401,7 +401,13 @@ object Bench {
          |evidence (same tool): a 10,000-node PATH graph — the opposite
          |extreme from near-clique dup graphs — converged in 14 rounds
          |(log2(10000) ≈ 13.3; min-label propagation alone needs 10,000),
-         |all nodes at the min label, 8.9 s wall.
+         |all nodes at the min label, 8.9 s wall. Embedding-cosine
+         |near-dedup APPLIED over the same stress corpus: CC + keep over
+         |the 12.6M-edge LSH pair set collapsed 25k vectors to 2,000
+         |survivors in 6.2 s, and the planted 5000-identical hot cluster
+         |kept ZERO hot-range survivors — it correctly merged into the
+         |vec-0 amplification class (the hot vector is a copy of base
+         |vector 0) whose min id is the canonical survivor.
          |
          |Single-node vs reference (BASELINE.md): the reference publishes
          |1M+ cells/s on its simple path and 100K+ cells/s on the island path

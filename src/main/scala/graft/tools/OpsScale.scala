@@ -185,6 +185,25 @@ object OpsScale {
     require(hotPairs.toDouble / hotExpected >= 0.99,
       "salted-bucket recall on the identical cluster must be ~1 (decorrelated salts)")
 
+    // ---- embedding-cosine near-dedup APPLIED at stress scale ----
+    // CC + keep over the ~12.5M-edge pair set above: the 5000-identical
+    // cluster is a near-clique (recall >=0.99, so >=4900 edges/node) and
+    // MUST collapse to a single component. The planted `hot` vector is a
+    // copy of base vector 0, whose amped near-dup copies sit at cos~0.995
+    // — the hot component therefore merges with the id-0 class and the
+    // canonical survivor is min id 0, i.e. ZERO hot-range survivors.
+    val tApply = System.nanoTime()
+    val keptVecs = Dedup.keepFirstByPairs(spark, allVecs, lsh, idCol = "vec_id")
+      .localCheckpoint()
+    val keptN = keptVecs.count()
+    val hotKept = keptVecs.filter(col("vec_id") >= 90000000L).count()
+    val applyWall = (System.nanoTime() - tApply) / 1e9
+    println(f"OPSSCALE cosine_apply kept=$keptN/$nVecs hot_survivors=$hotKept wall=$applyWall%.1fs")
+    require(hotKept <= 1L,
+      "the 5000-identical cluster must collapse to at most one survivor")
+    require(keptN <= nVecs - 4999L,
+      "cosine near-dedup must drop the collapsed hot cluster")
+
     spark.stop()
   }
 }
