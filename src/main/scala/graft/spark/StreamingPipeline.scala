@@ -23,6 +23,22 @@ final case class CrawlSession(host: String, start: Timestamp, end: Timestamp, do
 /** flatMapGroupsWithState state record. */
 final case class SessionState(startMs: Long, endMs: Long, docs: Long)
 
+/** A streaming near-duplicate pair (event-time = the later arrival).
+  * Emission is at-least-once: a pair colliding in several minhash bands is
+  * emitted by each bucket — the downstream sink dedups (id_a, id_b) per
+  * micro-batch / on read, the same idempotent-sink pattern the parquet
+  * file sink already relies on for exactly-once.
+  */
+final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double, ts: Timestamp)
+
+/** One banded-minhash row feeding the stateful bucket operator. */
+final case class BandedDoc(id: Long, ts: Timestamp, sig: Array[Long], band: Int, bhash: Long)
+
+/** Per-bucket exemplar buffer: parallel arrays, signatures flattened to
+  * one n×k array (nested arrays kept out of the state encoder's hot path).
+  */
+final case class BucketState(ids: Array[Long], tsMs: Array[Long], flatSigs: Array[Long])
+
 /** Structured Streaming variant of the extraction pipeline.
   *
   * The reference is strictly batch (SURVEY.md §2.9) and the north rule's
@@ -172,6 +188,124 @@ object StreamingPipeline {
     }
 
     keyed.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming MinHash-LSH near-duplicate pairs — the streaming analogue of
+    * [[graft.ops.Dedup.minhashPairs]] for continuously landing crawl data:
+    * online near-dup detection against everything seen within the event-time
+    * horizon, without re-scanning the corpus.
+    *
+    * Same pipeline semantics as batch, re-cut for unbounded input: the
+    * native `minhashSig` / `minhashBandHashes` expressions run in the
+    * stateless prefix (content-free docs dropped exactly like batch), and
+    * the batch banded SELF-JOIN becomes a stateful per-(band, bandhash)
+    * bucket: each bucket keeps up to `bucketCap` exemplar signatures within
+    * the horizon, every new arrival is verified against them (slot-match
+    * estimate from the FULL signatures — the same est_jaccard the batch
+    * verify computes), and pairs at `threshold` or above are emitted with
+    * `id_a < id_b`.
+    *
+    * Scale/state design (the parts that matter at crawl scale):
+    *  - State is bounded by watermark eviction on BOTH axes: exemplars are
+    *    pruned once they can no longer pair with any non-late arrival
+    *    (`exemplar ts + horizon < watermark`), and a bucket's state times
+    *    out (EventTimeTimeout) once its newest exemplar ages out. Per-bucket
+    *    state is ≤ bucketCap × (16 + 8·k) bytes.
+    *  - `bucketCap` is the batch operator's bucket-cap analogue: a giant
+    *    clone class floods one bucket per band; capping bounds both state
+    *    and per-arrival verify work at the cost of recall INSIDE the flood
+    *    window (first-cap-wins, deterministic by event time then id).
+    *    Exact-dup suppression ([[dedupStream]]) belongs upstream of this.
+    *  - Emission is at-least-once across bands (see [[NearDupPair]]);
+    *    within a bucket a pair is emitted once.
+    *  - Cross-horizon duplicates are out of scope by design — that is the
+    *    batch `minhashPairs` pass over the accumulated snapshot, exactly
+    *    like dedupStream vs Dedup.exact.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id", tsCol: String = "warc_ts",
+      textCol: String = "text", k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      threshold: Double = 0.8, horizonMinutes: Int = 120, bucketCap: Int = 64)
+      : Dataset[NearDupPair] = {
+    require(k % bands == 0, "k must be divisible by bands")
+    require(bucketCap > 0, "bucketCap > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.DedupFunctions
+    val horizonMs = horizonMinutes * 60000L
+
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        DedupFunctions.minhashSig(coalesce(col(textCol), lit("")), k, shingleN).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .select(col("id"), col("ts"), col("sig"),
+        posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
+      .toDF("id", "ts", "sig", "band", "bhash")
+      .as[BandedDoc]
+
+    def update(key: (Int, Long), events: Iterator[BandedDoc],
+        state: GroupState[BucketState]): Iterator[NearDupPair] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val wm = state.getCurrentWatermarkMs()
+      // load exemplars, pruning any that can no longer pair with a
+      // non-late arrival (every future event has ts >= watermark)
+      var ids = new Array[Long](bucketCap)
+      var tsMs = new Array[Long](bucketCap)
+      var flat = new Array[Long](bucketCap * k)
+      var n = 0
+      state.getOption.foreach { s =>
+        var i = 0
+        while (i < s.ids.length) {
+          if (s.tsMs(i) + horizonMs >= wm) {
+            ids(n) = s.ids(i); tsMs(n) = s.tsMs(i)
+            System.arraycopy(s.flatSigs, i * k, flat, n * k, k)
+            n += 1
+          }
+          i += 1
+        }
+      }
+      // deterministic processing order regardless of shuffle arrival order
+      val evs = events.toArray.sortBy(e => (e.ts.getTime, e.id))
+      val out = Vector.newBuilder[NearDupPair]
+      evs.foreach { e =>
+        val eMs = e.ts.getTime
+        var dup = false
+        var i = 0
+        while (i < n) {
+          if (ids(i) == e.id) dup = true
+          else if (math.abs(eMs - tsMs(i)) <= horizonMs) {
+            var m = 0
+            var j = 0
+            val base = i * k
+            while (j < k) { if (flat(base + j) == e.sig(j)) m += 1; j += 1 }
+            val est = m.toDouble / k
+            if (est >= threshold)
+              out += NearDupPair(math.min(ids(i), e.id), math.max(ids(i), e.id), est,
+                new Timestamp(math.max(eMs, tsMs(i))))
+          }
+          i += 1
+        }
+        if (!dup && n < bucketCap) {
+          ids(n) = e.id; tsMs(n) = eMs
+          System.arraycopy(e.sig, 0, flat, n * k, k)
+          n += 1
+        }
+      }
+      if (n > 0) {
+        state.update(BucketState(java.util.Arrays.copyOf(ids, n),
+          java.util.Arrays.copyOf(tsMs, n), java.util.Arrays.copyOf(flat, n * k)))
+        var newest = Long.MinValue
+        var i = 0
+        while (i < n) { if (tsMs(i) > newest) newest = tsMs(i); i += 1 }
+        // strictly after the newest exemplar ages out; always > watermark
+        // because every retained exemplar satisfies tsMs + horizon >= wm
+        state.setTimeoutTimestamp(newest + horizonMs + 1)
+      } else state.remove()
+      out.result().iterator
+    }
+
+    banded.groupByKey(d => (d.band, d.bhash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Start the stream: parquet sink + checkpoint (exactly-once file sink).

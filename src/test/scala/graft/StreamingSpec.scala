@@ -151,4 +151,76 @@ class StreamingSpec extends AnyFunSuite {
       assert(sessions.toSeq == expected, s"got ${sessions.toVector}")
     } finally q.stop()
   }
+
+  // ---- streaming near-dup pairs (minhash-LSH over bounded bucket state) ----
+
+  private def dupDoc(seed: Int, mutated: Boolean): String = {
+    // ~40 words from a per-seed vocabulary; the mutated twin changes the
+    // last two words — most 3-shingles shared, est_jaccard well above 0.5
+    val words = (0 until 40).map(w => s"w${seed}_${w % 13}")
+    val body = if (mutated) words.dropRight(2) ++ Seq("changed", "tail") else words
+    body.mkString(" ")
+  }
+
+  test("streaming near-dup pairs equal the batch operator within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 12 base docs (distinct vocabularies — no cross-seed shingle overlap),
+    // 6 of them with a near-identical twin at id+100
+    val rows: Seq[(Long, Timestamp, String)] =
+      (1 to 12).map(i => (i.toLong, new Timestamp(T0 + i * 60000L), dupDoc(i, false))) ++
+        (1 to 6).map(i => (i + 100L, new Timestamp(T0 + (30 + i) * 60000L), dupDoc(i, true)))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingPipeline.nearDupPairs(
+        mem.toDS().toDF("doc_id", "warc_ts", "text"), threshold = 0.5)
+      .writeStream.format("memory").queryName("ndp_out").outputMode("append").start()
+    try {
+      val (first, second) = rows.splitAt(rows.size / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      // at-least-once across bands: distinct before comparing
+      val got = spark.sql("SELECT id_a, id_b, est_jaccard FROM ndp_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.ops.Dedup.minhashPairs(spark,
+          rows.toDF("doc_id", "warc_ts", "text"), threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.size >= 6, s"batch must find the 6 planted twins, got $want")
+      assert(got == want,
+        s"streaming pair set must equal batch within the horizon\n got=$got\nwant=$want")
+    } finally q.stop()
+  }
+
+  test("near-dup bucket state expires past the horizon; cap keeps first arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val min = 60000L
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingPipeline.nearDupPairs(
+        mem.toDS().toDF("doc_id", "warc_ts", "text"),
+        threshold = 0.5, horizonMinutes = 120, bucketCap = 1)
+      .writeStream.format("memory").queryName("ndp_exp").outputMode("append").start()
+    try {
+      // doc 1 at t=0 — its twin arrives 10h later, past the 2h horizon
+      mem.addData((1L, new Timestamp(T0), dupDoc(1, false)))
+      q.processAllAvailable()
+      // unrelated doc advances the watermark to 600-120 = 480 min
+      mem.addData((50L, new Timestamp(T0 + 600 * min), dupDoc(50, false)))
+      q.processAllAvailable()
+      // twin of doc 1 (cross-horizon: must NOT pair) + a fresh identical
+      // triple (2,3,4): with bucketCap=1 only the first arrival (2) is the
+      // exemplar, so exactly (2,3) and (2,4) pair — never (3,4)
+      mem.addData(
+        (101L, new Timestamp(T0 + 601 * min), dupDoc(1, false)),
+        (2L, new Timestamp(T0 + 601 * min), dupDoc(7, false)),
+        (3L, new Timestamp(T0 + 602 * min), dupDoc(7, false)),
+        (4L, new Timestamp(T0 + 603 * min), dupDoc(7, false)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id_a, id_b FROM ndp_exp").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 3L), (2L, 4L)),
+        s"expected only first-exemplar pairs within the horizon, got $got")
+    } finally q.stop()
+  }
 }
