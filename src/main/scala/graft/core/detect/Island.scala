@@ -14,13 +14,30 @@ final class DataIsland extends Serializable {
   var density: Double = 0.0
   var hasHeaders: Boolean = false
   var confidence: Double = 0.0
-  var totalSheetCells: Int = 0
   var borderCellRatio: Double = 0.0
-  var isSubsetOf: DataIsland = null
+  // metrics are a pure function of (cells/bbox, totalSheetCells,
+  // isSubsetOf, the immutable grid) — memoized behind a dirty flag so the
+  // detect pipeline's repeated calculateMetrics passes (post-flood,
+  // post-merge, final) recompute only for islands that actually changed
+  private var metricsClean = false
+  private var _totalSheetCells: Int = 0
+  private var _isSubsetOf: DataIsland = null
+
+  def totalSheetCells: Int = _totalSheetCells
+  def totalSheetCells_=(v: Int): Unit = {
+    if (v != _totalSheetCells) metricsClean = false
+    _totalSheetCells = v
+  }
+  def isSubsetOf: DataIsland = _isSubsetOf
+  def isSubsetOf_=(v: DataIsland): Unit = {
+    if (v ne _isSubsetOf) metricsClean = false
+    _isSubsetOf = v
+  }
 
   @inline private def key(r: Int, c: Int): Long = (r.toLong << 32) | (c & 0xffffffffL)
 
   def addCell(r: Int, c: Int): Unit = {
+    metricsClean = false
     cells.add(key(r, c))
     if (minRow < 0 || r < minRow) minRow = r
     if (maxRow < 0 || r > maxRow) maxRow = r
@@ -37,6 +54,7 @@ final class DataIsland extends Serializable {
   }
 
   def absorb(other: DataIsland): Unit = {
+    metricsClean = false
     cells.addAll(other.cells)
     if (other.minRow >= 0) minRow = math.min(minRow, other.minRow)
     if (other.maxRow >= 0) maxRow = math.max(maxRow, other.maxRow)
@@ -50,6 +68,8 @@ final class DataIsland extends Serializable {
   /** reference: island_detector.py:53-103. */
   def calculateMetrics(g: CellGrid): Unit = {
     if (cells.isEmpty || minRow < 0) return
+    if (metricsClean) return
+    metricsClean = true
     val total = (maxRow - minRow + 1).toLong * (maxCol - minCol + 1)
     density = if (total > 0) cells.size.toDouble / total else 0.0
 
@@ -359,24 +379,48 @@ final class IslandDetector(
 
     if (useStructuralAnalysis) return detectIslandsStructural(g)
 
-    val coords = g.coordsSorted
-    val dataCells = new LongHashSet(coords.length)
-    coords.foreach(k => dataCells.add(k))
-
-    val visited = new LongHashSet(coords.length)
+    val cs = g.cellsSorted // cached on the grid — no per-detect coord array
     var islands = Vector.newBuilder[DataIsland]
-    var i = 0
-    while (i < coords.length) {
-      val k = coords(i)
-      if (!visited.contains(k)) {
-        val island = floodFill(k, dataCells, visited)
-        if (island.cells.size >= effectiveMinSize) {
-          island.totalSheetCells = totalSheetCells
-          island.calculateMetrics(g)
-          islands += island
+    if (g.denseWidth > 0) {
+      // dense backing: the grid itself is the data-cell membership test and
+      // a bitset over the declared bounds replaces the visited hash set —
+      // no per-detect LongHashSets at all on the common parse paths
+      val w = g.denseWidth
+      // bitset over the USED rows (data exists only in [0, maxRow]), with
+      // the backing width as the row stride — declared-but-empty tail rows
+      // cost nothing
+      val h = math.min(g.denseHeight, g.maxRow + 1)
+      val visited = new Array[Long]((h * w + 63) >>> 6)
+      var i = 0
+      while (i < cs.length) {
+        val idx = cs(i).row * w + cs(i).col
+        if ((visited(idx >>> 6) & (1L << (idx & 63))) == 0L) {
+          val island = floodFillDense(cs(i).row, cs(i).col, g, w, h, visited)
+          if (island.cells.size >= effectiveMinSize) {
+            island.totalSheetCells = totalSheetCells
+            island.calculateMetrics(g)
+            islands += island
+          }
         }
+        i += 1
       }
-      i += 1
+    } else {
+      val dataCells = new LongHashSet(cs.length)
+      cs.foreach(c => dataCells.add(key(c.row, c.col)))
+      val visited = new LongHashSet(cs.length)
+      var i = 0
+      while (i < cs.length) {
+        val k = key(cs(i).row, cs(i).col)
+        if (!visited.contains(k)) {
+          val island = floodFill(k, dataCells, visited)
+          if (island.cells.size >= effectiveMinSize) {
+            island.totalSheetCells = totalSheetCells
+            island.calculateMetrics(g)
+            islands += island
+          }
+        }
+        i += 1
+      }
     }
     var out = islands.result().sortBy(isl => (-isl.cells.size, isl.minRow, isl.minCol))
 
@@ -411,6 +455,51 @@ final class IslandDetector(
     if (out.size > 1) checkSubsets(out)
     out.foreach(_.calculateMetrics(g))
     out
+  }
+
+  /** [[floodFill]] for dense-backed grids: membership is a null check on
+    * the flat backing (via `g.get`) and visited is a bitset over the
+    * declared h×w bounds — island content is identical to the hash-set
+    * variant (traversal order does not affect a set + bbox).
+    */
+  private def floodFillDense(startR: Int, startC: Int, g: CellGrid, w: Int, h: Int,
+      visited: Array[Long]): DataIsland = {
+    val island = new DataIsland
+    var stack = new Array[Int](64)
+    var top = 0
+    stack(top) = startR * w + startC
+    top += 1
+    val si = startR * w + startC
+    visited(si >>> 6) |= 1L << (si & 63)
+    while (top > 0) {
+      top -= 1
+      val idx = stack(top)
+      val r = idx / w
+      val c = idx - r * w
+      island.addCell(r, c)
+      var dr = -maxGap
+      while (dr <= maxGap) {
+        var dc = -maxGap
+        while (dc <= maxGap) {
+          if (!(dr == 0 && dc == 0) && (includeDiagonal || dr == 0 || dc == 0)) {
+            val nr = r + dr
+            val nc = c + dc
+            if (nr >= 0 && nc >= 0 && nr < h && nc < w) {
+              val ni = nr * w + nc
+              if ((visited(ni >>> 6) & (1L << (ni & 63))) == 0L && g.get(nr, nc) != null) {
+                visited(ni >>> 6) |= 1L << (ni & 63)
+                if (top == stack.length) stack = java.util.Arrays.copyOf(stack, top * 2)
+                stack(top) = ni
+                top += 1
+              }
+            }
+          }
+          dc += 1
+        }
+        dr += 1
+      }
+    }
+    island
   }
 
   /** Flood fill over the connected component (reference:
@@ -459,28 +548,33 @@ final class IslandDetector(
       : Vector[DataIsland] = {
     if (islands.size <= 1) return islands
     val merged = Vector.newBuilder[DataIsland]
-    val used = mutable.HashSet.empty[Int]
+    val used = new Array[Boolean](islands.size)
     var i = 0
     while (i < islands.size) {
-      if (!used.contains(i)) {
+      if (!used(i)) {
         val island1 = islands(i)
-        val acc = island1.copyShell()
+        // copy-on-first-merge: until something is absorbed, the accumulator
+        // IS island1 (identical bbox/cells, so gapIsEmpty is unaffected) —
+        // the common no-merge island keeps its cell set AND its memoized
+        // metrics instead of paying a copy + full recompute
+        var acc = island1
         var j = i + 1
         while (j < islands.size) {
-          if (!used.contains(j)) {
+          if (!used(j)) {
             val island2 = islands(j)
             var shouldMerge = shouldMergePair(island1, island2, mergeDistance)
             if (shouldMerge) shouldMerge = gapIsEmpty(acc, island2, g)
             if (shouldMerge) {
+              if (acc eq island1) acc = island1.copyShell()
               acc.absorb(island2)
-              used += j
+              used(j) = true
             }
           }
           j += 1
         }
         acc.calculateMetrics(g)
         merged += acc
-        used += i
+        used(i) = true
       }
       i += 1
     }
@@ -961,18 +1055,21 @@ final class IslandDetector(
     if (islands.size <= 1) return islands
     val sorted = islands.sortBy(i => (math.max(i.minRow, 0), math.max(i.minCol, 0)))
     val out = Vector.newBuilder[DataIsland]
-    val skip = mutable.HashSet.empty[Int]
+    val skip = new Array[Boolean](sorted.size)
     var i = 0
     while (i < sorted.size) {
-      if (!skip.contains(i)) {
-        val acc = sorted(i).copyShell()
+      if (!skip(i)) {
+        // copy-on-first-reconnect (see mergeNearby): shouldReconnect reads
+        // only the bbox, identical between island i and its copy
+        var acc = sorted(i)
         var j = i + 1
         while (j < sorted.size) {
-          if (!skip.contains(j)) {
+          if (!skip(j)) {
             val island2 = sorted(j)
             if (shouldReconnect(acc, island2, g)) {
+              if (acc eq sorted(i)) acc = sorted(i).copyShell()
               acc.absorb(island2)
-              skip += j
+              skip(j) = true
             }
           }
           j += 1

@@ -39,6 +39,14 @@ final class CellGrid private (capacityHint: Int, denseRows: Int, denseCols: Int)
   def size: Int = _size
   def hasData: Boolean = _size > 0
 
+  /** Dense-backing geometry for detector fast paths: width (resp. height)
+    * of the flat row-major backing, or -1 when map-backed. A dense grid
+    * stores only non-empty cells inside [0,h)×[0,w), so `get(r,c) != null`
+    * is a complete membership test over that box.
+    */
+  private[graft] def denseWidth: Int = if (dArr != null) dW else -1
+  private[graft] def denseHeight: Int = if (dArr != null) dH else -1
+
   private def migrateToMap(): Unit = {
     map = new LongObjMap[Cell](math.max(8, _size * 2))
     var i = 0
