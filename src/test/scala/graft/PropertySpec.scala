@@ -134,6 +134,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("detectIslands: dense flood fill == hash-set flood fill") {
+    // the dense backing takes a different detect path (bitset visited +
+    // grid-null membership, floodFillDense) than the map backing (LongHashSet
+    // flood fill); islands must be indistinguishable — same ranges, sizes,
+    // and float-exact confidences — over arbitrary sparse layouts incl.
+    // multi-island, diagonal-connected, and empty-tail-row shapes
+    check(Prop.forAll(Gen.listOfN(70, cellGen),
+        Gen.chooseNum(10, 35), Gen.chooseNum(8, 25)) { (coords, dr, dc) =>
+      val inBounds = coords.distinct.filter { case (r, c) => r < dr && c < dc }
+      val dense = CellGrid.dense(dr, dc)
+      val sparse = new CellGrid
+      inBounds.foreach { case (r, c) =>
+        dense.put(Cell.str(s"v$r-$c", r, c))
+        sparse.put(Cell.str(s"v$r-$c", r, c))
+      }
+      val det = new IslandDetector(adaptiveThresholds = false, minIslandSize = 1)
+      def obs(g: CellGrid) = det.detectIslands(g).map(i =>
+        (i.toRange, i.cells.size, i.confidence, i.density, i.hasHeaders))
+      obs(dense) == obs(sparse)
+    })
+  }
+
   test("islands partition the non-empty cells (no cell lost, no overlap)") {
     check(Prop.forAll(Gen.listOfN(60, cellGen)) { coords =>
       val g = gridOf(coords.distinct)
