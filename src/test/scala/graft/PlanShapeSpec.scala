@@ -75,6 +75,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "pairs are distinct across tables")
   }
 
+  test("cosine near-dedup clustering starts from materialized edges (no LSH re-run)") {
+    // connectedComponents over the LSH pair set (q_dedup_cosine_cluster's
+    // shape): the candidate pipeline — signature projection, banding
+    // self-join, cosine verify — must execute ONCE at materialization, so
+    // the final labels plan is a scan of round state, with NO trace of the
+    // upstream pipeline (an unmaterialized edges input re-executes the
+    // job's biggest shuffle ~2x per propagation round)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Similarity.lshNearNeighbors(spark, emb, nBits = 12, nTables = 16,
+      minCosine = 0.35)
+    val labels = Dedup.connectedComponents(spark, pairs)
+    val planStr = labels.queryExecution.executedPlan.toString
+    assert(!planStr.contains("graft_lsh_signatures"),
+      "LSH signature stage must not be re-planned inside the CC result")
+    assert(!planStr.toLowerCase.contains("parquet"),
+      "the corpus scan must not appear in the final labels plan")
+    assert(nodes(labels).exists(_.nodeName.contains("Scan ExistingRDD")),
+      "final labels must read the materialized round state")
+    assert(labels.count() > 0, "non-vacuous: the sf corpus has cosine pairs at 0.35")
+  }
+
   test("minhashPairs: the banded exchange carries no signature column") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // broadcast off WHILE the plan is accessed (strategy resolves lazily):
