@@ -223,4 +223,37 @@ class StreamingSpec extends AnyFunSuite {
         s"expected only first-exemplar pairs within the horizon, got $got")
     } finally q.stop()
   }
+
+  test("near-dup bucket state survives a checkpointed restart") {
+    import spark.implicits._
+    // exemplars written before a stop must pair with arrivals after the
+    // restart: the pair (i, i+100) crosses the restart boundary for every
+    // planted twin, so losing state silently loses ALL of these pairs
+    val inputDir = Files.createTempDirectory("ndp_in").toString
+    val outDir = Files.createTempDirectory("ndp_out").toString
+    val ckpt = Files.createTempDirectory("ndp_ckpt").toString
+    val batch1: Seq[(Long, Timestamp, String)] =
+      (1 to 8).map(i => (i.toLong, new Timestamp(T0 + i * 60000L), dupDoc(i, false)))
+    val batch2: Seq[(Long, Timestamp, String)] =
+      (1 to 4).map(i => (i + 100L, new Timestamp(T0 + (20 + i) * 60000L), dupDoc(i, true)))
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, warc_ts TIMESTAMP, text STRING")
+        .parquet(inputDir)
+      val q = StreamingPipeline.nearDupPairs(src, threshold = 0.5)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    batch1.toDF("doc_id", "warc_ts", "text").write.mode("append").parquet(inputDir)
+    run()
+    batch2.toDF("doc_id", "warc_ts", "text").write.mode("append").parquet(inputDir)
+    run()
+    val got = spark.read.parquet(outDir).select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (1 to 4).map(i => (i.toLong, i + 100L)).toSet
+    assert(got == expected,
+      s"pairs crossing the restart must be found from recovered state, got $got")
+  }
 }
