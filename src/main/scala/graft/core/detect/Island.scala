@@ -804,20 +804,34 @@ final class IslandDetector(
 
   // ---------- formatting-based splitting ----------
 
-  private final case class RowFmt(
-      hasData: Boolean,
-      boldRatio: Double,
-      bgColors: Set[String],
-      fontColors: Set[String],
-      isLikelyHeader: Boolean,
-      consistency: Double,
-      borderSignature: String,
-      cellCount: Int
-  )
+  /** Mutable per-row formatting summary: the boundary walk is a two-row
+    * sliding window, so two reusable holders replace a RowFmt allocation
+    * per row (the fields are written whole on every analyze call).
+    */
+  private final class RowFmt {
+    var hasData: Boolean = false
+    var boldRatio: Double = 0.0
+    var bgColors: Set[String] = Set.empty
+    var fontColors: Set[String] = Set.empty
+    var isLikelyHeader: Boolean = false
+    var consistency: Double = 0.0
+    var borderSignature: String = FmtConst.NoBorders
+    var cellCount: Int = 0
+
+    def set(hasData: Boolean, boldRatio: Double, bgColors: Set[String],
+        fontColors: Set[String], isLikelyHeader: Boolean, consistency: Double,
+        borderSignature: String, cellCount: Int): RowFmt = {
+      this.hasData = hasData; this.boldRatio = boldRatio
+      this.bgColors = bgColors; this.fontColors = fontColors
+      this.isLikelyHeader = isLikelyHeader; this.consistency = consistency
+      this.borderSignature = borderSignature; this.cellCount = cellCount
+      this
+    }
+  }
 
   /** reference: island_detector.py:1622-1694. */
   private def analyzeRowFormatting(g: CellGrid, row: Int,
-      rowCells: mutable.ArrayBuffer[Cell] = mutable.ArrayBuffer.empty[Cell]): RowFmt = {
+      rowCells: mutable.ArrayBuffer[Cell], out: RowFmt): RowFmt = {
     rowCells.clear()
     var c = 0
     while (c <= g.maxCol) {
@@ -826,7 +840,7 @@ final class IslandDetector(
       c += 1
     }
     if (rowCells.isEmpty)
-      return RowFmt(hasData = false, 0.0, Set.empty, Set.empty, isLikelyHeader = false, 0.0,
+      return out.set(hasData = false, 0.0, Set.empty, Set.empty, isLikelyHeader = false, 0.0,
         FmtConst.NoBorders, 0)
 
     var boldCount = 0
@@ -857,7 +871,7 @@ final class IslandDetector(
     val f3 = if (fontColors.size <= 1) 1.0 else 0.5
     val consistency = (f1 + f2 + f3) / 3.0
 
-    RowFmt(hasData = true, boldRatio, bgColors, fontColors, isLikelyHeader, consistency,
+    out.set(hasData = true, boldRatio, bgColors, fontColors, isLikelyHeader, consistency,
       borderSignatureOf(rowCells), rowCells.size)
   }
 
@@ -971,17 +985,19 @@ final class IslandDetector(
   private def detectFormattingBoundaries(g: CellGrid, rowStart: Int, rowEnd: Int): Vector[Int] = {
     val scratch = mutable.ArrayBuffer.empty[Cell] // reused across rows
     val scratch2 = mutable.ArrayBuffer.empty[Cell]
-    val analysisArr = Array.tabulate(rowEnd - rowStart + 1)(i => analyzeRowFormatting(g, rowStart + i, scratch))
-    @inline def analysis(r: Int): RowFmt = analysisArr(r - rowStart)
+    // two-row sliding window: `prev` always holds the last DATA row's
+    // summary, `current` this row's — two reusable holders instead of an
+    // all-rows array of per-row objects
+    var prev = new RowFmt
+    var current = new RowFmt
     val boundaries = Vector.newBuilder[Int]
     var prevRow = -1
     var currentTableStart = -1
     var row = rowStart
     while (row <= rowEnd) {
-      val current = analysis(row)
+      analyzeRowFormatting(g, row, scratch, current)
       if (current.hasData) {
         if (prevRow >= 0) {
-          val prev = analysis(prevRow)
           var isNewTableStart = false
           if (!prev.isLikelyHeader && current.isLikelyHeader) isNewTableStart = true
           if (borderSimilarity(current.borderSignature, prev.borderSignature) <
@@ -998,6 +1014,8 @@ final class IslandDetector(
         }
         if (currentTableStart < 0) currentTableStart = row
         prevRow = row
+        // this row becomes `prev`; recycle the old prev holder for the next
+        val t = prev; prev = current; current = t
       }
       row += 1
     }
