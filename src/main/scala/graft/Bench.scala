@@ -422,7 +422,12 @@ object Bench {
          |reference [from,until) spans of a shared backing instead of
          |per-cell Strings — parse phase 26.3k → 16.7k B/doc, delimited
          |variants down 50-60 %, values materialize lazily only if read,
-         |and the serializer appends spans without materializing).
+         |and the serializer appends spans without materializing) →
+         |52 KB (late round 5: island detect-phase cuts — memoized island
+         |metrics, copy-on-first-merge accumulators, dense-grid bitset
+         |flood fill, two-holder formatting-boundary walk; cascade
+         |24.1k → 13.8k B/grid, detect wall ~halved, equivalence
+         |property-pinned).
          |
          |Reading: the wall-based number on this box conflates engine scaling
          |with hypervisor CPU steal — identical pure-ALU per-thread work was
