@@ -1,0 +1,79 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Dedup
+import graft.spark.StreamingPipeline
+
+/** Corpus-scale parity check for the STREAMING near-dup operator: stream the
+  * sf documents table through `StreamingPipeline.nearDupPairs` (file source,
+  * several micro-batches, parquet sink + checkpoint) and compare the distinct
+  * pair set against the batch `Dedup.minhashPairs` over the same corpus —
+  * the unit test proves the semantics on a toy corpus; this proves them at
+  * corpus scale with real micro-batch/state churn.
+  *
+  * Event times are synthesized from doc_id (one per minute) with a horizon
+  * wide enough to hold the whole corpus, so batch and streaming see the
+  * same pairable set. Usage: runMain graft.tools.StreamParity [sfDir]
+  */
+object StreamParity {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        // deterministic event time: one doc per minute from a fixed epoch
+        to_timestamp(lit("2025-01-01 00:00:00")).plus(
+          expr("make_interval(0, 0, 0, 0, 0, doc_id, 0)")).as("warc_ts"))
+    val nDocs = docs.count()
+    // horizon must cover the whole synthetic time range (nDocs minutes)
+    val horizonMin = nDocs.toInt + 10
+
+    val inDir = Files.createTempDirectory("sp_in").toString
+    val outDir = Files.createTempDirectory("sp_out").toString
+    val ckpt = Files.createTempDirectory("sp_ckpt").toString
+    // 8 input files -> several micro-batches via maxFilesPerTrigger
+    docs.repartition(8).write.mode("overwrite").parquet(inDir)
+
+    val t0 = System.nanoTime()
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING, warc_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(inDir)
+    val q = StreamingPipeline.nearDupPairs(src, threshold = 0.5,
+        horizonMinutes = horizonMin, bucketCap = 4096)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val streamWall = (System.nanoTime() - t0) / 1e9
+
+    val streamed = spark.read.parquet(outDir)
+      .select(col("id_a"), col("id_b"), col("est_jaccard")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minhashPairs(spark, spark.read.parquet(s"$sfDir/documents.parquet"),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val ok = streamed == batch
+    println(s"STREAMPARITY docs=$nDocs stream_pairs=${streamed.size} " +
+      s"batch_pairs=${batch.size} equal=$ok wall=${f"$streamWall%.1f"}s")
+    if (!ok) {
+      println(s"STREAMPARITY only_stream=${(streamed -- batch).take(5)}")
+      println(s"STREAMPARITY only_batch=${(batch -- streamed).take(5)}")
+    }
+    spark.stop()
+    require(ok, "streaming pair set must equal the batch operator's")
+  }
+}
