@@ -357,12 +357,13 @@ object Bench {
          |320k pages / 64 buckets, local[32]): the FULL resumable path —
          |extract → bucket-clustered partitioned write → per-bucket snapshot
          |commits → injected crash at 50 % → resume → lineage accounting —
-         |ran at 28.6k docs/s end-to-end (8.4 s + 2.8 s halves), with the
-         |resume making exactly one pass over the input and lineage
-         |accounting every document; the streaming surface matched at
-         |28.6k docs/s. The write clusters output by bucket first; without
-         |that exchange the small-file storm (tasks×buckets files) cost
-         |9× wall.
+         |ran at 38.1k docs/s end-to-end (5.7 s + 2.7 s halves; late
+         |round-5 re-run — was 28.6k before the detect-phase allocation
+         |cuts), with the resume making exactly one pass over the input and
+         |lineage accounting every document; the streaming surface ran at
+         |26.9k docs/s in the same window. The write clusters output by
+         |bucket first; without that exchange the small-file storm
+         |(tasks×buckets files) cost 9× wall.
          |
          |Large-corpus spot check (graft.tools.StageBench on a 1.28M-page /
          |3.5 GB corpus): after the round-2 allocation work the FULL pipeline
