@@ -490,6 +490,32 @@ object SparkEntry {
       |lsh_pairs AS (
       |  SELECT id_a, id_b, cos FROM verified WHERE cos >= 0.35)""".stripMargin
 
+  /** Recursive-CTE connected-components closure over a pair CTE (id_a,
+    * id_b): nodes, symmetric edges, reachability. ONE definition shared by
+    * all four cluster/apply oracles (minhash + cosine) — closure-semantics
+    * edits hit every surface, mirroring the MinhashCtes/LshCtes rationale.
+    * Final labels = `SELECT id, min(r) AS cluster_id FROM reach GROUP BY id`.
+    */
+  private def closureCtes(pairsCte: String): String =
+    s"""nodes AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT id_a AS id FROM $pairsCte UNION ALL SELECT id_b FROM $pairsCte)),
+       |cedges AS (
+       |  SELECT id_a AS a, id_b AS b FROM $pairsCte
+       |  UNION ALL SELECT id_b, id_a FROM $pairsCte),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a)""".stripMargin
+
+  /** The closure's loser set (every id that is not its component's min) —
+    * the apply-step filter shared by q_dedup_apply / q_dedup_cosine_apply.
+    */
+  private val ClosureLosers: String =
+    """losers AS (
+      |  SELECT id FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |  WHERE id != cluster_id)""".stripMargin
+
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -974,16 +1000,7 @@ object SparkEntry {
     // instead of mh_pairs; cluster_id = min vec_id of the component.
     "q_dedup_cosine_cluster" ->
       s"""$LshCtes,
-        |nodes AS (
-        |  SELECT DISTINCT id FROM (
-        |    SELECT id_a AS id FROM lsh_pairs UNION ALL SELECT id_b FROM lsh_pairs)),
-        |cedges AS (
-        |  SELECT id_a AS a, id_b AS b FROM lsh_pairs
-        |  UNION ALL SELECT id_b, id_a FROM lsh_pairs),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a)
+        |${closureCtes("lsh_pairs")}
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
     // embedding-cosine near-dedup APPLIED: the vector corpus minus the
@@ -991,19 +1008,8 @@ object SparkEntry {
     // analogue of q_dedup_apply, sharing the one replayed LSH pipeline
     "q_dedup_cosine_apply" ->
       s"""$LshCtes,
-        |nodes AS (
-        |  SELECT DISTINCT id FROM (
-        |    SELECT id_a AS id FROM lsh_pairs UNION ALL SELECT id_b FROM lsh_pairs)),
-        |cedges AS (
-        |  SELECT id_a AS a, id_b AS b FROM lsh_pairs
-        |  UNION ALL SELECT id_b, id_a FROM lsh_pairs),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a),
-        |losers AS (
-        |  SELECT id FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-        |  WHERE id != cluster_id)
+        |${closureCtes("lsh_pairs")},
+        |$ClosureLosers
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM losers)
         |ORDER BY vec_id""".stripMargin,
@@ -1024,16 +1030,7 @@ object SparkEntry {
     // against a python union-find over the same pairs.
     "q_dedup_cluster" ->
       s"""$MinhashCtes,
-        |nodes AS (
-        |  SELECT DISTINCT id FROM (
-        |    SELECT id_a AS id FROM mh_pairs UNION ALL SELECT id_b FROM mh_pairs)),
-        |cedges AS (
-        |  SELECT id_a AS a, id_b AS b FROM mh_pairs
-        |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a)
+        |${closureCtes("mh_pairs")}
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
     // near-dedup applied: documents minus the closure's losers (id !=
@@ -1041,19 +1038,8 @@ object SparkEntry {
     // share one replayed pipeline
     "q_dedup_apply" ->
       s"""$MinhashCtes,
-        |nodes AS (
-        |  SELECT DISTINCT id FROM (
-        |    SELECT id_a AS id FROM mh_pairs UNION ALL SELECT id_b FROM mh_pairs)),
-        |cedges AS (
-        |  SELECT id_a AS a, id_b AS b FROM mh_pairs
-        |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.b, reach.r FROM cedges e JOIN reach ON reach.id = e.a),
-        |losers AS (
-        |  SELECT id FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-        |  WHERE id != cluster_id)
+        |${closureCtes("mh_pairs")},
+        |$ClosureLosers
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin,

@@ -218,9 +218,23 @@ object StreamingPipeline {
     *    Exact-dup suppression ([[dedupStream]]) belongs upstream of this.
     *  - Emission is at-least-once across bands (see [[NearDupPair]]);
     *    within a bucket a pair is emitted once.
+    *  - The banded exchange carries the FULL signature with every band row
+    *    (k·8 bytes × bands per doc) — unlike the batch operator's id-only
+    *    exchange, because the stateful bucket must store exemplar
+    *    signatures and verify arrivals in place; an id-keyed re-attach
+    *    would need a second stateful join. The amplification is bounded by
+    *    a micro-batch (not the corpus), and bulk dedup of accumulated data
+    *    belongs to the batch operator anyway.
+    *  - Rows with a NULL event time are dropped up front: they cannot
+    *    participate in an event-time-bounded operator (they would NPE the
+    *    state function and wedge the query on checkpoint replay).
     *  - Cross-horizon duplicates are out of scope by design — that is the
     *    batch `minhashPairs` pass over the accumulated snapshot, exactly
     *    like dedupStream vs Dedup.exact.
+    *
+    * Restarting from a checkpoint with a DIFFERENT `k` fails loudly (the
+    * stored signature stride no longer matches); a smaller `bucketCap`
+    * keeps the first `bucketCap` stored exemplars.
     */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id", tsCol: String = "warc_ts",
       textCol: String = "text", k: Int = 64, bands: Int = 16, shingleN: Int = 3,
@@ -234,6 +248,7 @@ object StreamingPipeline {
     val horizonMs = horizonMinutes * 60000L
 
     val banded = docs
+      .filter(col(tsCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
         DedupFunctions.minhashSig(coalesce(col(textCol), lit("")), k, shingleN).as("sig"))
       .filter(size(col("sig")) > 0)
@@ -247,15 +262,33 @@ object StreamingPipeline {
         state: GroupState[BucketState]): Iterator[NearDupPair] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val wm = state.getCurrentWatermarkMs()
-      // load exemplars, pruning any that can no longer pair with a
-      // non-late arrival (every future event has ts >= watermark)
-      var ids = new Array[Long](bucketCap)
-      var tsMs = new Array[Long](bucketCap)
-      var flat = new Array[Long](bucketCap * k)
+      // deterministic processing order regardless of shuffle arrival order
+      val evs = events.toArray.sortBy(e => (e.ts.getTime, e.id))
+      val stored = state.getOption
+      stored.foreach { s =>
+        // fail loudly on a checkpoint written with a different k — reading
+        // misaligned signature slices would emit silently wrong estimates
+        require(s.flatSigs.length == s.ids.length * k,
+          s"near-dup checkpoint state has signature stride ${
+            if (s.ids.length > 0) s.flatSigs.length / s.ids.length else 0
+          }, operator has k=$k — restart with the original k")
+      }
+      // capacity: what this invocation can actually hold — not bucketCap
+      // up front (at cap 4096 that is ~2 MB of transient arrays per key
+      // per micro-batch regardless of occupancy)
+      val capNow = math.min(bucketCap,
+        stored.map(_.ids.length).getOrElse(0) + evs.length)
+      var ids = new Array[Long](capNow)
+      var tsMs = new Array[Long](capNow)
+      var flat = new Array[Long](capNow * k)
       var n = 0
-      state.getOption.foreach { s =>
+      stored.foreach { s =>
+        // load exemplars, pruning any that can no longer pair with a
+        // non-late arrival (every future event has ts >= watermark); a
+        // restart with a SMALLER bucketCap keeps the first `bucketCap`
+        // stored exemplars (same first-arrival-wins as the live cap)
         var i = 0
-        while (i < s.ids.length) {
+        while (i < s.ids.length && n < capNow) {
           if (s.tsMs(i) + horizonMs >= wm) {
             ids(n) = s.ids(i); tsMs(n) = s.tsMs(i)
             System.arraycopy(s.flatSigs, i * k, flat, n * k, k)
@@ -264,8 +297,6 @@ object StreamingPipeline {
           i += 1
         }
       }
-      // deterministic processing order regardless of shuffle arrival order
-      val evs = events.toArray.sortBy(e => (e.ts.getTime, e.id))
       val out = Vector.newBuilder[NearDupPair]
       evs.foreach { e =>
         val eMs = e.ts.getTime
@@ -285,7 +316,7 @@ object StreamingPipeline {
           }
           i += 1
         }
-        if (!dup && n < bucketCap) {
+        if (!dup && n < capNow) { // capNow <= bucketCap: same cap semantics
           ids(n) = e.id; tsMs(n) = eMs
           System.arraycopy(e.sig, 0, flat, n * k, k)
           n += 1

@@ -37,8 +37,10 @@ object StreamParity {
         to_timestamp(lit("2025-01-01 00:00:00")).plus(
           expr("make_interval(0, 0, 0, 0, 0, doc_id, 0)")).as("warc_ts"))
     val nDocs = docs.count()
-    // horizon must cover the whole synthetic time range (nDocs minutes)
-    val horizonMin = nDocs.toInt + 10
+    // horizon must cover the whole synthetic time RANGE — derived from the
+    // doc_id spread, not the row count (ids need not be contiguous)
+    val idBounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val horizonMin = (idBounds.getLong(1) - idBounds.getLong(0)).toInt + 10
 
     val inDir = Files.createTempDirectory("sp_in").toString
     val outDir = Files.createTempDirectory("sp_out").toString
