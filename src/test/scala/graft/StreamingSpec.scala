@@ -255,5 +255,48 @@ class StreamingSpec extends AnyFunSuite {
     val expected = (1 to 4).map(i => (i.toLong, i + 100L)).toSet
     assert(got == expected,
       s"pairs crossing the restart must be found from recovered state, got $got")
+
+    // restarting the same checkpoint with a different k changes the band
+    // key space, so stored buckets are orphaned rather than re-read (the
+    // stride `require` inside the operator guards the astronomically-rare
+    // key collision): the restart must neither crash nor emit bogus pairs,
+    // and a fresh identical pair under the new k must still be found
+    val src2 = spark.readStream
+      .schema("doc_id LONG, warc_ts TIMESTAMP, text STRING")
+      .parquet(inputDir)
+    Seq((900L, new Timestamp(T0 + 40 * 60000L), dupDoc(9, false)),
+        (901L, new Timestamp(T0 + 41 * 60000L), dupDoc(9, false)))
+      .toDF("doc_id", "warc_ts", "text").write.mode("append").parquet(inputDir)
+    val q3 = StreamingPipeline.nearDupPairs(src2, k = 32, threshold = 0.5)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    val got2 = spark.read.parquet(outDir).select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == expected + ((900L, 901L)),
+      s"k-changed restart must orphan old state cleanly and still pair fresh dups, got $got2")
+  }
+
+  test("near-dup pairs drop null event-time rows instead of wedging the query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.lang.Long, Timestamp, String)]
+    val q = StreamingPipeline.nearDupPairs(
+        mem.toDS().toDF("doc_id", "warc_ts", "text"), threshold = 0.5)
+      .writeStream.format("memory").queryName("ndp_null").outputMode("append").start()
+    try {
+      // a null-ts twin of doc 1 must be ignored (it cannot participate in
+      // an event-time-bounded operator); the valid twin still pairs
+      mem.addData(
+        (1L, new Timestamp(T0), dupDoc(3, false)),
+        (2L, null, dupDoc(3, false)),
+        (3L, new Timestamp(T0 + 60000L), dupDoc(3, false)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id_a, id_b FROM ndp_null").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 3L)),
+        s"null-ts row must be dropped, valid pair kept; got $got")
+    } finally q.stop()
   }
 }
