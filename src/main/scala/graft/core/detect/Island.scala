@@ -1,7 +1,7 @@
 package graft.core.detect
 
 import scala.collection.mutable
-import graft.core.grid.{A1, Cell, CellGrid, LongHashSet, Span, TableHit}
+import graft.core.grid.{A1, CellGrid, GridCursor, LongHashSet, Span, TableHit}
 
 /** A connected region of data (reference: detectors/island_detector.py:22-539).
   */
@@ -73,13 +73,18 @@ final class DataIsland extends Serializable {
     val total = (maxRow - minRow + 1).toLong * (maxCol - minCol + 1)
     density = if (total > 0) cells.size.toDouble / total else 0.0
 
+    // cursor reads: stored cells are never value-null/empty, so moveTo ≡
+    // the old `cell != null && !cell.valueIsNull` guard (dataType codes:
+    // 1=string 2=number 5=datetime — Cell.DataTypes order)
+    val cur = g.cursor
     var allText = true
     var anyBold = false
     var c = minCol
     while (c <= maxCol) {
-      val cell = g.get(minRow, c)
-      if (cell == null || cell.valueIsNull || cell.dataType != "string") allText = false
-      if (cell != null && cell.isBold) anyBold = true
+      if (cur.moveTo(minRow, c)) {
+        if (cur.dataTypeCode != 1) allText = false
+        if (cur.isBold) anyBold = true
+      } else allText = false
       c += 1
     }
     hasHeaders = allText && anyBold
@@ -87,8 +92,8 @@ final class DataIsland extends Serializable {
       var hasNumeric = false
       var c2 = minCol
       while (c2 <= maxCol && !hasNumeric) {
-        val cell = g.get(minRow + 1, c2)
-        if (cell != null && (cell.dataType == "number" || cell.dataType == "datetime"))
+        if (cur.moveTo(minRow + 1, c2) &&
+            (cur.dataTypeCode == 2 || cur.dataTypeCode == 5))
           hasNumeric = true
         c2 += 1
       }
@@ -167,20 +172,15 @@ final class DataIsland extends Serializable {
     */
   private def analyzeBorderConsistency(g: CellGrid): Double = {
     val patterns = new Array[Int](16)
+    val cur = g.cursor
     var total = 0
     var r = minRow
     while (r <= maxRow) {
       var c = minCol
       while (c <= maxCol) {
-        val cell = g.get(r, c)
-        if (cell != null) {
+        if (cur.moveTo(r, c)) {
           total += 1
-          var sig = 0
-          if (cell.borderTop != null) sig |= 1
-          if (cell.borderBottom != null) sig |= 2
-          if (cell.borderLeft != null) sig |= 4
-          if (cell.borderRight != null) sig |= 8
-          patterns(sig) += 1
+          patterns(cur.borderNibble) += 1
         }
         c += 1
       }
@@ -209,16 +209,16 @@ final class DataIsland extends Serializable {
     var n = 0
     val startRow = if (hasHeaders) minRow + 1 else minRow
     val counts = new Array[Int](8) // reused across columns
+    val cur = g.cursor
     var c = minCol
     while (c <= maxCol) {
       java.util.Arrays.fill(counts, 0)
       var total = 0
       var r = startRow
       while (r <= maxRow) {
-        val cell = g.get(r, c)
-        if (cell != null && !cell.valueIsNull) {
+        if (cur.moveTo(r, c)) {
           total += 1
-          counts(cell.dataTypeCode) += 1
+          counts(cur.dataTypeCode) += 1
         }
         r += 1
       }
@@ -238,19 +238,21 @@ final class DataIsland extends Serializable {
   private def analyzeAlignmentPatterns(g: CellGrid): Double = {
     var correct = 0
     var total = 0
+    val cur = g.cursor
     var r = minRow
     while (r <= maxRow) {
       var c = minCol
       while (c <= maxCol) {
-        val cell = g.get(r, c)
-        if (cell != null && cell.alignment != null) {
-          total += 1
-          val dt = cell.dataType
-          val al = cell.alignment
-          val ok = (dt == "number" && al == "right") ||
-            (dt == "string" && (al == "left" || al == "center")) ||
-            (dt == "datetime" && (al == "left" || al == "center"))
-          if (ok) correct += 1
+        if (cur.moveTo(r, c)) {
+          val al = cur.alignment
+          if (al != null) {
+            total += 1
+            val dtc = cur.dataTypeCode
+            val ok = (dtc == 2 && al == "right") ||
+              (dtc == 1 && (al == "left" || al == "center")) ||
+              (dtc == 5 && (al == "left" || al == "center"))
+            if (ok) correct += 1
+          }
         }
         c += 1
       }
@@ -270,32 +272,32 @@ final class DataIsland extends Serializable {
     var boldCount = 0
     var total = 0
     val startRow = if (hasHeaders) minRow + 1 else minRow
+    val cur = g.cursor
     var r = startRow
     while (r <= maxRow) {
       var c = minCol
       while (c <= maxCol) {
-        val cell = g.get(r, c)
-        if (cell != null) {
+        if (cur.moveTo(r, c)) {
           total += 1
-          val v = cell.fontSize
+          val v = cur.fontSize
           if (v > 0.0 && fsN < 3) {
             if (fsN == 0) { fs1 = v; fsN = 1 }
             else if (v != fs1 && fsN == 1) { fs2 = v; fsN = 2 }
             else if (v != fs1 && v != fs2) fsN = 3
           }
-          val fc = cell.fontColor
+          val fc = cur.fontColor
           if (fc != null && fcN < 3) {
             if (fcN == 0) { fc1 = fc; fcN = 1 }
             else if (fc != fc1 && fcN == 1) { fc2 = fc; fcN = 2 }
             else if (fc != fc1 && fc != fc2) fcN = 3
           }
-          val bg = cell.backgroundColor
+          val bg = cur.backgroundColor
           if (bg != null && bgN < 3) {
             if (bgN == 0) { bg1 = bg; bgN = 1 }
             else if (bg != bg1 && bgN == 1) { bg2 = bg; bgN = 2 }
             else if (bg != bg1 && bg != bg2) bgN = 3
           }
-          if (cell.isBold) boldCount += 1
+          if (cur.isBold) boldCount += 1
         }
         c += 1
       }

@@ -113,6 +113,11 @@ class Cell private[grid] (
     case cs: CharSequence => sb.append(cs, vFrom, vFrom + vLen)
   }
 
+  /** Raw attribute bits (Cell's packed layout) for the columnar grid's
+    * uniform cursor reads and slot writes.
+    */
+  private[grid] def packedBits: Int = packed
+
   @inline def isBold: Boolean = (packed & 1) != 0
   @inline def isMerged: Boolean = (packed & 2) != 0
   @inline def borderTop: String = Cell.Borders((packed >>> 2) & 3)
@@ -225,7 +230,7 @@ object Cell {
   // TypeInfer.infer emits exactly these; index 0 covers null/unknown
   private[grid] val DataTypes =
     Array[String](null, "string", "number", "boolean", "date", "datetime", "empty")
-  private[grid] def dtCode(s: String): Int = s match {
+  private[core] def dtCode(s: String): Int = s match {
     case null => 0
     case "string" => 1
     case "number" => 2

@@ -174,6 +174,14 @@ final class LongObjMap[V >: Null <: AnyRef](initialCapacity: Int = 16) extends S
     }
   }
 
+  def foreachKey(f: Long => Unit): Unit = {
+    var i = 0
+    while (i < cap) {
+      if (vals(i) != null) f(keys(i))
+      i += 1
+    }
+  }
+
   private def grow(): Unit = {
     val oldK = keys
     val oldV = vals

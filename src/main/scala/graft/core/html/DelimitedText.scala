@@ -213,8 +213,8 @@ object DelimitedText {
           if (g == null) g = CellGrid.dense(countLines(text), k)
           var c = 0
           while (c < k) {
-            g.put(Cell.spanned(view, fFrom(c), fUntil(c), fFrom(c), fUntil(c),
-              "string", r, c))
+            g.putSpanned(view, fFrom(c), fUntil(c), fFrom(c), fUntil(c),
+              "string", r, c)
             c += 1
           }
           r += 1
@@ -253,12 +253,11 @@ object DelimitedText {
           while (c < k) {
             graft.core.grid.TypeInfer.inferSpan(text, fFrom(c), fUntil(c), res)
             if (res.dt != "empty") { // ≡ the old v.trim.nonEmpty guard
-              g.put(
-                if (res.identity)
-                  Cell.spanned(view, fFrom(c), fUntil(c), res.vFrom, res.vUntil,
-                    res.dt, r, c)
-                else
-                  Cell.convertedSpan(res.py, view, fFrom(c), fUntil(c), res.dt, r, c))
+              if (res.identity)
+                g.putSpanned(view, fFrom(c), fUntil(c), res.vFrom, res.vUntil,
+                  res.dt, r, c)
+              else
+                g.putConverted(res.py, view, fFrom(c), fUntil(c), res.dt, r, c)
             }
             c += 1
           }

@@ -50,6 +50,18 @@ final case class ParsedPage(
   */
 object PageParser {
 
+  /** One append-only staging chunk of cell slots (TableBuilder): row/col
+    * packed long + the grid's columnar span/pack encoding; `refs` is
+    * allocated only when a slot in this chunk actually carries one.
+    */
+  private final class SlotChunk(cap: Int) {
+    val rowcol = new Array[Long](cap)
+    val span = new Array[Long](cap)
+    val pack = new Array[Int](cap)
+    var refs: Array[AnyRef] = null
+    var n = 0
+  }
+
   private val Dropped = Set("head", "nav", "header", "footer", "aside", "form",
     "iframe", "svg", "select", "button")
   private val BlockTags = Set("p", "div", "section", "article", "main", "h1", "h2",
@@ -312,11 +324,37 @@ object PageParser {
 
   /** Builds a CellGrid from table markup with rowspan/colspan handling. */
   private final class TableBuilder(tableAttrs: Map[String, String]) {
-    // cells buffer until build(): the final dimensions are only known at
-    // </table>, and a bounds-declared CellGrid.dense (flat row-major
-    // array) beats incremental hash-map puts on both allocation and the
-    // detect path's random access
-    private val cells = mutable.ArrayBuffer.empty[Cell]
+    // cell SLOTS buffer until build(): the final dimensions are only known
+    // at </table>, and a bounds-declared columnar CellGrid.dense beats
+    // incremental hash-map puts on both allocation and the detect path's
+    // random access. Slots are the grid's own columnar encoding — the
+    // common slim-tier cell stages NO object at all. Staging is CHUNKED
+    // (×4-growing chunk sizes, append-only): a doubling parallel-array
+    // buffer would re-copy ~2× the slot bytes in growth churn, which is
+    // exactly the allocation this path exists to avoid. Refs (converted
+    // renders / the rare formatted tier) allocate per chunk only on demand.
+    private var chunks: List[PageParser.SlotChunk] = Nil // newest first
+    private var cur: PageParser.SlotChunk = null
+
+    private def stage(r: Int, c: Int, span: Long, pack: Int, ref: AnyRef): Unit = {
+      if (cur == null || cur.n == cur.rowcol.length) {
+        // ×4 growth capped low: chunk waste is only the LAST chunk's unused
+        // tail, so a small max chunk bounds it (256 slots ≈ 5 KB) while
+        // keeping the chunk count trivial even for the 64k-cell cap
+        val cap = if (cur == null) 16 else math.min(cur.rowcol.length * 4, 256)
+        cur = new PageParser.SlotChunk(cap)
+        chunks = cur :: chunks
+      }
+      val i = cur.n
+      cur.rowcol(i) = (r.toLong << 32) | (c & 0xffffffffL)
+      cur.span(i) = span
+      cur.pack(i) = pack
+      if (ref != null) {
+        if (cur.refs == null) cur.refs = new Array[AnyRef](cur.rowcol.length)
+        cur.refs(i) = ref
+      }
+      cur.n = i + 1
+    }
     private val occupied = new graft.core.grid.LongHashSet(16) // primitive, no boxing
     private var row = -1
     private var col = 0
@@ -449,21 +487,29 @@ object PageParser {
         if (slimTier) {
           val fmtBits = Cell.packBits(bold, merged, borders(0), borders(1),
             borders(2), borders(3))
-          cells +=
-            (if (inferRes.identity)
+          val pack = fmtBits | (Cell.dtCode(dt) << 10)
+          if (inferRes.identity) {
+            val enc = CellGrid.encodeIdentitySpan(vFrom, vUntil,
+              inferRes.vFrom, inferRes.vUntil)
+            if (enc != CellGrid.SpanInvalid) stage(row, col, enc, pack, null)
+            else stage(row, col, 0L, 0, // encode overflow: object fallback
               Cell.spanned(slab, vFrom, vUntil, inferRes.vFrom, inferRes.vUntil,
-                dt, row, col, fmtBits)
-            else
+                dt, row, col, fmtBits))
+          } else {
+            val enc = CellGrid.encodeRawSpan(vFrom, vUntil)
+            if (enc != CellGrid.SpanInvalid) stage(row, col, enc, pack, inferRes.py)
+            else stage(row, col, 0L, 0,
               Cell.convertedSpan(inferRes.py, slab, vFrom, vUntil, dt, row, col, fmtBits))
+          }
         } else {
           val value = slab.str(vFrom, vUntil)
           val py = if (inferRes.identity) value else inferRes.py
-          cells += Cell.of(py, value, dt, row, col,
+          stage(row, col, 0L, 0, Cell.of(py, value, dt, row, col,
             isBold = bold, alignment = align,
             borderTop = borders(0), borderBottom = borders(1),
             borderLeft = borders(2), borderRight = borders(3),
             isMerged = merged, mergeRange = mergeRange,
-            fontSize = fs, fontColor = fc, backgroundColor = bg)
+            fontSize = fs, fontColor = fc, backgroundColor = bg))
         }
       }
       // mark covered cells (merge shadows + future rowspan slots)
@@ -483,12 +529,29 @@ object PageParser {
       if (inCell) endCell()
       var mr = 0
       var mc = 0
-      cells.foreach { c =>
-        if (c.row > mr) mr = c.row
-        if (c.col > mc) mc = c.col
+      // chunks are newest-first; order does not matter for the dim scan,
+      // and the fill pass walks them oldest-first to keep put order
+      chunks.foreach { ch =>
+        var i = 0
+        while (i < ch.n) {
+          val rc = ch.rowcol(i)
+          val r = (rc >> 32).toInt
+          val c = rc.toInt
+          if (r > mr) mr = r
+          if (c > mc) mc = c
+          i += 1
+        }
       }
       val g = CellGrid.dense(mr + 1, mc + 1)
-      cells.foreach(g.put)
+      chunks.reverse.foreach { ch =>
+        var i = 0
+        while (i < ch.n) {
+          val rc = ch.rowcol(i)
+          g.putSlot((rc >> 32).toInt, rc.toInt, ch.span(i), ch.pack(i),
+            if (ch.refs == null) null else ch.refs(i), slab)
+          i += 1
+        }
+      }
       g
     }
 
