@@ -1,7 +1,7 @@
 package graft.core.detect
 
 import scala.collection.mutable
-import graft.core.grid.{Cell, CellGrid, Span, TableHit}
+import graft.core.grid.{CellGrid, Span, TableHit}
 
 /** Detector for fully bordered tables
   * (reference: detectors/box_table_detector.py).
@@ -15,13 +15,13 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
     val processed = mutable.HashSet.empty[Long]
     @inline def key(r: Int, c: Int): Long = (r.toLong << 32) | (c & 0xffffffffL)
 
+    val cur = g.cursor
     var row = 0
     while (row <= g.maxRow) {
       var col = 0
       while (col <= g.maxCol) {
         if (!processed.contains(key(row, col))) {
-          val cell = g.get(row, col)
-          if (cell != null && hasTopLeftCorner(cell)) {
+          if (cur.moveTo(row, col) && cur.hasBorderTop && cur.hasBorderLeft) {
             findBoxExtent(g, row, col) match {
               case Some(span) if verifyCompleteBox(g, span) =>
                 var r = span.r0
@@ -51,25 +51,21 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
     tables.result()
   }
 
-  private def hasTopLeftCorner(cell: Cell): Boolean =
-    cell.hasBorder(cell.borderTop) && cell.hasBorder(cell.borderLeft)
-
   /** reference: box_table_detector.py:127-183. */
   private def findBoxExtent(g: CellGrid, startRow: Int, startCol: Int): Option[Span] = {
+    val cur = g.cursor
     var endCol = startCol
     var c = startCol + 1
     var stop = false
     while (c <= g.maxCol && !stop) {
-      val cell = g.get(startRow, c)
-      if (cell == null || !cell.hasBorder(cell.borderTop)) stop = true
+      if (!cur.moveTo(startRow, c) || !cur.hasBorderTop) stop = true
       else { endCol = c; c += 1 }
     }
     var endRow = startRow
     var r = startRow + 1
     stop = false
     while (r <= g.maxRow && !stop) {
-      val cell = g.get(r, startCol)
-      if (cell == null || !cell.hasBorder(cell.borderLeft)) stop = true
+      if (!cur.moveTo(r, startCol) || !cur.hasBorderLeft) stop = true
       else { endRow = r; r += 1 }
     }
     if (endRow - startRow + 1 < minRows || endCol - startCol + 1 < minCols) None
@@ -78,20 +74,17 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
 
   /** reference: box_table_detector.py:185-250. */
   private def verifyCompleteBox(g: CellGrid, s: Span): Boolean = {
+    val cur = g.cursor
     var c = s.c0
     while (c <= s.c1) {
-      val top = g.get(s.r0, c)
-      if (top == null || !top.hasBorder(top.borderTop)) return false
-      val bottom = g.get(s.r1, c)
-      if (bottom == null || !bottom.hasBorder(bottom.borderBottom)) return false
+      if (!cur.moveTo(s.r0, c) || !cur.hasBorderTop) return false
+      if (!cur.moveTo(s.r1, c) || !cur.hasBorderBottom) return false
       c += 1
     }
     var r = s.r0
     while (r <= s.r1) {
-      val left = g.get(r, s.c0)
-      if (left == null || !left.hasBorder(left.borderLeft)) return false
-      val right = g.get(r, s.c1)
-      if (right == null || !right.hasBorder(right.borderRight)) return false
+      if (!cur.moveTo(r, s.c0) || !cur.hasBorderLeft) return false
+      if (!cur.moveTo(r, s.c1) || !cur.hasBorderRight) return false
       r += 1
     }
     val nonEmpty = g.countIn(s.r0, s.r1, s.c0, s.c1)
@@ -102,16 +95,16 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
     * (reference: box_table_detector.py:252-305).
     */
   private def detectHeaders(g: CellGrid, s: Span): Boolean = {
+    val cur = g.cursor
     var any = false
     var allStrings = true
     var anyBold = false
     var c = s.c0
     while (c <= s.c1) {
-      val cell = g.get(s.r0, c)
-      if (cell != null && !cell.valueIsNull) {
+      if (cur.moveTo(s.r0, c)) {
         any = true
-        if (cell.dataType != "string") allStrings = false
-        if (cell.isBold) anyBold = true
+        if (cur.dataTypeCode != 1) allStrings = false
+        if (cur.isBold) anyBold = true
       }
       c += 1
     }
@@ -120,8 +113,7 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
     if (s.r0 + 1 <= s.r1) {
       var c2 = s.c0
       while (c2 <= s.c1 && !hasDifferentTypes) {
-        val cell = g.get(s.r0 + 1, c2)
-        if (cell != null && !cell.valueIsNull && cell.dataType != "string")
+        if (cur.moveTo(s.r0 + 1, c2) && cur.dataTypeCode != 1)
           hasDifferentTypes = true
         c2 += 1
       }

@@ -381,7 +381,7 @@ final class IslandDetector(
 
     if (useStructuralAnalysis) return detectIslandsStructural(g)
 
-    val cs = g.cellsSorted // cached on the grid — no per-detect coord array
+    val cs = g.coordsSorted // cached on the grid — no per-detect coord array
     var islands = Vector.newBuilder[DataIsland]
     if (g.denseWidth > 0) {
       // dense backing: the grid itself is the data-cell membership test and
@@ -395,9 +395,11 @@ final class IslandDetector(
       val visited = new Array[Long]((h * w + 63) >>> 6)
       var i = 0
       while (i < cs.length) {
-        val idx = cs(i).row * w + cs(i).col
+        val r = rowOf(cs(i))
+        val c = colOf(cs(i))
+        val idx = r * w + c
         if ((visited(idx >>> 6) & (1L << (idx & 63))) == 0L) {
-          val island = floodFillDense(cs(i).row, cs(i).col, g, w, h, visited)
+          val island = floodFillDense(r, c, g, w, h, visited)
           if (island.cells.size >= effectiveMinSize) {
             island.totalSheetCells = totalSheetCells
             island.calculateMetrics(g)
@@ -408,11 +410,11 @@ final class IslandDetector(
       }
     } else {
       val dataCells = new LongHashSet(cs.length)
-      cs.foreach(c => dataCells.add(key(c.row, c.col)))
+      cs.foreach(dataCells.add(_))
       val visited = new LongHashSet(cs.length)
       var i = 0
       while (i < cs.length) {
-        val k = key(cs(i).row, cs(i).col)
+        val k = cs(i)
         if (!visited.contains(k)) {
           val island = floodFill(k, dataCells, visited)
           if (island.cells.size >= effectiveMinSize) {
@@ -488,7 +490,7 @@ final class IslandDetector(
             val nc = c + dc
             if (nr >= 0 && nc >= 0 && nr < h && nc < w) {
               val ni = nr * w + nc
-              if ((visited(ni >>> 6) & (1L << (ni & 63))) == 0L && g.get(nr, nc) != null) {
+              if ((visited(ni >>> 6) & (1L << (ni & 63))) == 0L && g.presentAt(nr, nc)) {
                 visited(ni >>> 6) |= 1L << (ni & 63)
                 if (top == stack.length) stack = java.util.Arrays.copyOf(stack, top * 2)
                 stack(top) = ni
@@ -708,21 +710,21 @@ final class IslandDetector(
     islands.result().sortBy(i => (i.minRow, i.minCol))
   }
 
-  /** reference: island_detector.py:1400-1427. cellsSorted is (row, col)
+  /** reference: island_detector.py:1400-1427. coordsSorted is (row, col)
     * ascending, so each row's columns arrive contiguously and sorted — the
     * pattern carries them as a sorted primitive array (no boxed sets).
     */
   private def analyzeRowPatterns(g: CellGrid): Vector[(Int, (Int, Int, Array[Int]))] = {
-    val cs = g.cellsSorted
+    val cs = g.coordsSorted
     val out = Vector.newBuilder[(Int, (Int, Int, Array[Int]))]
     var i = 0
     while (i < cs.length) {
-      val r = cs(i).row
+      val r = rowOf(cs(i))
       var j = i
-      while (j < cs.length && cs(j).row == r) j += 1
+      while (j < cs.length && rowOf(cs(j)) == r) j += 1
       val cols = new Array[Int](j - i)
       var k = i
-      while (k < j) { cols(k - i) = cs(k).col; k += 1 }
+      while (k < j) { cols(k - i) = colOf(cs(k)); k += 1 }
       out += ((r, (cols(0), cols(cols.length - 1), cols)))
       i = j
     }
@@ -798,8 +800,8 @@ final class IslandDetector(
   private def islandFromRows(g: CellGrid, rows: Vector[Int]): DataIsland = {
     val island = new DataIsland
     val rowSet = rows.toSet
-    g.cellsSorted.foreach { cell =>
-      if (rowSet.contains(cell.row)) island.addCell(cell.row, cell.col)
+    g.coordsSorted.foreach { k =>
+      if (rowSet.contains(rowOf(k))) island.addCell(rowOf(k), colOf(k))
     }
     if (island.cells.nonEmpty) island else null
   }
@@ -831,20 +833,27 @@ final class IslandDetector(
     }
   }
 
-  /** reference: island_detector.py:1622-1694. */
-  private def analyzeRowFormatting(g: CellGrid, row: Int,
-      rowCells: mutable.ArrayBuffer[Cell], out: RowFmt): RowFmt = {
-    rowCells.clear()
-    var c = 0
-    while (c <= g.maxCol) {
-      val cell = g.get(row, c)
-      if (cell != null && !cell.isEmpty) rowCells += cell
-      c += 1
+  /** Reusable border-nibble row buffer for the boundary walk (top=1,
+    * bottom=2, left=4, right=8 per non-empty cell, in column order).
+    */
+  private final class NibBuf {
+    var a = new Array[Int](32)
+    var n = 0
+    def clear(): Unit = n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v
+      n += 1
     }
-    if (rowCells.isEmpty)
-      return out.set(hasData = false, 0.0, Set.empty, Set.empty, isLikelyHeader = false, 0.0,
-        FmtConst.NoBorders, 0)
+  }
 
+  /** reference: island_detector.py:1622-1694. Single cursor pass per row —
+    * no Cell objects; the border signature consumes the nibble buffer.
+    */
+  private def analyzeRowFormatting(g: CellGrid, row: Int, cur: GridCursor,
+      nibs: NibBuf, out: RowFmt): RowFmt = {
+    nibs.clear()
+    var cellCount = 0
     var boldCount = 0
     // build the color sets with a plain loop: the dominant unstyled row
     // allocates NOTHING (Set.empty is shared), a single-color row allocates
@@ -852,29 +861,36 @@ final class IslandDetector(
     // row on this per-row hot path
     var bgColors: Set[String] = Set.empty
     var fontColors: Set[String] = Set.empty
-    var ci = 0
-    while (ci < rowCells.length) {
-      val cell = rowCells(ci)
-      if (cell.isBold) boldCount += 1
-      val bg = cell.backgroundColor
-      if (bg != null) bgColors += bg
-      val fc = cell.fontColor
-      if (fc != null) fontColors += fc
-      ci += 1
+    var c = 0
+    while (c <= g.maxCol) {
+      if (cur.moveTo(row, c)) {
+        cellCount += 1
+        if (cur.isBold) boldCount += 1
+        val bg = cur.backgroundColor
+        if (bg != null) bgColors += bg
+        val fc = cur.fontColor
+        if (fc != null) fontColors += fc
+        nibs.add(cur.borderNibble)
+      }
+      c += 1
     }
-    val boldRatio = boldCount.toDouble / rowCells.size
+    if (cellCount == 0)
+      return out.set(hasData = false, 0.0, Set.empty, Set.empty, isLikelyHeader = false, 0.0,
+        FmtConst.NoBorders, 0)
+
+    val boldRatio = boldCount.toDouble / cellCount
     val isLikelyHeader = boldRatio >= FmtConst.HeaderBoldThreshold ||
-      (bgColors.size == 1 && rowCells.size > 1)
+      (bgColors.size == 1 && cellCount > 1)
 
     val f1 =
-      if (boldCount == 0 || boldCount == rowCells.size) 1.0
-      else math.max(boldCount, rowCells.size - boldCount).toDouble / rowCells.size
+      if (boldCount == 0 || boldCount == cellCount) 1.0
+      else math.max(boldCount, cellCount - boldCount).toDouble / cellCount
     val f2 = if (bgColors.size <= 1) 1.0 else 0.5
     val f3 = if (fontColors.size <= 1) 1.0 else 0.5
     val consistency = (f1 + f2 + f3) / 3.0
 
     out.set(hasData = true, boldRatio, bgColors, fontColors, isLikelyHeader, consistency,
-      borderSignatureOf(rowCells), rowCells.size)
+      borderSignatureOf(nibs), cellCount)
   }
 
   // bucket order matches Python dict insertion order for ties:
@@ -887,19 +903,19 @@ final class IslandDetector(
     * bucket counts live in a 6-slot array indexed in the Python dict
     * insertion order (all/none/horizontal/vertical/mixed/outer).
     */
-  private def borderSignatureOf(rowCells: scala.collection.Seq[Cell]): String = {
-    if (rowCells.isEmpty) return FmtConst.NoBorders
+  private def borderSignatureOf(nibs: NibBuf): String = {
+    if (nibs.n == 0) return FmtConst.NoBorders
     val counts = new Array[Int](6)
     var isFirst = true
-    val last = rowCells.size - 1
+    val last = nibs.n - 1
     var i = 0
     while (i <= last) {
-      val cell = rowCells(i)
+      val nb = nibs.a(i)
       val isLast = i == last
-      val hasTop = cell.hasBorder(cell.borderTop)
-      val hasBottom = cell.hasBorder(cell.borderBottom)
-      val hasLeft = cell.hasBorder(cell.borderLeft)
-      val hasRight = cell.hasBorder(cell.borderRight)
+      val hasTop = (nb & 1) != 0
+      val hasBottom = (nb & 2) != 0
+      val hasLeft = (nb & 4) != 0
+      val hasRight = (nb & 8) != 0
       val n = (if (hasTop) 1 else 0) + (if (hasBottom) 1 else 0) +
         (if (hasLeft) 1 else 0) + (if (hasRight) 1 else 0)
       val bucket =
@@ -952,41 +968,45 @@ final class IslandDetector(
     SimilarityMap.getOrElse((s1, s2), SimilarityMap.getOrElse((s2, s1), 0.3))
   }
 
-  /** reference: island_detector.py:1178-1241. */
+  /** reference: island_detector.py:1178-1241. Two cursor passes, no cell
+    * buffers.
+    */
   private def hasTableEndBorderPattern(prevRow: Int, currentRow: Int, g: CellGrid,
-      prevCells: mutable.ArrayBuffer[Cell], currentCells: mutable.ArrayBuffer[Cell]): Boolean = {
-    prevCells.clear()
-    currentCells.clear()
+      cur: GridCursor): Boolean = {
     var colStart = -1
     var colEnd = -1
+    var prevCount = 0
+    var bottomCount = 0
     var c = 0
     while (c <= g.maxCol) {
-      val cell = g.get(prevRow, c)
-      if (cell != null && !cell.isEmpty) {
+      if (cur.moveTo(prevRow, c)) {
         if (colStart < 0) colStart = c
         colEnd = c
-        prevCells += cell
+        prevCount += 1
+        if (cur.hasBorderBottom) bottomCount += 1
       }
       c += 1
     }
-    if (prevCells.isEmpty || colStart < 0) return false
-    val bottomCount = prevCells.count(cl => cl.hasBorder(cl.borderBottom))
-    if (bottomCount < prevCells.size * 0.7) return false
+    if (prevCount == 0 || colStart < 0) return false
+    if (bottomCount < prevCount * 0.7) return false
+    var currentCount = 0
+    var topCount = 0
     c = colStart
     while (c <= colEnd) {
-      val cell = g.get(currentRow, c)
-      if (cell != null && !cell.isEmpty) currentCells += cell
+      if (cur.moveTo(currentRow, c)) {
+        currentCount += 1
+        if (cur.hasBorderTop) topCount += 1
+      }
       c += 1
     }
-    if (currentCells.isEmpty) return true
-    val topCount = currentCells.count(cl => cl.hasBorder(cl.borderTop))
-    topCount < currentCells.size * 0.3
+    if (currentCount == 0) return true
+    topCount < currentCount * 0.3
   }
 
   /** reference: island_detector.py:1696-1799. */
   private def detectFormattingBoundaries(g: CellGrid, rowStart: Int, rowEnd: Int): Vector[Int] = {
-    val scratch = mutable.ArrayBuffer.empty[Cell] // reused across rows
-    val scratch2 = mutable.ArrayBuffer.empty[Cell]
+    val cur = g.cursor // reused across rows
+    val nibs = new NibBuf
     // two-row sliding window: `prev` always holds the last DATA row's
     // summary, `current` this row's — two reusable holders instead of an
     // all-rows array of per-row objects
@@ -997,14 +1017,14 @@ final class IslandDetector(
     var currentTableStart = -1
     var row = rowStart
     while (row <= rowEnd) {
-      analyzeRowFormatting(g, row, scratch, current)
+      analyzeRowFormatting(g, row, cur, nibs, current)
       if (current.hasData) {
         if (prevRow >= 0) {
           var isNewTableStart = false
           if (!prev.isLikelyHeader && current.isLikelyHeader) isNewTableStart = true
           if (borderSimilarity(current.borderSignature, prev.borderSignature) <
               FmtConst.BorderConsistencyThreshold) isNewTableStart = true
-          if (hasTableEndBorderPattern(prevRow, row, g, scratch, scratch2)) isNewTableStart = true
+          if (hasTableEndBorderPattern(prevRow, row, g, cur)) isNewTableStart = true
           var changeScore = 0.0
           if (math.abs(current.boldRatio - prev.boldRatio) > 0.5) changeScore += 0.3
           if (math.abs(current.consistency - prev.consistency) > 0.4) changeScore += 0.2

@@ -1,6 +1,6 @@
 package graft.core.detect
 
-import graft.core.grid.{A1, Cell, CellGrid, Span}
+import graft.core.grid.{A1, CellGrid, Span}
 
 /** Fast single-table detection (reference: detectors/simple_case_detector.py).
   */
@@ -63,8 +63,7 @@ object SimpleCase {
     */
   def findDataBounds(g: CellGrid): (Int, Int, Int, Int) = {
     if (!g.hasData) return (0, 0, 0, 0)
-    val first = g.get(0, 0)
-    if (first != null && !first.valueIsNull) {
+    if (g.presentAt(0, 0)) { // stored cells are never value-null
       val total = (g.maxRow + 1).toLong * (g.maxCol + 1)
       if (g.size.toDouble / total > 0.3) return (0, g.maxRow, 0, g.maxCol)
     }
@@ -72,14 +71,15 @@ object SimpleCase {
     var maxRow = -1
     var minCol = Int.MaxValue
     var maxCol = -1
-    val cs = g.cellsSorted
+    val cs = g.coordsSorted
     var i = 0
     while (i < cs.length) {
-      val c = cs(i)
-      if (c.row < minRow) minRow = c.row
-      if (c.row > maxRow) maxRow = c.row
-      if (c.col < minCol) minCol = c.col
-      if (c.col > maxCol) maxCol = c.col
+      val r = (cs(i) >> 32).toInt
+      val c = cs(i).toInt
+      if (r < minRow) minRow = r
+      if (r > maxRow) maxRow = r
+      if (c < minCol) minCol = c
+      if (c > maxCol) maxCol = c
       i += 1
     }
     (minRow, maxRow, minCol, maxCol)
@@ -87,16 +87,16 @@ object SimpleCase {
 
   /** reference: simple_case_detector.py:322-381. */
   def detectHeaders(g: CellGrid, firstRow: Int, minCol: Int, maxCol: Int): Boolean = {
+    val cur = g.cursor
     var any = false
     var allStrings = true
     var anyBold = false
     var c = minCol
     while (c <= maxCol) {
-      val cell = g.get(firstRow, c)
-      if (cell != null && !cell.valueIsNull) {
+      if (cur.moveTo(firstRow, c)) {
         any = true
-        if (cell.dataType != "string") allStrings = false
-        if (cell.isBold) anyBold = true
+        if (cur.dataTypeCode != 1) allStrings = false
+        if (cur.isBold) anyBold = true
       }
       c += 1
     }
@@ -106,8 +106,7 @@ object SimpleCase {
     if (firstRow + 1 <= g.maxRow) {
       var c2 = minCol
       while (c2 <= maxCol && !hasDifferentTypes) {
-        val cell = g.get(firstRow + 1, c2)
-        if (cell != null && !cell.valueIsNull && cell.dataType != "string")
+        if (cur.moveTo(firstRow + 1, c2) && cur.dataTypeCode != 1)
           hasDifferentTypes = true
         c2 += 1
       }
@@ -133,9 +132,8 @@ object SimpleCase {
     */
   def extractHeaders(g: CellGrid, span: Span): Vector[String] = {
     (span.c0 to span.c1).map { c =>
-      val cell = g.get(span.r0, c)
-      if (cell != null && !cell.valueIsNull) cell.value.trim
-      else A1.colLetter(c)
+      val v = g.valueAt(span.r0, c) // non-null iff a (never value-null) cell exists
+      if (v != null) v.trim else A1.colLetter(c)
     }.toVector
   }
 }

@@ -100,10 +100,10 @@ object StructuredText {
     var i = 0
     while (i < expectedRows) {
       val row = island.minRow + i + 1
-      val cell = g.get(row, island.minCol)
-      if (cell != null && cell.valueNonEmpty) {
+      val v = g.valueAt(row, island.minCol) // non-null iff a non-empty cell exists
+      if (v != null) {
         val expected = ('A' + i).toChar.toString
-        if (cell.value.trim.toUpperCase == expected) found += 1
+        if (v.trim.toUpperCase == expected) found += 1
       }
       i += 1
     }
@@ -113,17 +113,15 @@ object StructuredText {
   /** reference: structured_text_detector.py:225-242 (Column_{i+1} fallback). */
   def extractHeaders(g: CellGrid, span: Span): Vector[String] = {
     (span.c0 to span.c1).map { c =>
-      val cell = g.get(span.r0, c)
-      if (cell != null && cell.valueNonEmpty) cell.value
-      else s"Column_${c + 1}"
+      val v = g.valueAt(span.r0, c)
+      if (v != null) v else s"Column_${c + 1}"
     }.toVector
   }
 
   /** reference: structured_text_detector.py:244-288. */
   private def enhanceMetadata(g: CellGrid, t: TableHit): TableHit = {
     val firstRowCells = (t.span.c0 to t.span.c1).flatMap { c =>
-      val cell = g.get(t.span.r0, c)
-      if (cell != null && cell.valueNonEmpty) Some(cell.value) else None
+      Option(g.valueAt(t.span.r0, c))
     }
     val headerScore = firstRowCells.count(h => InstrumentKeywords.exists(h.toLowerCase.contains))
     var out = t
@@ -205,8 +203,7 @@ object StructuredText {
       var hasColNumbers = 0
       var i = 1
       while (i <= 12) {
-        val cell = g.get(span.r0, span.c0 + i)
-        if (cell != null && cell.value == i.toString) hasColNumbers += 1
+        if (g.valueAt(span.r0, span.c0 + i) == i.toString) hasColNumbers += 1
         i += 1
       }
       if (hasColNumbers >= 10) return Some("96-well-plate")

@@ -139,10 +139,9 @@ object Extractor {
       var c = t.span.c0
       while (c <= t.span.c1) {
         if (c > t.span.c0) sb.append('\t')
-        val cell = grid.get(r, c)
         // span-append: a span-backed cell's value flows into the canonical
-        // text without ever materializing a per-cell String
-        if (cell != null) cell.appendValueTo(sb)
+        // text without materializing a per-cell String — or a Cell object
+        grid.appendValueAt(r, c, sb)
         c += 1
       }
       r += 1
