@@ -367,4 +367,105 @@ class PropertySpec extends AnyFunSuite {
       })
     })
   }
+
+  test("columnar grid: cursor/primitive reads == materialized Cell reads") {
+    // the detect kernel reads dense grids through GridCursor / presentAt /
+    // valueAt / appendValueAt without materializing Cell objects, while the
+    // extraction path materializes (and caches) Cells via get. Both views
+    // must agree on every observable, in BOTH probe orders: cursor-first
+    // (pure slot path, no Cell exists yet) and get-first (the cursor then
+    // rides the cached object via loadObj). Driven through the two real
+    // parse paths so identity spans, converted renders, formatted-tier
+    // object cells, and the HTML slab backing are all exercised.
+    import graft.core.html.DelimitedText
+    val valGen: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(12)),
+      Gen.oneOf("42", "x", "1.5", "2024-01-15", "hello world", "  inner  ",
+        " ", "", "true", "007", "3,141", "İstanbul", "café", "-12.75"))
+    val styleGen: Gen[String] = Gen.oneOf(
+      Gen.const(""),
+      Gen.const(" style=\"font-weight:bold\""),
+      Gen.const(" style=\"border:1px solid black\""),
+      Gen.const(" style=\"border-top:2px solid red;background-color:#ffee00\""),
+      Gen.const(" style=\"color:#112233;text-align:right\""))
+
+    def observe(g: CellGrid, cursorFirst: Boolean): Vector[Any] = {
+      def viaCursor: Vector[Any] = {
+        val cur = g.cursor
+        val out = Vector.newBuilder[Any]
+        var r = 0
+        while (r <= g.maxRow) {
+          var c = 0
+          while (c <= g.maxCol) {
+            val p = g.presentAt(r, c)
+            val moved = cur.moveTo(r, c)
+            out += ((p, moved))
+            if (moved) {
+              val sb = new java.lang.StringBuilder
+              g.appendValueAt(r, c, sb)
+              out += ((cur.isBold, cur.isMerged, cur.dataType, cur.dataTypeCode,
+                cur.borderNibble, cur.backgroundColor, cur.fontColor,
+                cur.alignment, sb.toString, cur.value, g.valueAt(r, c)))
+            }
+            c += 1
+          }
+          r += 1
+        }
+        out.result()
+      }
+      def viaCells: Vector[Any] = {
+        val out = Vector.newBuilder[Any]
+        var r = 0
+        while (r <= g.maxRow) {
+          var c = 0
+          while (c <= g.maxCol) {
+            val cell = g.get(r, c)
+            out += ((cell != null, cell != null))
+            if (cell != null) {
+              val nib = (if (cell.hasBorder(cell.borderTop)) 1 else 0) |
+                (if (cell.hasBorder(cell.borderBottom)) 2 else 0) |
+                (if (cell.hasBorder(cell.borderLeft)) 4 else 0) |
+                (if (cell.hasBorder(cell.borderRight)) 8 else 0)
+              out += ((cell.isBold, cell.isMerged, cell.dataType, cell.dataTypeCode,
+                nib, cell.backgroundColor, cell.fontColor,
+                cell.alignment, cell.value, cell.value, cell.value))
+            }
+            c += 1
+          }
+          r += 1
+        }
+        out.result()
+      }
+      if (cursorFirst) { val a = viaCursor; val b = viaCells; assert(a == b); a }
+      else { val b = viaCells; val a = viaCursor; assert(a == b); a }
+    }
+
+    val rowsGen = Gen.listOfN(4, Gen.listOfN(4, valGen))
+    val stylesGen = Gen.listOfN(16, styleGen)
+    check(Prop.forAll(rowsGen, stylesGen) { (rows, styles) =>
+      // delimited path: StrView backing, identity + converted span slots
+      val text = rows.map(_.map(v => v.replace(',', '.').replace('\n', ' '))
+        .mkString(",")).mkString("\n")
+      val (gd1, _) = DelimitedText.parse(text, ',')
+      val (gd2, _) = DelimitedText.parse(text, ',')
+      val d1 = observe(gd1, cursorFirst = true)
+      val d2 = observe(gd2, cursorFirst = false)
+
+      // HTML path: CharSlab backing, dense TableBuilder bulk-build, plus
+      // formatted-tier object cells for styled <td>s
+      var si = -1
+      val html = "<table>" + rows.map { r =>
+        "<tr>" + r.map { v =>
+          si += 1
+          val st = styles(si % styles.length)
+          s"<td$st>${v.replace("<", "(").replace("&", "+")}</td>"
+        }.mkString + "</tr>"
+      }.mkString + "</table>"
+      val p1 = PageParser.parse(html).regions.map(_.grid)
+      val p2 = PageParser.parse(html).regions.map(_.grid)
+      val h1 = p1.map(observe(_, cursorFirst = true))
+      val h2 = p2.map(observe(_, cursorFirst = false))
+      d1 == d2 && h1 == h2
+    })
+  }
 }
