@@ -357,11 +357,11 @@ object Bench {
          |320k pages / 64 buckets, local[32]): the FULL resumable path —
          |extract → bucket-clustered partitioned write → per-bucket snapshot
          |commits → injected crash at 50 % → resume → lineage accounting —
-         |ran at 38.1k docs/s end-to-end (5.7 s + 2.7 s halves; late
-         |round-5 re-run — was 28.6k before the detect-phase allocation
-         |cuts), with the resume making exactly one pass over the input and
-         |lineage accounting every document; the streaming surface ran at
-         |26.9k docs/s in the same window. The write clusters output by
+         |ran at 39.6k docs/s end-to-end (5.6 s + 2.5 s halves; post-
+         |columnar-grid re-run — was 28.6k before the detect-phase and
+         |columnar allocation cuts), with the resume making exactly one
+         |pass over the input and lineage accounting every document; the
+         |streaming surface ran at 30.4k docs/s in the same window. The write clusters output by
          |bucket first; without that exchange the small-file storm
          |(tasks×buckets files) cost 9× wall.
          |
