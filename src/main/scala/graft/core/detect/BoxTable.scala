@@ -1,7 +1,7 @@
 package graft.core.detect
 
 import scala.collection.mutable
-import graft.core.grid.{CellGrid, Span, TableHit}
+import graft.core.grid.{CellGrid, GridCursor, Span, TableHit}
 
 /** Detector for fully bordered tables
   * (reference: detectors/box_table_detector.py).
@@ -22,15 +22,15 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
       while (col <= g.maxCol) {
         if (!processed.contains(key(row, col))) {
           if (cur.moveTo(row, col) && cur.hasBorderTop && cur.hasBorderLeft) {
-            findBoxExtent(g, row, col) match {
-              case Some(span) if verifyCompleteBox(g, span) =>
+            findBoxExtent(g, cur, row, col) match {
+              case Some(span) if verifyCompleteBox(g, cur, span) =>
                 var r = span.r0
                 while (r <= span.r1) {
                   var c = span.c0
                   while (c <= span.c1) { processed += key(r, c); c += 1 }
                   r += 1
                 }
-                val hasHeaders = detectHeaders(g, span)
+                val hasHeaders = detectHeaders(g, cur, span)
                 tables += TableHit(
                   id = s"box_${span.r0}_${span.c0}",
                   span = span,
@@ -52,8 +52,8 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
   }
 
   /** reference: box_table_detector.py:127-183. */
-  private def findBoxExtent(g: CellGrid, startRow: Int, startCol: Int): Option[Span] = {
-    val cur = g.cursor
+  private def findBoxExtent(g: CellGrid, cur: GridCursor, startRow: Int,
+      startCol: Int): Option[Span] = {
     var endCol = startCol
     var c = startCol + 1
     var stop = false
@@ -73,8 +73,7 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
   }
 
   /** reference: box_table_detector.py:185-250. */
-  private def verifyCompleteBox(g: CellGrid, s: Span): Boolean = {
-    val cur = g.cursor
+  private def verifyCompleteBox(g: CellGrid, cur: GridCursor, s: Span): Boolean = {
     var c = s.c0
     while (c <= s.c1) {
       if (!cur.moveTo(s.r0, c) || !cur.hasBorderTop) return false
@@ -94,8 +93,7 @@ final class BoxTable(minRows: Int = 2, minCols: Int = 2, boxConfidence: Double =
   /** Same header heuristic as SimpleCase
     * (reference: box_table_detector.py:252-305).
     */
-  private def detectHeaders(g: CellGrid, s: Span): Boolean = {
-    val cur = g.cursor
+  private def detectHeaders(g: CellGrid, cur: GridCursor, s: Span): Boolean = {
     var any = false
     var allStrings = true
     var anyBold = false

@@ -54,19 +54,16 @@ class Cell private[grid] (
   def this(value: String, raw: String, dataType: String, row: Int, col: Int) =
     this(value, raw, row, col, Cell.dtCode(dataType) << 10, 0L)
 
-  @inline private def vFrom: Int = (_span & 0x3FFFFFFL).toInt
-  @inline private def vLen: Int = ((_span >>> 26) & 0x3FFFFL).toInt
-  @inline private def rFrom: Int = vFrom - ((_span >>> 44) & 0x3FFL).toInt
-  @inline private def rUntil: Int = vFrom + vLen + ((_span >>> 54) & 0x3FFL).toInt
+  @inline private def vFrom: Int = SpanCodec.vFrom(_span)
+  @inline private def vLen: Int = SpanCodec.vLen(_span)
+  @inline private def rFrom: Int = vFrom - SpanCodec.lTrim(_span)
+  @inline private def rUntil: Int = vFrom + vLen + SpanCodec.rTrim(_span)
 
   // NOTE: a bare String can never be a backing — `_v match { case s: String }`
   // is the materialized-value discriminator — so document-text backings ride
   // in a [[StrView]] (one wrapper per document, not per cell)
-  @inline private def str(cs: CharSequence, a: Int, b: Int): String = cs match {
-    case v: StrView => v.s.substring(a, b)
-    case sl: CharSlab => sl.str(a, b)
-    case other => other.subSequence(a, b).toString
-  }
+  @inline private def str(cs: CharSequence, a: Int, b: Int): String =
+    SpanCodec.sub(cs, a, b)
 
   /** Python-`str()`-compatible value rendering; materialized lazily (and
     * cached) from the backing span when this cell is span-backed.
@@ -109,8 +106,7 @@ class Cell private[grid] (
   def appendValueTo(sb: java.lang.StringBuilder): Unit = _v match {
     case s: String => sb.append(s)
     case null => ()
-    case v: StrView => sb.append(v.s, vFrom, vFrom + vLen) // String fast path (getChars)
-    case cs: CharSequence => sb.append(cs, vFrom, vFrom + vLen)
+    case cs: CharSequence => SpanCodec.append(sb, cs, vFrom, vFrom + vLen)
   }
 
   /** Raw attribute bits (Cell's packed layout) for the columnar grid's
@@ -160,6 +156,63 @@ class Cell private[grid] (
   private[grid] var extractorTypeCache: String = null
 
   @inline def hasBorder(s: String): Boolean = s != null && s != "none"
+}
+
+/** The ONE span bit-layout codec (vFrom:26 | vLen:18 | lTrim:10 |
+  * rTrim:10) plus the backing-dispatch string helpers, shared by [[Cell]],
+  * the columnar [[CellGrid]] slots, and [[GridCursor]] — a layout change
+  * lands in exactly one place (hand-rolled copies of the masks drifted
+  * across three files before this object existed).
+  */
+private[core] object SpanCodec {
+  final val MaxFrom = (1 << 26) - 1
+  final val MaxLen = (1 << 18) - 1
+  final val MaxTrim = (1 << 10) - 1
+  final val Invalid = Long.MinValue
+
+  @inline def vFrom(s: Long): Int = (s & 0x3FFFFFFL).toInt
+  @inline def vLen(s: Long): Int = ((s >>> 26) & 0x3FFFFL).toInt
+  @inline def vUntil(s: Long): Int = vFrom(s) + vLen(s)
+  @inline def lTrim(s: Long): Int = ((s >>> 44) & 0x3FFL).toInt
+  @inline def rTrim(s: Long): Int = ((s >>> 54) & 0x3FFL).toInt
+
+  /** Encode an identity span, or [[Invalid]] when any field is out of
+    * range — including negative offsets/lengths, so a caller bug falls
+    * back to the materializing path instead of encoding garbage.
+    */
+  def encodeIdentity(rFrom: Int, rUntil: Int, vFrom: Int, vUntil: Int): Long = {
+    val lT = vFrom - rFrom
+    val rT = rUntil - vUntil
+    val vL = vUntil - vFrom
+    if (vFrom >= 0 && vFrom <= MaxFrom && vL >= 0 && vL <= MaxLen &&
+        lT >= 0 && lT <= MaxTrim && rT >= 0 && rT <= MaxTrim)
+      vFrom.toLong | (vL.toLong << 26) | (lT.toLong << 44) | (rT.toLong << 54)
+    else Invalid
+  }
+
+  /** Encode a raw-only span (trims 0), or [[Invalid]]. */
+  def encodeRaw(rFrom: Int, rUntil: Int): Long = {
+    val rL = rUntil - rFrom
+    if (rFrom >= 0 && rFrom <= MaxFrom && rL >= 0 && rL <= MaxLen)
+      rFrom.toLong | (rL.toLong << 26)
+    else Invalid
+  }
+
+  /** Substring of a span backing ([[StrView]] / [[CharSlab]] / other). */
+  @inline def sub(cs: CharSequence, a: Int, b: Int): String = cs match {
+    case v: StrView => v.s.substring(a, b)
+    case sl: CharSlab => sl.str(a, b)
+    case other => other.subSequence(a, b).toString
+  }
+
+  /** Append backing[a, b) to `sb` (String overload fast path — getChars —
+    * for [[StrView]]).
+    */
+  @inline def append(sb: java.lang.StringBuilder, cs: CharSequence, a: Int, b: Int): Unit =
+    cs match {
+      case v: StrView => sb.append(v.s, a, b)
+      case other => sb.append(other, a, b)
+    }
 }
 
 /** The rare tier: a cell that actually carries CSS-derived formatting
@@ -266,13 +319,9 @@ object Cell {
         alignment, mergeRange, fontSize, fontColor, backgroundColor)
   }
 
-  // span-encoding limits (vFrom:26 | vLen:18 | leftTrim:10 | rightTrim:10);
-  // out-of-range spans (67M+ char backing offset, 262k+ char cell, 1k+ char
-  // trim run) fall back to materialized strings — correctness never depends
-  // on the encoding
-  private val MaxFrom = (1 << 26) - 1
-  private val MaxLen = (1 << 18) - 1
-  private val MaxTrim = (1 << 10) - 1
+  // span-encoding limits live in [[SpanCodec]]; out-of-range spans (67M+
+  // char backing offset, 262k+ char cell, 1k+ char trim run) fall back to
+  // materialized strings — correctness never depends on the encoding
 
   /** Formatting bits for the packed int, for callers that build span cells
     * directly (same layout as [[of]]).
@@ -283,11 +332,8 @@ object Cell {
       (borderCode(borderTop) << 2) | (borderCode(borderBottom) << 4) |
       (borderCode(borderLeft) << 6) | (borderCode(borderRight) << 8)
 
-  @inline private def sub(cs: CharSequence, a: Int, b: Int): String = cs match {
-    case v: StrView => v.s.substring(a, b)
-    case sl: CharSlab => sl.str(a, b)
-    case other => other.subSequence(a, b).toString
-  }
+  @inline private def sub(cs: CharSequence, a: Int, b: Int): String =
+    SpanCodec.sub(cs, a, b)
 
   // a bare String as backing would be indistinguishable from a materialized
   // value (the lazy discriminator is `_v: String`); wrap in StrView
@@ -304,16 +350,11 @@ object Cell {
       vUntil: Int, dataType: String, row: Int, col: Int, fmtBits: Int = 0): Cell = {
     checkBacking(backing)
     val packed = fmtBits | (dtCode(dataType) << 10)
-    val lT = vFrom - rFrom
-    val rT = rUntil - vUntil
-    val vL = vUntil - vFrom
-    if (vFrom <= MaxFrom && vL <= MaxLen && lT >= 0 && lT <= MaxTrim &&
-        rT >= 0 && rT <= MaxTrim) {
-      val span = vFrom.toLong | (vL.toLong << 26) | (lT.toLong << 44) | (rT.toLong << 54)
-      new Cell(backing, backing, row, col, packed, span)
-    } else {
+    val span = SpanCodec.encodeIdentity(rFrom, rUntil, vFrom, vUntil)
+    if (span != SpanCodec.Invalid) new Cell(backing, backing, row, col, packed, span)
+    else {
       val v = sub(backing, vFrom, vUntil)
-      val r = if (lT == 0 && rT == 0) v else sub(backing, rFrom, rUntil)
+      val r = if (rFrom == vFrom && rUntil == vUntil) v else sub(backing, rFrom, rUntil)
       new Cell(v, r, row, col, packed, 0L)
     }
   }
@@ -326,11 +367,9 @@ object Cell {
       dataType: String, row: Int, col: Int, fmtBits: Int = 0): Cell = {
     checkBacking(backing)
     val packed = fmtBits | (dtCode(dataType) << 10)
-    val rL = rUntil - rFrom
-    if (rFrom <= MaxFrom && rL <= MaxLen) {
-      val span = rFrom.toLong | (rL.toLong << 26) // trims 0: raw == [vFrom, vFrom+vLen)
-      new Cell(py, backing, row, col, packed, span)
-    } else new Cell(py, sub(backing, rFrom, rUntil), row, col, packed, 0L)
+    val span = SpanCodec.encodeRaw(rFrom, rUntil) // trims 0: raw == [vFrom, vFrom+vLen)
+    if (span != SpanCodec.Invalid) new Cell(py, backing, row, col, packed, span)
+    else new Cell(py, sub(backing, rFrom, rUntil), row, col, packed, 0L)
   }
 
   /** String cell with no formatting (text-reader path,

@@ -10,8 +10,9 @@ package graft.core.grid
   * COLUMNAR DENSE BACKING (round 5, late): a bounds-declared grid
   * (CellGrid.dense — the parse paths know their dimensions) stores per-cell
   * state in parallel primitive arrays instead of Cell objects: one packed
-  * span long (Cell's exact span layout), one attribute int (Cell's packed
-  * layout plus PRESENT/CONVERTED flags), and a lazily-allocated override
+  * span long (Cell's exact span layout, see [[SpanCodec]]), one attribute
+  * int (Cell's packed layout plus a PRESENT flag; converted-ness is
+  * encoded by the ref slot's type, below), and a lazily-allocated override
   * ref slot —
   *   - `null`  → identity span cell: value = backing[vFrom, vFrom+vLen),
   *     raw widened by the trim fields; NO per-cell object exists;
@@ -158,8 +159,8 @@ final class CellGrid private (capacityHint: Int, denseRows: Int, denseCols: Int)
       fmtBits: Int = 0): Unit = {
     if (CellGrid.wsOnly(b, vFrom, vUntil)) return // ≡ put's cell.isEmpty skip
     require(r >= 0 && c >= 0, "negative cell coordinates")
-    val span = CellGrid.encodeIdentitySpan(rFrom, rUntil, vFrom, vUntil)
-    if (dPacked != null && r < dH && c < dW && span != CellGrid.SpanInvalid &&
+    val span = SpanCodec.encodeIdentity(rFrom, rUntil, vFrom, vUntil)
+    if (dPacked != null && r < dH && c < dW && span != SpanCodec.Invalid &&
         backingOk(b)) {
       val i = r * dW + c
       if ((dPacked(i) & Present) == 0) _size += 1
@@ -179,8 +180,8 @@ final class CellGrid private (capacityHint: Int, denseRows: Int, denseCols: Int)
       rUntil: Int, dataType: String, r: Int, c: Int, fmtBits: Int = 0): Unit = {
     if (py == null || CellGrid.wsOnly(py, 0, py.length)) return
     require(r >= 0 && c >= 0, "negative cell coordinates")
-    val span = CellGrid.encodeRawSpan(rFrom, rUntil)
-    if (dPacked != null && r < dH && c < dW && span != CellGrid.SpanInvalid &&
+    val span = SpanCodec.encodeRaw(rFrom, rUntil)
+    if (dPacked != null && r < dH && c < dW && span != SpanCodec.Invalid &&
         backingOk(b)) {
       val i = r * dW + c
       if ((dPacked(i) & Present) == 0) _size += 1
@@ -207,8 +208,7 @@ final class CellGrid private (capacityHint: Int, denseRows: Int, denseCols: Int)
         val skip = ref match {
           case s: String => CellGrid.wsOnly(s, 0, s.length)
           case _ =>
-            val a = (span & 0x3FFFFFFL).toInt
-            CellGrid.wsOnly(b, a, a + ((span >>> 26) & 0x3FFFFL).toInt)
+            CellGrid.wsOnly(b, SpanCodec.vFrom(span), SpanCodec.vUntil(span))
         }
         if (!skip) {
           require(r >= 0 && c >= 0, "negative cell coordinates")
@@ -283,8 +283,7 @@ final class CellGrid private (capacityHint: Int, denseRows: Int, denseCols: Int)
       case cell: Cell => cell.value
       case _ =>
         val sp = dSpan(i)
-        val a = (sp & 0x3FFFFFFL).toInt
-        val s = CellGrid.sub(backing, a, a + ((sp >>> 26) & 0x3FFFFL).toInt)
+        val s = SpanCodec.sub(backing, SpanCodec.vFrom(sp), SpanCodec.vUntil(sp))
         ensureRef()
         dRef(i) = s
         s
@@ -306,12 +305,7 @@ final class CellGrid private (capacityHint: Int, denseRows: Int, denseCols: Int)
             case cell: Cell => cell.appendValueTo(sb)
             case _ =>
               val sp = dSpan(i)
-              val a = (sp & 0x3FFFFFFL).toInt
-              val b = a + ((sp >>> 26) & 0x3FFFFL).toInt
-              backing match {
-                case v: StrView => sb.append(v.s, a, b) // String fast path (getChars)
-                case cs => sb.append(cs, a, b)
-              }
+              SpanCodec.append(sb, backing, SpanCodec.vFrom(sp), SpanCodec.vUntil(sp))
           }
         }
       }
@@ -461,33 +455,6 @@ object CellGrid {
   private[grid] final val Present = 1 << 30
   private[grid] final val LowMask = (1 << 13) - 1
 
-  private[core] final val SpanInvalid = Long.MinValue
-
-  // span-encoding limits — Cell's exact layout (vFrom:26|vLen:18|lT:10|rT:10)
-  private final val MaxFrom = (1 << 26) - 1
-  private final val MaxLen = (1 << 18) - 1
-  private final val MaxTrim = (1 << 10) - 1
-
-  /** Encode an identity-cell span, or [[SpanInvalid] when out of range. */
-  private[core] def encodeIdentitySpan(rFrom: Int, rUntil: Int, vFrom: Int,
-      vUntil: Int): Long = {
-    val lT = vFrom - rFrom
-    val rT = rUntil - vUntil
-    val vL = vUntil - vFrom
-    if (vFrom <= MaxFrom && vL >= 0 && vL <= MaxLen && lT >= 0 && lT <= MaxTrim &&
-        rT >= 0 && rT <= MaxTrim)
-      vFrom.toLong | (vL.toLong << 26) | (lT.toLong << 44) | (rT.toLong << 54)
-    else SpanInvalid
-  }
-
-  /** Encode a converted-cell raw span (trims 0), or [[SpanInvalid]]. */
-  private[core] def encodeRawSpan(rFrom: Int, rUntil: Int): Long = {
-    val rL = rUntil - rFrom
-    if (rFrom >= 0 && rFrom <= MaxFrom && rL >= 0 && rL <= MaxLen)
-      rFrom.toLong | (rL.toLong << 26)
-    else SpanInvalid
-  }
-
   /** Rebuild the object Cell a staged slot describes (map-backed fallback
     * for [[CellGrid.putSlot]]).
     */
@@ -496,12 +463,6 @@ object CellGrid {
     case cell: Cell => cell
     case s: String => new Cell(s, b, r, c, packedBits & LowMask, span)
     case _ => new Cell(b, b, r, c, packedBits & LowMask, span)
-  }
-
-  @inline private[grid] def sub(cs: CharSequence, a: Int, b: Int): String = cs match {
-    case v: StrView => v.s.substring(a, b)
-    case sl: CharSlab => sl.str(a, b)
-    case other => other.subSequence(a, b).toString
   }
 
   /** Whitespace-only (or empty) range — exactly Cell.isEmpty's predicate. */
@@ -540,7 +501,23 @@ final class GridCursor private[grid] (g: CellGrid) {
   private var sval: String = null
   private var slot = -1
 
-  def moveTo(r: Int, c: Int): Boolean = g.loadCursor(this, r, c)
+  /** Position on (r, c); false when no cell is stored there. A failed move
+    * INVALIDATES the cursor (attribute reads return the borderless/unbold
+    * defaults, value reads throw) rather than retaining the previous
+    * position's state — so a call site that forgets to check the Boolean
+    * cannot silently read the wrong cell.
+    */
+  def moveTo(r: Int, c: Int): Boolean = {
+    val ok = g.loadCursor(this, r, c)
+    if (!ok) {
+      cObj = null
+      sval = null
+      slot = -1
+      packed = 0
+      span = 0L
+    }
+    ok
+  }
 
   private[grid] def loadObj(cell: Cell): Unit = {
     cObj = cell
@@ -585,6 +562,8 @@ final class GridCursor private[grid] (g: CellGrid) {
     if (sval != null) sval
     else if (cObj != null) cObj.value
     else {
+      if (slot < 0)
+        throw new IllegalStateException("cursor is not positioned on a cell")
       val s = g.cursorValue(slot)
       sval = s
       s
@@ -595,12 +574,9 @@ final class GridCursor private[grid] (g: CellGrid) {
     if (cObj != null) cObj.appendValueTo(sb)
     else if (sval != null) sb.append(sval)
     else {
-      val a = (span & 0x3FFFFFFL).toInt
-      val b = a + ((span >>> 26) & 0x3FFFFL).toInt
-      g.cursorBacking match {
-        case v: StrView => sb.append(v.s, a, b)
-        case cs => sb.append(cs, a, b)
-      }
+      if (slot < 0)
+        throw new IllegalStateException("cursor is not positioned on a cell")
+      SpanCodec.append(sb, g.cursorBacking, SpanCodec.vFrom(span), SpanCodec.vUntil(span))
     }
   }
 }

@@ -2,7 +2,7 @@ package graft.core.html
 
 import scala.collection.mutable
 import graft.core.detect.GridKind
-import graft.core.grid.{A1, Cell, CellGrid, Span}
+import graft.core.grid.{A1, Cell, CellGrid, Span, SpanCodec}
 import graft.core.html.HtmlTokenizer.TokSink
 
 /** A tabular region found in a page, in document order. */
@@ -489,15 +489,15 @@ object PageParser {
             borders(2), borders(3))
           val pack = fmtBits | (Cell.dtCode(dt) << 10)
           if (inferRes.identity) {
-            val enc = CellGrid.encodeIdentitySpan(vFrom, vUntil,
+            val enc = SpanCodec.encodeIdentity(vFrom, vUntil,
               inferRes.vFrom, inferRes.vUntil)
-            if (enc != CellGrid.SpanInvalid) stage(row, col, enc, pack, null)
+            if (enc != SpanCodec.Invalid) stage(row, col, enc, pack, null)
             else stage(row, col, 0L, 0, // encode overflow: object fallback
               Cell.spanned(slab, vFrom, vUntil, inferRes.vFrom, inferRes.vUntil,
                 dt, row, col, fmtBits))
           } else {
-            val enc = CellGrid.encodeRawSpan(vFrom, vUntil)
-            if (enc != CellGrid.SpanInvalid) stage(row, col, enc, pack, inferRes.py)
+            val enc = SpanCodec.encodeRaw(vFrom, vUntil)
+            if (enc != SpanCodec.Invalid) stage(row, col, enc, pack, inferRes.py)
             else stage(row, col, 0L, 0,
               Cell.convertedSpan(inferRes.py, slab, vFrom, vUntil, dt, row, col, fmtBits))
           }
