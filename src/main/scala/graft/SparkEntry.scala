@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.spark.{PageGen, Pipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -186,6 +186,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))),
+    // deterministic hash-Bernoulli downsample: the 2/16 slice by the first
+    // md5 nibble of doc_id (cross-engine hash so the oracle replays it
+    // bit-for-bit; the production key is xxhash64 — Sampling.xxhashKey).
+    // Map-side filter: no shuffle, stable under repartitioning and task
+    // retries, and slices nest (numer=2 superset of numer=1).
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.bernoulliByHash(t(s, dir, "documents"),
+          Sampling.md5Nibble(col("doc_id")), 2, 16)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+    // deterministic per-language quota (40 docs/lang in md5-hash order):
+    // one stratum-key shuffle; the row_number <= n filter is recognized by
+    // WindowGroupLimit, so each input partition ships at most n rows per
+    // stratum into the exchange (partial -> final, like an aggregation)
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedQuota(t(s, dir, "documents"), col("lang"), 40,
+          md5(col("doc_id").cast("string")), col("doc_id"))
+        .select(col("lang"), col("doc_id"), col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))),
 
     // ---- extraction pipeline (rows-only check; golden-gated in sbt test) ----
     "x_extract_pages" -> ((s, dir) => {
@@ -267,6 +286,19 @@ object SparkEntry {
     "q_dedup_apply" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.keepFirstByPairs(s, docs,
+          Dedup.minhashPairs(s, docs, threshold = 0.5))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // quality-aware near-dedup apply: keep the LONGEST doc per near-dup
+    // component (tie -> lowest id) instead of keepFirst's arbitrary min-id
+    // survivor — near-duplicates are rarely equal (truncations, stripped
+    // variants), so the kept corpus should hold the best one. The oracle
+    // replays the SAME pair set + closure (shared MinhashCtes block) and
+    // picks the winner with the identical (n_chars desc, id) window.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepBestByPairs(s, docs,
           Dedup.minhashPairs(s, docs, threshold = 0.5))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
@@ -626,6 +658,20 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // md5 of the stringified id is identical in both engines (UTF-8 bytes,
+    // lowercase hex); nibble = position in the hex alphabet
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 2
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, sample_rank FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 40
+        |ORDER BY lang, sample_rank""".stripMargin,
     // brute-force cosine top-k: exact-match oracle for the ANN baseline
     // (list_cosine_similarity over DOUBLE[] reproduces the Spark fold)
     "q_ann_topk" ->
@@ -1042,6 +1088,22 @@ object SparkEntry {
         |$ClosureLosers
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    // same replayed pair set + closure; winner per cluster = the identical
+    // (n_chars DESC, id) row_number window the Spark operator runs
+    "q_dedup_keep_best" ->
+      s"""$MinhashCtes,
+        |${closureCtes("mh_pairs")},
+        |best_losers AS (
+        |  SELECT id FROM (
+        |    SELECT lab.id,
+        |      row_number() OVER (PARTITION BY lab.cluster_id
+        |        ORDER BY d.n_chars DESC, lab.id) AS rk
+        |    FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) lab
+        |    JOIN documents d ON d.doc_id = lab.id)
+        |  WHERE rk > 1)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM best_losers)
         |ORDER BY doc_id""".stripMargin,
     // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
     // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)

@@ -393,6 +393,34 @@ object Dedup {
     df.join(losers, df(idCol) === col("_loser_id"), "left_anti")
   }
 
+  /** Near-dedup applied with a QUALITY-aware survivor: keep the
+    * highest-`qualityCol` doc of every near-dup component (tie → lowest
+    * id) plus all unpaired docs. This is what a training-data pipeline
+    * actually wants from near-dedup — near-duplicates are rarely equal
+    * (truncations, boilerplate-stripped variants, OCR passes), and
+    * [[keepFirstByPairs]]' min-id survivor is an arbitrary draw among
+    * them; keeping the longest/best-scored variant preserves content.
+    *
+    * Scale shape: identical to [[keepFirstByPairs]] plus one id-keyed
+    * hash join fetching the quality column for the O(near-dup docs)
+    * clustered subset — never the corpus — and a per-cluster row_number
+    * window over that same subset. The loser set rides a left-anti key
+    * join, never a forced broadcast.
+    */
+  def keepBestByPairs(spark: SparkSession, df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", qualityCol: String = "n_chars",
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
+    val labels = connectedComponents(spark, pairs, materialize = materialize)
+    val withQ = labels.join(
+      df.select(col(idCol).as("id"), col(qualityCol).as("_q")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("_q").desc, col("id"))
+    val losers = withQ.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col("id").as("_loser_id"))
+    df.join(losers, df(idCol) === col("_loser_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for a candidate pair set (verification stage). */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
     val sa = shingles(a, n).toSet

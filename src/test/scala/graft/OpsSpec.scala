@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Correctness of the training-data operators: minhash vs exact jaccard,
   * LSH vs brute-force recall, simhash blocking completeness, text stats.
@@ -86,6 +86,62 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // components {1,2,3} -> keep 1; {5,6} -> keep 5; 4,7..10 unpaired
     assert(kept == Set(1L, 4L, 5L, 7L, 8L, 9L, 10L))
+  }
+
+  test("keepBestByPairs keeps the highest-quality survivor per component") {
+    import spark.implicits._
+    // quality: cluster {1,2,3} -> 2 is longest, survives (keepFirst would
+    // keep 1); equal-quality tie in {5,6} -> min id 5; unpaired always kept
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), (4L, 5L),
+      (5L, 7L), (6L, 7L), (7L, 1L)
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestByPairs(spark, docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L, 7L))
+  }
+
+  test("hash-bernoulli sampling is deterministic, partition-invariant, nested") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val key = Sampling.md5Nibble(col("doc_id"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = ids(Sampling.bernoulliByHash(docs, key, 2, 16))
+    // the selected SET is a function of ids alone — partitioning-invariant
+    // (df.sample draws per-partition and would differ here)
+    assert(s2 == ids(Sampling.bernoulliByHash(docs.repartition(7), key, 2, 16)))
+    // slices nest: the 1/16 sample is a strict subset of the 2/16 sample
+    val s1 = ids(Sampling.bernoulliByHash(docs, key, 1, 16))
+    assert(s1.subsetOf(s2) && s1.size < s2.size)
+    assert(s2.nonEmpty && s2.size < 400)
+    // the production xxhash64 key: same invariance
+    val xkey = Sampling.xxhashKey(col("doc_id"))
+    assert(ids(Sampling.bernoulliByHash(docs, xkey, 10, 100)) ==
+      ids(Sampling.bernoulliByHash(docs.repartition(5), xkey, 10, 100)))
+  }
+
+  test("stratified quota keeps min(n, stratum size) rows with a bounded exchange") {
+    import spark.implicits._
+    val docs = (1L to 100L)
+      .map(i => (i, if (i <= 70) "en" else if (i <= 95) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val hash = md5(col("doc_id").cast("string"))
+    val q = Sampling.stratifiedQuota(docs, col("lang"), 10, hash, col("doc_id"))
+    val counts = q.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 10L, "de" -> 10L, "fr" -> 5L))
+    // deterministic under repartitioning, including the rank values
+    val a = q.select("lang", "doc_id", "sample_rank").collect().toSet
+    val b = Sampling.stratifiedQuota(docs.repartition(9), col("lang"), 10,
+        hash, col("doc_id"))
+      .select("lang", "doc_id", "sample_rank").collect().toSet
+    assert(a == b)
+    // the rank<=n filter reaches the map side: WindowGroupLimit bounds the
+    // rows entering the stratum exchange to n per partition per stratum
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
   test("minhash bucket cap salts a giant duplicate class with ~no recall loss") {

@@ -225,6 +225,43 @@ def clusters_py(pairs):
     return sorted((i, find(i)) for i in ids)
 
 
+def keep_best_sql(table="documents", threshold="0.5"):
+    """q_dedup_keep_best: kept corpus with the per-cluster argmax(n_chars,
+    then min id) survivor — the SAME closure as cluster_sql plus the
+    identical window the Spark operator runs (mirrors SparkEntry).
+    """
+    base = cluster_sql(table, threshold)
+    final = "SELECT id, min(r) AS cluster_id FROM reach GROUP BY id\nORDER BY id"
+    assert base.endswith(final)
+    return base[: -len(final)].rstrip() + f""",
+best_l AS (
+  SELECT id FROM (
+    SELECT lab.id,
+      row_number() OVER (PARTITION BY lab.cluster_id
+        ORDER BY d.n_chars DESC, lab.id) AS rk
+    FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) lab
+    JOIN {table} d ON d.doc_id = lab.id)
+  WHERE rk > 1)
+SELECT doc_id FROM {table}
+WHERE doc_id NOT IN (SELECT id FROM best_l)
+ORDER BY doc_id"""
+
+
+def keep_best_py(pairs, qual, all_ids):
+    """Kept ids: everything minus per-cluster non-winners, winner =
+    (max quality, then min id) — the python union-find cross-check.
+    """
+    from collections import defaultdict
+    clusters = defaultdict(list)
+    for i, c in clusters_py(pairs):
+        clusters[c].append(i)
+    losers = set()
+    for ids in clusters.values():
+        win = max(ids, key=lambda i: (qual[i], -i))
+        losers.update(i for i in ids if i != win)
+    return sorted(i for i in all_ids if i not in losers)
+
+
 def check(sfdir):
     import duckdb
     con = duckdb.connect()
@@ -245,6 +282,16 @@ def check(sfdir):
     if not cok:
         print(" duckdb:", cgot[:5])
         print(" python:", cwant[:5])
+        sys.exit(1)
+    meta = con.sql("SELECT doc_id, n_chars FROM documents").fetchall()
+    qual = dict(meta)
+    bgot = [i for (i,) in con.sql(keep_best_sql()).fetchall()]
+    bwant = keep_best_py(want, qual, [i for i, _ in meta])
+    bok = bgot == bwant
+    print(f"{sfdir}: keep_best duckdb={len(bgot)} python={len(bwant)} match={bok}")
+    if not bok:
+        print(" duckdb:", bgot[:5])
+        print(" python:", bwant[:5])
         sys.exit(1)
 
 
