@@ -102,6 +102,19 @@ object OpsScale {
     require(ownBase.toDouble / nNodes >= 0.9,
       "most nodes must cluster to their base class min id")
 
+    // ---- quality-aware apply under the same 10x dup load: keep the
+    // LONGEST variant per cluster. Survivor count is an exact invariant
+    // (one per cluster + every unpaired doc) regardless of which variant
+    // wins, so the stress checks both the wall cost of the extra quality
+    // join/window and the count identity with keepFirst.
+    val t2b = System.nanoTime()
+    val bestN = Dedup.keepBestByPairs(spark,
+      amped.withColumn("n_chars", length(col("text")).cast("long")), mh).count()
+    val bestWall = (System.nanoTime() - t2b) / 1e9
+    println(f"OPSSCALE keep_best kept=$bestN/$nDocs wall=$bestWall%.1fs")
+    require(bestN == nClusters + (nDocs - nNodes),
+      s"keep_best survivors ($bestN) must equal clusters ($nClusters) + unpaired (${nDocs - nNodes})")
+
     // ---- CC at adversarial diameter: a 10k-node path graph ----
     // dup-cluster graphs are near-cliques (diameter 2-3); this is the
     // opposite extreme. Pointer jumping must converge in ~log2(10000)+O(1)
