@@ -186,6 +186,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))),
+    // Gopher/C4-family repetition signals: duplicate-word and duplicate-
+    // bigram counts (machine-generated/boilerplate pages repeat
+    // themselves). Exact integers so gates stay in integer arithmetic;
+    // map-side higher-order functions, no shuffle, no UDF.
+    "q_rep_ngrams" -> ((s, dir) =>
+      TextOps.repetitionMetrics(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // deterministic hash-Bernoulli downsample: the 2/16 slice by the first
     // md5 nibble of doc_id (cross-engine hash so the oracle replays it
     // bit-for-bit; the production key is xxhash64 — Sampling.xxhashKey).
@@ -658,6 +665,23 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // words = space-split non-empty runs, bigrams = adjacent pairs — both
+    // engines tokenize identically on the literal single space
+    "q_rep_ngrams" ->
+      """SELECT doc_id,
+        |  len(w) AS n_words,
+        |  len(w) - len(list_distinct(w)) AS n_dup_words,
+        |  CASE WHEN len(w) < 2 THEN 0 ELSE len(w) - 1 END AS n_bigrams,
+        |  CASE WHEN len(w) < 2 THEN 0
+        |    ELSE (len(w) - 1) - len(list_distinct(bg)) END AS n_dup_bigrams
+        |FROM (
+        |  SELECT doc_id, w,
+        |    list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1]) AS bg
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(coalesce(text, ''), ' '), x -> length(x) > 0) AS w
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     // md5 of the stringified id is identical in both engines (UTF-8 bytes,
     // lowercase hex); nibble = position in the hex alphabet
     "q_sample_hash" ->

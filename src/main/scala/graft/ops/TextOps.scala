@@ -42,6 +42,36 @@ object TextOps {
     size(regexp_extract_all(coalesce(text, lit("")), lit(BpeTokenPattern), lit(0)))
       .cast("long")
 
+  /** Repetition metrics (the Gopher/C4 rule family: machine-generated and
+    * boilerplate pages repeat themselves): duplicate-word and
+    * duplicate-bigram counts per doc, as exact integers so downstream
+    * gates use integer arithmetic (`n_dup_words * 10 > n_words * 3`)
+    * instead of replaying float division. Words = space-separated runs
+    * (literal single space — identical in Spark regex and DuckDB
+    * string_split); bigrams = adjacent word pairs. All codegen'd
+    * built-ins and higher-order functions — map-side, no shuffle, no UDF.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    df.select(col(idCol),
+        expr(s"filter(split(coalesce($textCol, ''), ' '), x -> length(x) > 0)")
+          .as("w"))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        (size(col("w")) - size(array_distinct(col("w")))).cast("long")
+          .as("n_dup_words"),
+        // sequence(1, 0) would be a DESCENDING range in Spark — guard the
+        // short-doc case explicitly
+        expr("case when size(w) < 2 then cast(array() as array<string>) " +
+          "else transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) end")
+          .as("bg"))
+      .select(col(idCol), col("n_words"), col("n_dup_words"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        (size(col("bg")) - size(array_distinct(col("bg")))).cast("long")
+          .as("n_dup_bigrams"))
+  }
+
   /** Quality features: length, alpha ratio, punctuation ratio, digit ratio,
     * mean word length — all built-ins, one projection.
     */

@@ -102,6 +102,27 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L, 5L, 7L))
   }
 
+  test("repetition metrics count duplicate words and bigrams exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // words: 5, dups 3 (a x3, b x2); bigrams: a b, b a, a b, b a -> 2 dup
+      (2L, "x"), // single word: no bigrams
+      (3L, ""), // empty
+      (4L, null.asInstanceOf[String]), // null text
+      (5L, "one  two   three"), // multi-space runs collapse to 3 words, all distinct
+      (6L, "t t t t") // all same: 3 dup words, bigrams all "t t" -> 2 dup
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.repetitionMetrics(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 3L, 4L, 2L),
+      (2L, 1L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L),
+      (5L, 3L, 0L, 2L, 0L),
+      (6L, 4L, 3L, 3L, 2L)))
+  }
+
   test("hash-bernoulli sampling is deterministic, partition-invariant, nested") {
     import spark.implicits._
     val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("doc_id", "text")
