@@ -310,6 +310,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // incremental near-dedup (the daily-ingest shape): batch = even ids,
+    // corpus = odd ids; pairs BETWEEN the sides only — the corpus is never
+    // re-paired against itself. The oracle is the full replayed pair set
+    // restricted to straddling pairs (pair verdicts are pairwise, so the
+    // restriction is exact).
+    "q_dedup_incr_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashPairsIncremental(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        threshold = 0.5)
+    }),
+    // the applied ingest step: drop batch docs near-duping the corpus,
+    // then min-id self-dedupe what remains within the batch
+    "q_dedup_incr_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.applyIncremental(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // oracle-checked end to end: the pigeonhole blocking is complete for
     // hamming <= 3, so the output equals ALL pairs at that distance and the
     // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
@@ -1112,6 +1135,36 @@ object SparkEntry {
         |$ClosureLosers
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    // straddling pairs of the SAME replayed pair set, reoriented to
+    // (corpus_id = odd, batch_id = even)
+    "q_dedup_incr_pairs" ->
+      s"""$MinhashCtes
+        |SELECT CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS corpus_id,
+        |  CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS batch_id,
+        |  est_jaccard
+        |FROM mh_pairs
+        |WHERE (id_a % 2 = 0) <> (id_b % 2 = 0)
+        |ORDER BY corpus_id, batch_id""".stripMargin,
+    // batch survivors: even-id docs minus corpus-matched, minus in-batch
+    // closure losers over the pair set restricted to what remains
+    "q_dedup_incr_apply" ->
+      s"""$MinhashCtes,
+        |cross_dropped AS (
+        |  SELECT DISTINCT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS bid
+        |  FROM mh_pairs WHERE (id_a % 2 = 0) <> (id_b % 2 = 0)),
+        |remaining AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |    AND doc_id NOT IN (SELECT bid FROM cross_dropped)),
+        |batch_pairs AS (
+        |  SELECT id_a, id_b FROM mh_pairs
+        |  WHERE id_a IN (SELECT doc_id FROM remaining)
+        |    AND id_b IN (SELECT doc_id FROM remaining)),
+        |${closureCtes("batch_pairs")},
+        |$ClosureLosers
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM remaining)
+        |  AND doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin,
     // same replayed pair set + closure; winner per cluster = the identical
     // (n_chars DESC, id) row_number window the Spark operator runs

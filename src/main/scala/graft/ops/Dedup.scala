@@ -220,6 +220,98 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental MinHash-LSH: near-dup pairs BETWEEN a new batch and an
+    * existing corpus — the daily-ingestion shape of near-dedup. A combined
+    * self-join over corpus ∪ batch would re-pair the corpus against itself
+    * on every ingest (O(corpus²) candidate work per day for pairs that are
+    * already known); this variant band-joins the batch's band index against
+    * the corpus's, so per ingest the candidate work is O(batch × collision
+    * rate), and the corpus-side band index is exactly what a production
+    * pipeline PERSISTS between runs (the materialized `banded` stream:
+    * id + band + 8-byte hash — no text, no signatures on the wire).
+    *
+    * Pair semantics are [[minhashPairs]] restricted to corpus×batch pairs:
+    * candidates = any shared band bucket, verified with the same
+    * slot-match estimate at `threshold` (pair verdicts are pairwise — they
+    * never depend on other docs — so the restriction is exact). The
+    * bucketCap guard salts on (id, band) as in the self-join; the
+    * oversized count is taken over the COMBINED bucket population, and a
+    * true cross pair splits apart with prob (nsplit-1)/nsplit per band —
+    * the same 1-((ns-1)/ns)^bands exact-dup recall as the self-join cap.
+    *
+    * Returns (corpus_id, batch_id, est_jaccard). Ids must be globally
+    * unique across both sides (one id space, as in a real corpus).
+    */
+  def minhashPairsIncremental(spark: SparkSession, corpus: DataFrame,
+      batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.8,
+      bucketCap: Int = 65536,
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    require(bucketCap > 0, "bucketCap > 0")
+    import graft.functions.DedupFunctions
+    def sigsOf(df: DataFrame) = Materialize(
+      df.select(col(idCol).cast("long").as("id"),
+          DedupFunctions.minhashSig(coalesce(col(textCol), lit("")), k, shingleN).as("sig"))
+        .filter(size(col("sig")) > 0),
+      materialize)
+    def bandedOf(s: DataFrame) = Materialize(
+      s.select(col("id"),
+          posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
+        .toDF("id", "band", "bhash"),
+      materialize)
+    val cSigs = sigsOf(corpus)
+    val bSigs = sigsOf(batch)
+    val cBand = bandedOf(cSigs) // the persistable corpus band index
+    val bBand = bandedOf(bSigs)
+    val oversized = cBand.select(col("band"), col("bhash"))
+      .union(bBand.select(col("band"), col("bhash")))
+      .groupBy(col("band"), col("bhash")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > bucketCap)
+      .withColumn("nsplit", ceil(col("bn") / bucketCap).cast("int"))
+      .select(col("band"), col("bhash"), col("nsplit"))
+    def salted(df: DataFrame) = df.join(broadcast(oversized), Seq("band", "bhash"), "left")
+      .withColumn("salt",
+        when(col("nsplit").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("id"), col("band")), col("nsplit")).cast("int")))
+      .select(col("band"), col("bhash"), col("salt"), col("id"))
+    val cands = salted(cBand).withColumnRenamed("id", "corpus_id")
+      .join(salted(bBand).withColumnRenamed("id", "batch_id"),
+        Seq("band", "bhash", "salt"))
+      .select(col("corpus_id"), col("batch_id"))
+      .distinct() // dedup across bands BEFORE the verify, still id-only
+    val sa = cSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a"))
+    val sb = bSigs.select(col("id").as("batch_id"), col("sig").as("sig_b"))
+    cands.join(sa, Seq("corpus_id")).join(sb, Seq("batch_id"))
+      .select(col("corpus_id"), col("batch_id"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(k)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
+  /** Incremental near-dedup APPLIED: drop batch docs that near-dup the
+    * existing corpus, then self-dedupe what remains within the batch
+    * (min-id survivor per component, as [[keepFirstByPairs]]) — the full
+    * daily-ingest step: what survives is exactly what joins the corpus.
+    * Corpus docs are never re-examined.
+    */
+  def applyIncremental(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
+      bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.8,
+      bucketCap: Int = 65536,
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
+    val cross = minhashPairsIncremental(spark, corpus, batch, idCol, textCol,
+      k, bands, shingleN, threshold, bucketCap, materialize)
+    val dropped = cross.select(col("batch_id").as("_dup_id")).distinct()
+    val remaining = batch.join(dropped, batch(idCol) === col("_dup_id"), "left_anti")
+    keepFirstByPairs(spark, remaining,
+      minhashPairs(spark, remaining, idCol, textCol, k, bands, shingleN,
+        threshold, bucketCap, materialize),
+      idCol, materialize)
+  }
+
   // ---- SimHash ----
 
   /** 64-bit simhash over whitespace tokens. */

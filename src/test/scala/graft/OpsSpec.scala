@@ -102,6 +102,41 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L, 5L, 7L))
   }
 
+  test("incremental minhash pairs equal the self-join restricted to cross pairs") {
+    // pair verdicts are pairwise (no dependence on other docs while the
+    // cap is inert), so the incremental operator must equal the full
+    // self-join filtered to pairs straddling the corpus/batch split
+    val all = docsWithDups
+    val corpus = all.filter(col("doc_id") % 2 =!= 0)
+    val batch = all.filter(col("doc_id") % 2 === 0)
+    val expect = Dedup.minhashPairs(spark, all, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, e) =>
+        if ((a % 2 == 0) != (b % 2 == 0))
+          Some(if (a % 2 == 0) (b, a, e) else (a, b, e))
+        else None
+      }.toSet
+    val got = Dedup.minhashPairsIncremental(spark, corpus, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("applyIncremental drops corpus-matched batch docs then self-dedupes the rest") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog again"
+    val textB = "entirely different content about sailing ships across oceans"
+    val textC = "a third unrelated passage describing mountain weather patterns"
+    val corpus = Seq((1L, textA)).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, textA), // near-dups the corpus -> dropped
+      (4L, textB), (6L, textB), // in-batch dup pair -> keep min id 4
+      (8L, textC) // unique -> kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.applyIncremental(spark, corpus, batch, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 8L))
+  }
+
   test("repetition metrics count duplicate words and bigrams exactly") {
     import spark.implicits._
     val docs = Seq(
