@@ -130,6 +130,30 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental minhash: the cross-side banded exchange carries no signatures") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.ops.Dedup.minhashPairsIncremental(spark,
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), threshold = 0.5)
+      val shuffles = nodes(df).collect { case e: ShuffleExchangeExec => e }
+      // both sides of the corpus-vs-batch band join move only scalar
+      // columns — at ingest scale this is the persisted corpus band index
+      // (id + band + hash) joined against the batch's, and signatures may
+      // only ride the id-keyed re-attach joins
+      val bandShuffles = shuffles.filter(_.outputPartitioning.toString.contains("bhash"))
+      assert(bandShuffles.nonEmpty, "expected the cross-side (band, bhash) exchange")
+      bandShuffles.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"cross-side banded exchange must not carry signatures, found: " +
+            arrays.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("lang-id, ngram-jaccard, IVF plans carry no object-serde break") {
     // round-5: the last typed-map surfaces (classifyLang map, ngramJaccard
     // map, IVF assignment/probe closures) run as native doGenCode
