@@ -305,7 +305,14 @@ object Dedup {
     val cross = minhashPairsIncremental(spark, corpus, batch, idCol, textCol,
       k, bands, shingleN, threshold, bucketCap, materialize)
     val dropped = cross.select(col("batch_id").as("_dup_id")).distinct()
-    val remaining = batch.join(dropped, batch(idCol) === col("_dup_id"), "left_anti")
+    // materialized (iterative: never a no-op): `remaining` feeds BOTH the
+    // within-batch pair pipeline and the final keep anti-join — left
+    // unmaterialized, each consumer re-runs the cross band-join + verify,
+    // the ingest job's biggest shuffle (the r4-VERDICT connectedComponents
+    // recompute class)
+    val remaining = Materialize.iterative(
+      batch.join(dropped, batch(idCol) === col("_dup_id"), "left_anti"),
+      materialize)
     keepFirstByPairs(spark, remaining,
       minhashPairs(spark, remaining, idCol, textCol, k, bands, shingleN,
         threshold, bucketCap, materialize),
