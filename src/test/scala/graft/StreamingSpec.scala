@@ -192,6 +192,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static corpus matches equal the batch incremental pairs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static corpus = 12 originals; stream = 6 mutated twins (near-dup a
+    // corpus doc) + 6 docs with fresh vocabularies (no corpus overlap)
+    val corpusRows: Seq[(Long, Timestamp, String)] =
+      (1 to 12).map(i => (i.toLong, new Timestamp(T0 + i * 60000L), dupDoc(i, false)))
+    val streamRows: Seq[(Long, Timestamp, String)] =
+      (1 to 6).map(i => (i + 100L, new Timestamp(T0 + (30 + i) * 60000L), dupDoc(i, true))) ++
+        (7 to 12).map(i => (i + 100L, new Timestamp(T0 + (30 + i) * 60000L), dupDoc(i + 50, false)))
+    val corpus = corpusRows.toDF("doc_id", "warc_ts", "text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingPipeline.corpusDedupMatches(
+        mem.toDS().toDF("doc_id", "warc_ts", "text"), corpus, threshold = 0.5)
+      .writeStream.format("memory").queryName("csm_out").outputMode("append").start()
+    try {
+      val (first, second) = streamRows.splitAt(streamRows.size / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      // at-least-once across bands: distinct before comparing
+      val got = spark.sql("SELECT corpus_id, doc_id, est_jaccard FROM csm_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.ops.Dedup.minhashPairsIncremental(spark, corpus,
+          streamRows.toDF("doc_id", "warc_ts", "text"), threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.size == 6, s"batch must match exactly the 6 planted twins, got $want")
+      assert(got == want,
+        s"stream-static matches must equal the batch incremental pairs\n got=$got\nwant=$want")
+    } finally q.stop()
+  }
+
   test("near-dup bucket state expires past the horizon; cap keeps first arrivals") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
