@@ -75,7 +75,45 @@ object StreamParity {
       println(s"STREAMPARITY only_stream=${(streamed -- batch).take(5)}")
       println(s"STREAMPARITY only_batch=${(batch -- streamed).take(5)}")
     }
+
+    // ---- stream-static corpus dedup: stream even-id docs against the
+    // static odd-id corpus, same file-source micro-batching; distinct
+    // matches must equal the batch incremental operator's pairs ----
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val inDir2 = Files.createTempDirectory("sp_in2").toString
+    val out2 = Files.createTempDirectory("sp_out2").toString
+    val ckpt2 = Files.createTempDirectory("sp_ckpt2").toString
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .repartition(8).write.mode("overwrite").parquet(inDir2)
+    val t1 = System.nanoTime()
+    val src2 = spark.readStream
+      .schema("doc_id LONG, text STRING, warc_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(inDir2)
+    val q2 = StreamingPipeline.corpusDedupMatches(src2, corpus, threshold = 0.5)
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(300000)
+    val csWall = (System.nanoTime() - t1) / 1e9
+    val csStreamed = spark.read.parquet(out2)
+      .select(col("corpus_id"), col("doc_id"), col("est_jaccard")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val csBatch = Dedup.minhashPairsIncremental(spark, corpus,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(2)) === 0),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val csOk = csStreamed == csBatch
+    println(s"STREAMPARITY corpus_matches stream=${csStreamed.size} " +
+      s"batch=${csBatch.size} equal=$csOk wall=${f"$csWall%.1f"}s")
+    if (!csOk) {
+      println(s"STREAMPARITY only_stream=${(csStreamed -- csBatch).take(5)}")
+      println(s"STREAMPARITY only_batch=${(csBatch -- csStreamed).take(5)}")
+    }
     spark.stop()
     require(ok, "streaming pair set must equal the batch operator's")
+    require(csOk, "stream-static matches must equal the batch incremental pairs")
   }
 }
