@@ -278,6 +278,10 @@ object Dedup {
     val cands = salted(cBand).withColumnRenamed("id", "corpus_id")
       .join(salted(bBand).withColumnRenamed("id", "batch_id"),
         Seq("band", "bhash", "salt"))
+      // a doc resubmitted under its existing corpus id must not emit the
+      // degenerate self-pair (ids are expected globally unique; this is a
+      // no-op then)
+      .filter(col("corpus_id") =!= col("batch_id"))
       .select(col("corpus_id"), col("batch_id"))
       .distinct() // dedup across bands BEFORE the verify, still id-only
     val sa = cSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a"))
@@ -512,8 +516,11 @@ object Dedup {
     val labels = connectedComponents(spark, pairs, materialize = materialize)
     val withQ = labels.join(
       df.select(col(idCol).as("id"), col(qualityCol).as("_q")), Seq("id"))
+    // explicit null ordering: a null quality must never beat a real one
+    // (Spark's bare desc happens to be nulls-last, but engines differ —
+    // the oracle's DuckDB DESC is also nulls-last; keep both explicit)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id")).orderBy(col("_q").desc, col("id"))
+      .partitionBy(col("cluster_id")).orderBy(col("_q").desc_nulls_last, col("id"))
     val losers = withQ.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") > 1)
       .select(col("id").as("_loser_id"))

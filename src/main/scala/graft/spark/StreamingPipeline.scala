@@ -393,6 +393,8 @@ object StreamingPipeline {
       .toDF("doc_id", "ts", "sig", "band", "bhash")
     banded
       .join(cBand, Seq("band", "bhash"))
+      // a doc re-arriving under its corpus id must not match itself
+      .filter(col("corpus_id") =!= col("doc_id"))
       .join(cSigs, Seq("corpus_id"))
       .select(col("corpus_id"), col("doc_id"), col("ts"),
         (aggregate(zip_with(col("corpus_sig"), col("sig"),

@@ -121,6 +121,15 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expect)
   }
 
+  test("incremental dedup never emits a self-pair for a resubmitted id") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((7L, text)).toDF("doc_id", "text")
+    val batch = Seq((7L, text)).toDF("doc_id", "text") // same id re-arrives
+    assert(Dedup.minhashPairsIncremental(spark, corpus, batch, threshold = 0.5)
+      .collect().isEmpty)
+  }
+
   test("applyIncremental drops corpus-matched batch docs then self-dedupes the rest") {
     import spark.implicits._
     val textA = "the quick brown fox jumps over the lazy dog again"
