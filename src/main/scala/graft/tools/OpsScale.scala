@@ -115,6 +115,24 @@ object OpsScale {
     require(bestN == nClusters + (nDocs - nNodes),
       s"keep_best survivors ($bestN) must equal clusters ($nClusters) + unpaired (${nDocs - nNodes})")
 
+    // ---- incremental ingest under the same 10x dup load: corpus = copies
+    // 0..amp/2-1, batch = copies amp/2.. of every base doc. Every batch doc
+    // is a near-dup of some corpus doc by construction, so the applied
+    // ingest must drop (nearly) the whole batch — the recall observable —
+    // and the cross band-join must stay bounded like the self-join.
+    val half = amp / 2
+    val t2c = System.nanoTime()
+    val incCorpus = amped.filter(pmod(col("doc_id"), lit(amp.toLong)) < half)
+    val incBatch = amped.filter(pmod(col("doc_id"), lit(amp.toLong)) >= half)
+    val nBatch = incBatch.count()
+    val incKept = Dedup.applyIncremental(spark, incCorpus, incBatch,
+      threshold = 0.5).count()
+    val incWall = (System.nanoTime() - t2c) / 1e9
+    println(f"OPSSCALE incremental batch=$nBatch kept=$incKept wall=$incWall%.1fs " +
+      f"dropped_frac=${1.0 - incKept.toDouble / nBatch}%.4f")
+    require(incKept.toDouble / nBatch <= 0.05,
+      s"nearly every batch doc near-dups the corpus by construction; kept $incKept of $nBatch")
+
     // ---- CC at adversarial diameter: a 10k-node path graph ----
     // dup-cluster graphs are near-cliques (diameter 2-3); this is the
     // opposite extreme. Pointer jumping must converge in ~log2(10000)+O(1)

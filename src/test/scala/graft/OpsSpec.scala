@@ -284,6 +284,17 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh(Materialize.Reliable) == lshLocal)
     assert(lsh(Materialize.Recompute) == lshLocal)
     assert(lshLocal.nonEmpty)
+    // the composed incremental ingest (cross pipeline + within-batch
+    // keepFirst + the materialized remaining set) is strategy-invariant too
+    def incr(s: Materialize.Strategy) =
+      Dedup.applyIncremental(spark,
+        df.filter(col("doc_id") % 2 =!= 0), df.filter(col("doc_id") % 2 === 0),
+        threshold = 0.5, materialize = s)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val incrLocal = incr(Materialize.Local)
+    assert(incr(Materialize.Reliable) == incrLocal)
+    assert(incr(Materialize.Recompute) == incrLocal)
+    assert(incrLocal.nonEmpty)
   }
 
   test("simhash blocking finds exact duplicates (hamming 0)") {
