@@ -13,7 +13,8 @@ object QTime {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_ann_lsh", "q_dedup_minhash", "q_dedup_simhash", "q_ann_topk", "q_ann_ivf", "q_multimodal")
+      else Seq("q_ann_lsh", "q_dedup_minhash", "q_dedup_simhash", "q_ann_topk",
+        "q_ann_ivf", "q_multimodal", "q_dedup_apply", "q_dedup_incr_apply")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
