@@ -481,7 +481,7 @@ object SparkEntry {
       |       LATERAL (SELECT xor(z2, z2 // 134217728::HUGEINT) AS x2) l4,
       |       LATERAL (SELECT xor(((x2) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((x2) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT, (((x2) * 321982955::HUGEINT % 18446744073709551616::HUGEINT + ((x2) * 2496678331::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) // 2147483648::HUGEINT) AS h) l5
       |  GROUP BY doc_id, i),
-      |sigs AS (
+      |sigs AS MATERIALIZED (
       |  SELECT doc_id, list(slot ORDER BY i) AS sig,
       |    list(CAST(CASE WHEN slot < 0 THEN slot::HUGEINT + 18446744073709551616::HUGEINT
       |              ELSE slot::HUGEINT END AS HUGEINT) ORDER BY i) AS usig
@@ -499,7 +499,7 @@ object SparkEntry {
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bhashes a JOIN bhashes b
       |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-      |mh_pairs AS (
+      |mh_pairs AS MATERIALIZED (
       |  SELECT c.id_a, c.id_b,
       |    CAST(len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 64 AS est_jaccard
       |  FROM cands c
@@ -532,9 +532,9 @@ object SparkEntry {
       |planes AS (
       |  SELECT p, p // 12 AS tbl, p % 12 AS bit, list(comp ORDER BY d) AS plane
       |  FROM draws GROUP BY p),
-      |vecs AS (
+      |vecs AS MATERIALIZED (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |sigs AS (
+      |sigs AS MATERIALIZED (
       |  SELECT vec_id, tbl,
       |    CAST(sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), ii -> plane[ii] * v[ii])), (acc, x) -> acc + x) >= 0 THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
       |  FROM vecs, planes GROUP BY vec_id, tbl),
@@ -549,7 +549,7 @@ object SparkEntry {
       |  FROM cands c
       |  JOIN vecs sa ON sa.vec_id = c.id_a
       |  JOIN vecs sb ON sb.vec_id = c.id_b),
-      |lsh_pairs AS (
+      |lsh_pairs AS MATERIALIZED (
       |  SELECT id_a, id_b, cos FROM verified WHERE cos >= 0.35)""".stripMargin
 
   /** Recursive-CTE connected-components closure over a pair CTE (id_a,
@@ -559,10 +559,10 @@ object SparkEntry {
     * Final labels = `SELECT id, min(r) AS cluster_id FROM reach GROUP BY id`.
     */
   private def closureCtes(pairsCte: String): String =
-    s"""nodes AS (
+    s"""nodes AS MATERIALIZED (
        |  SELECT DISTINCT id FROM (
        |    SELECT id_a AS id FROM $pairsCte UNION ALL SELECT id_b FROM $pairsCte)),
-       |cedges AS (
+       |cedges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM $pairsCte
        |  UNION ALL SELECT id_b, id_a FROM $pairsCte),
        |reach(id, r) AS (
@@ -1150,13 +1150,13 @@ object SparkEntry {
     // closure losers over the pair set restricted to what remains
     "q_dedup_incr_apply" ->
       s"""$MinhashCtes,
-        |cross_dropped AS (
+        |cross_dropped AS MATERIALIZED (
         |  SELECT DISTINCT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS bid
         |  FROM mh_pairs WHERE (id_a % 2 = 0) <> (id_b % 2 = 0)),
-        |remaining AS (
+        |remaining AS MATERIALIZED (
         |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
         |    AND doc_id NOT IN (SELECT bid FROM cross_dropped)),
-        |batch_pairs AS (
+        |batch_pairs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM mh_pairs
         |  WHERE id_a IN (SELECT doc_id FROM remaining)
         |    AND id_b IN (SELECT doc_id FROM remaining)),

@@ -73,9 +73,9 @@ def oracle_sql(table="embeddings"):
 planes AS (
   SELECT p, p // {N_BITS} AS tbl, p % {N_BITS} AS bit, list(comp ORDER BY d) AS plane
   FROM draws GROUP BY p),
-vecs AS (
+vecs AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT vec_id, tbl,
     CAST(sum(CASE WHEN {dot_pv} >= 0 THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
   FROM vecs, planes GROUP BY vec_id, tbl),
@@ -101,12 +101,12 @@ def cluster_sql(table="embeddings"):
     base = oracle_sql(table)
     head, _tail = base.rsplit("\nSELECT id_a, id_b, cos FROM verified", 1)
     return f"""{head.replace("WITH draws", "WITH RECURSIVE draws", 1)},
-lsh_pairs AS (
+lsh_pairs AS MATERIALIZED (
   SELECT id_a, id_b, cos FROM verified WHERE cos >= {MIN_COS}),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT id FROM (
     SELECT id_a AS id FROM lsh_pairs UNION ALL SELECT id_b FROM lsh_pairs)),
-cedges AS (
+cedges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM lsh_pairs
   UNION ALL SELECT id_b, id_a FROM lsh_pairs),
 reach(id, r) AS (

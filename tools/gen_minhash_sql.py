@@ -82,7 +82,7 @@ slotrows AS (
   FROM (SELECT doc_id, b, unnest(range(0, 64)) AS i FROM bases) e,
        {slot_mix}
   GROUP BY doc_id, i),
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT doc_id, list(slot ORDER BY i) AS sig,
     list(CAST(CASE WHEN slot < 0 THEN slot::HUGEINT + {T}
               ELSE slot::HUGEINT END AS HUGEINT) ORDER BY i) AS usig
@@ -188,13 +188,13 @@ def cluster_sql(table="documents", threshold="0.5"):
     head = head.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
     head = head.rstrip()
     assert head.endswith(")"), head[-60:]
-    mh = head + ",\nmh_pairs AS (\n  SELECT c.id_a, c.id_b," + tail.rstrip() + ")"
+    mh = head + ",\nmh_pairs AS MATERIALIZED (\n  SELECT c.id_a, c.id_b," + tail.rstrip() + ")"
     # the final select became a CTE: its WHERE keeps the threshold filter
     return mh + """,
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT id FROM (
     SELECT id_a AS id FROM mh_pairs UNION ALL SELECT id_b FROM mh_pairs)),
-cedges AS (
+cedges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM mh_pairs
   UNION ALL SELECT id_b, id_a FROM mh_pairs),
 reach(id, r) AS (
