@@ -164,7 +164,7 @@ class Cell private[grid] (
   * lands in exactly one place (hand-rolled copies of the masks drifted
   * across three files before this object existed).
   */
-private[core] object SpanCodec {
+private[graft] object SpanCodec {
   final val MaxFrom = (1 << 26) - 1
   final val MaxLen = (1 << 18) - 1
   final val MaxTrim = (1 << 10) - 1

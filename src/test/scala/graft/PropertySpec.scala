@@ -32,6 +32,36 @@ class PropertySpec extends AnyFunSuite {
     g
   }
 
+  test("SpanCodec round-trips in-range spans and rejects out-of-range/negative") {
+    import graft.core.grid.SpanCodec
+    val inRange = for {
+      vFrom <- Gen.chooseNum(0, SpanCodec.MaxFrom)
+      vLen <- Gen.chooseNum(0, SpanCodec.MaxLen)
+      lT <- Gen.chooseNum(0, SpanCodec.MaxTrim)
+      rT <- Gen.chooseNum(0, SpanCodec.MaxTrim)
+    } yield (vFrom, vLen, lT, rT)
+    check(Prop.forAll(inRange) { case (vFrom, vLen, lT, rT) =>
+      val enc = SpanCodec.encodeIdentity(vFrom - lT, vFrom + vLen + rT, vFrom, vFrom + vLen)
+      enc != SpanCodec.Invalid &&
+        SpanCodec.vFrom(enc) == vFrom && SpanCodec.vLen(enc) == vLen &&
+        SpanCodec.lTrim(enc) == lT && SpanCodec.rTrim(enc) == rT &&
+        SpanCodec.vUntil(enc) == vFrom + vLen
+    })
+    // out-of-range or inverted fields must yield Invalid (the caller falls
+    // back to materialized strings), never a garbage encoding
+    assert(SpanCodec.encodeIdentity(0, 3, 1, 5) == SpanCodec.Invalid) // rUntil < vUntil (negative rTrim)
+    assert(SpanCodec.encodeIdentity(2, 5, 1, 5) == SpanCodec.Invalid) // vFrom < rFrom (negative lTrim)
+    assert(SpanCodec.encodeIdentity(0, 5, 3, 2) == SpanCodec.Invalid) // vUntil < vFrom (negative len)
+    assert(SpanCodec.encodeIdentity(-5, -1, -4, -2) == SpanCodec.Invalid) // negative offsets
+    assert(SpanCodec.encodeIdentity(0, SpanCodec.MaxLen + 2, 0,
+      SpanCodec.MaxLen + 2) == SpanCodec.Invalid) // oversize value
+    assert(SpanCodec.encodeRaw(-3, 2) == SpanCodec.Invalid)
+    assert(SpanCodec.encodeRaw(4, 2) == SpanCodec.Invalid)
+    val raw = SpanCodec.encodeRaw(7, 12)
+    assert(raw != SpanCodec.Invalid && SpanCodec.vFrom(raw) == 7 &&
+      SpanCodec.vUntil(raw) == 12 && SpanCodec.lTrim(raw) == 0 && SpanCodec.rTrim(raw) == 0)
+  }
+
   test("fast-path decode == strict UTF-8 decode contract") {
     // the Encoding.decode fast path must agree with a plain UTF-8 decode
     // whenever its guard holds (no BOM, no NUL in the first 1 KB, strictly
