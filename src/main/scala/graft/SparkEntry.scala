@@ -278,7 +278,10 @@ object SparkEntry {
     // jaccard estimate) in exact mod-2^64 hugeint arithmetic — generated +
     // cross-validated by tools/gen_minhash_sql.py
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(s, t(s, dir, "documents"), threshold = 0.5)),
+      // operators return unsorted (their consumers are joins); determinism
+      // sorts live here at the query surface
+      Dedup.minhashPairs(s, t(s, dir, "documents"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
     // the APPLY step of near-dedup: connected components over the minhash
     // pair set (near-dup similarity is not transitive — components, not
     // pairs, are the dedup unit). Min-label propagation + pointer jumping,
@@ -287,7 +290,8 @@ object SparkEntry {
     // replayed pair set.
     "q_dedup_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(s,
-        Dedup.minhashPairs(s, t(s, dir, "documents"), threshold = 0.5))),
+        Dedup.minhashPairs(s, t(s, dir, "documents"), threshold = 0.5))
+        .orderBy(col("id"))),
     // near-dedup APPLIED: the kept corpus (min-id survivor per component +
     // all unpaired docs) — the near-dup analogue of q_dedup_keep
     "q_dedup_apply" -> ((s, dir) => {
@@ -321,6 +325,7 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         threshold = 0.5)
+        .orderBy(col("corpus_id"), col("batch_id"))
     }),
     // the applied ingest step: drop batch docs near-duping the corpus,
     // then min-id self-dedupe what remains within the batch
@@ -338,7 +343,8 @@ object SparkEntry {
     // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
     // exact 32-bit-limb mod-2^64 arithmetic, bit voting, hamming join)
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(s, t(s, dir, "documents"), maxHamming = 3)),
+      Dedup.simhashPairs(s, t(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
     // exact n-gram Jaccard (the dedup verification stage) oracle-checked
     // end to end on a deterministic pair set (each doc vs its successor):
     // the DuckDB oracle replays word 3-shingling and the set Jaccard with
@@ -391,7 +397,8 @@ object SparkEntry {
     // not approximations. Generated + validated by tools/gen_lsh_sql.py.
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearNeighbors(s, t(s, dir, "embeddings"), nBits = 12, nTables = 16,
-        minCosine = 0.35)),
+        minCosine = 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
     // embedding-cosine near-dedup, CLUSTER step: connected components over
     // the LSH-verified cosine pair set (composition of two verified
     // operators — lshNearNeighbors emits the edges, connectedComponents the
@@ -403,7 +410,8 @@ object SparkEntry {
     "q_dedup_cosine_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(s,
         Similarity.lshNearNeighbors(s, t(s, dir, "embeddings"),
-          nBits = 12, nTables = 16, minCosine = 0.35))),
+          nBits = 12, nTables = 16, minCosine = 0.35))
+        .orderBy(col("id"))),
     // embedding-cosine near-dedup APPLIED: the kept vector corpus (min-id
     // survivor per cosine component + all unpaired vectors) — the
     // embedding-space analogue of q_dedup_apply, keyed by vec_id

@@ -211,13 +211,16 @@ object Dedup {
 
     val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    // UNSORTED by design: this is an operator return value consumed by
+    // joins/CC downstream (keepFirstByPairs, applyIncremental) — a tail
+    // orderBy would pay a range exchange + sort the next join immediately
+    // destroys. Determinism sorts belong at the query surface (SparkEntry).
     pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / lit(k)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Incremental MinHash-LSH: near-dup pairs BETWEEN a new batch and an
@@ -286,13 +289,14 @@ object Dedup {
       .distinct() // dedup across bands BEFORE the verify, still id-only
     val sa = cSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a"))
     val sb = bSigs.select(col("id").as("batch_id"), col("sig").as("sig_b"))
+    // unsorted operator return (see minhashPairs): applyIncremental joins
+    // this immediately — surface queries add their own orderBy
     cands.join(sa, Seq("corpus_id")).join(sb, Seq("batch_id"))
       .select(col("corpus_id"), col("batch_id"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / lit(k)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .orderBy(col("corpus_id"), col("batch_id"))
   }
 
   /** Incremental near-dedup APPLIED: drop batch docs that near-dup the
@@ -385,8 +389,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
-      .orderBy(col("id_a"), col("id_b"))
+      .distinct() // unsorted operator return (see minhashPairs)
   }
 
   /** Connected components over near-duplicate pair edges — the APPLY step
@@ -477,8 +480,10 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
           "raise maxIter (pointer jumping needs ~log2(diameter)+2 rounds)")
-    (labels.select(col("id"), col("label").as("cluster_id"))
-      .orderBy(col("id")), iter)
+    // unsorted operator return: keepFirstByPairs/keepBestByPairs filter and
+    // join the labels immediately — a tail sort here cost a range exchange
+    // on every composed apply (surface queries add their own orderBy)
+    (labels.select(col("id"), col("label").as("cluster_id")), iter)
   }
 
   /** Near-dedup APPLIED end to end: keep the min-id survivor of every

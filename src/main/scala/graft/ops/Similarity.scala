@@ -175,12 +175,15 @@ object Similarity {
     // wire once per side per candidate, not once per (table × member)
     val va = vecs.select(col("id").as("id_a"), col("v").as("v_a"))
     val vb = vecs.select(col("id").as("id_b"), col("v").as("v_b"))
+    // UNSORTED operator return: the cosine dedup family (connectedComponents
+    // → keepFirst/keepBest) joins this pair set immediately — a tail orderBy
+    // would pay a range exchange + sort the join destroys. Surface queries
+    // (q_ann_lsh) add their own determinism sort.
     pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", round(cosine(col("v_a").cast("array<double>"),
         col("v_b").cast("array<double>")), 6))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   // ---- IVF (inverted-file) top-k: the query-centric ANN scale path ----

@@ -272,6 +272,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("composed apply paths carry no operator-tail sort into their joins") {
+    // operators return UNSORTED (round 6): a tail orderBy on minhashPairs /
+    // connectedComponents / lshNearNeighbors made every composed apply
+    // (keepFirst/keepBest/applyIncremental/cosine family) pay a range
+    // exchange + global sort that the next join immediately destroyed.
+    // RangePartitioning only enters a plan through orderBy, so its absence
+    // pins the fix (SMJ hash-partitioned SortExecs are legitimate and stay).
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kept = Dedup.keepFirstByPairs(spark, docs,
+      Dedup.minhashPairs(spark, docs, threshold = 0.5))
+    kept.collect() // finalize AQE stages so all exchanges are visible
+    val ranges = nodes(kept).collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(ranges.isEmpty,
+      s"no range exchange may feed the apply-path joins, found: $ranges")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cosKept = Dedup.keepFirstByPairs(spark, emb,
+      Similarity.lshNearNeighbors(spark, emb, nBits = 12, nTables = 16,
+        minCosine = 0.35), idCol = "vec_id")
+    cosKept.collect()
+    assert(nodes(cosKept).collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }.isEmpty, "cosine apply path must not range-exchange either")
+  }
+
   test("keepFirst equals the anti-join formulation") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val viaWindow = Dedup.keepFirst(docs).select(col("doc_id")).collect().map(_.getLong(0)).sorted
