@@ -151,8 +151,12 @@ object Bench {
     val validPairs = pairSamples.filter { case (n, n4, (_, cN), (_, c4N)) =>
       cN <= cleanCpu(n) * 1.3 && c4N <= cleanCpu(n4) * 1.3
     }
+    // a fully contended window can reject EVERY pair (each level's min sits
+    // >1.3x above some sample) — fall back to the unfiltered median rather
+    // than crashing the run and losing the driver's one JSON line
     val efficiencyPairsValid =
-      median(validPairs.map { case (_, _, (_, cN), (_, c4N)) => cN / c4N })
+      if (validPairs.isEmpty) efficiencyPairs
+      else median(validPairs.map { case (_, _, (_, cN), (_, c4N)) => cN / c4N })
     val ratiosJson = pairSamples.map { case (n, n4, (tN, cN), (t4N, c4N)) =>
       f"{\"pair\":\"$n->$n4\",\"eff_wall\":${(tN / t4N) / 4.0}%.3f,\"eff_cpu\":${cN / c4N}%.3f}"
     }.mkString("[", ",", "]")
@@ -240,26 +244,52 @@ object Bench {
     }.mkString("[", ",", "]")
 
     // ---- phase 3: headline queries at the driver-selected parallelism ----
+    // wall AND per-query task-CPU: wall in a steal-contended window inflated
+    // untouched trivial queries 1.7-1.9x in round 5, making round-over-round
+    // per-query comparison guesswork; task-CPU is steal-invariant, so
+    // regressions are attributable to code, not the window
     val s = session(cpus)
     s.range(1000).selectExpr("sum(id)").collect() // absorb session init cost
+    val qCpuNs = new AtomicLong()
+    s.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null) qCpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+      }
+    })
+    // the listener bus is async: poll until the counter stabilizes so task
+    // CPU attributes to the query that spent it, not its successor
+    def drainedCpu(): Long = {
+      var prev = -1L
+      var cur = qCpuNs.get()
+      var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(25); prev = cur; cur = qCpuNs.get(); spins += 1
+      }
+      cur
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      drainedCpu(); qCpuNs.set(0L)
       val t0 = System.nanoTime()
       val ok =
         try { fn(s, sfDir).count(); true }
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"BENCH query $name FAILED: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val cpu = drainedCpu() / 1e9
       // failed queries publish NEGATIVE seconds so a broken query can never
       // masquerade as a fast one
-      (name, if (ok) dt else -dt)
+      (name, if (ok) dt else -dt, cpu)
     }
     s.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val qsCpu = results.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(r => math.abs(r._2)).sum
+    val totalCpu = results.map(_._3).sum
 
     val extra =
       f""""extract":{"docs":$docs,"html_mb":${htmlBytes / 1e6}%.1f,""" +
@@ -282,6 +312,7 @@ object Bench {
       f""""scaling_efficiency":$efficiency%.3f}"""
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""total_cpu":$totalCpu%.1f,"queries_cpu":$qsCpu,""" +
       s""""query_errors":$errors,"sf":"$sfDir",$extra}""")
 
     val bench =
@@ -441,9 +472,14 @@ object Bench {
          |measured back-to-back inside one noise window; published wall times
          |come from the lower-median pair described above.
          |
-         |Per-query seconds (local[$cpus], sf dir `$sfDir`; negative = FAILED):
+         |Per-query wall + task-CPU seconds (local[$cpus], sf dir `$sfDir`;
+         |negative wall = FAILED). Compare CPU across rounds, not wall: wall
+         |in a steal-contended window inflated untouched trivial queries
+         |1.7-1.9x in round 5, while task-CPU is steal-invariant (it still
+         |counts memory-stall cycles, so only same-subscription runs compare):
          |
-         |${results.map { case (k, v) => s"- $k: ${f"$v%.3f"}s" }.mkString("\n")}
+         |${results.map { case (k, v, c) =>
+             s"- $k: ${f"$v%.3f"}s wall, ${f"$c%.3f"}s cpu" }.mkString("\n")}
          |""".stripMargin
     try Files.writeString(Paths.get("/root/repo/BENCH.md"), bench)
     catch { case _: Throwable => () }

@@ -338,6 +338,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // exact-dup pre-pass (min-id per sha256) then minhash near-dedup of the
+    // survivors — the composed crawl-corpus pipeline the bucketCap scaladoc
+    // prescribes. Provably survivor-identical to q_dedup_apply while the
+    // cap is inert (identical texts => identical signatures => exact-dup
+    // classes are est-1.0 cliques whose non-min members change no component
+    // min and break no connectivity), so the oracle is the SAME replayed
+    // closure as q_dedup_apply — an independent engine-level cross-check of
+    // that equivalence, not a replay of the operator's own two-phase shape.
+    "q_dedup_two_phase" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepFirstTwoPhase(s, docs, threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // oracle-checked end to end: the pigeonhole blocking is complete for
     // hamming <= 3, so the output equals ALL pairs at that distance and the
     // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
@@ -1189,6 +1203,17 @@ object SparkEntry {
         |  WHERE rk > 1)
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM best_losers)
+        |ORDER BY doc_id""".stripMargin,
+    // the two-phase (exact pre-pass + minhash) survivors equal the plain
+    // near-dedup apply set while the bucket cap is inert — the oracle IS
+    // q_dedup_apply's replayed closure, checking the equivalence the
+    // operator's scaladoc proves rather than replaying its two-phase shape
+    "q_dedup_two_phase" ->
+      s"""$MinhashCtes,
+        |${closureCtes("mh_pairs")},
+        |$ClosureLosers
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin,
     // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
     // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)

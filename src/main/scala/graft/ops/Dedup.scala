@@ -137,6 +137,48 @@ object Dedup {
     out
   }
 
+  /** Build a [[MinhashIndex]] for a corpus: map-side signatures and the
+    * banded candidate index, both materialized.
+    *
+    * Materialization: the signatures feed the banding and both verify
+    * re-attach sides; the banded stream feeds three plan branches (the
+    * oversized-bucket aggregate + both self-join sides) — unmaterialized,
+    * the (expensive) shingling and the band fold re-run per branch.
+    * Durability/cost policy is explicit — see [[Materialize]].
+    *
+    * Content-free docs (null/empty/whitespace-only text) have an EMPTY
+    * signature and are dropped before banding: they carry no content
+    * signal, and as a shared-signature class they would all collide into
+    * one band bucket — an O(n²) pair cross-product and a shuffle-skew
+    * bomb at corpus scale.
+    */
+  def minhashIndex(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      materialize: Materialize.Strategy = Materialize.fromEnv): MinhashIndex = {
+    require(k % bands == 0, "k must be divisible by bands")
+    import graft.functions.DedupFunctions
+    val sigs = Materialize(df.select(col(idCol).cast("long").as("id"),
+        DedupFunctions.minhashSig(coalesce(col(textCol), lit("")), k, shingleN).as("sig"))
+      .filter(size(col("sig")) > 0),
+      materialize)
+    indexFromSigs(sigs, k, bands, shingleN, materialize)
+  }
+
+  /** Re-band a precomputed (id, sig) signature set — the cheap per-row fold,
+    * NO tokenize/shingle pass. This is the signature-level entry that lets
+    * [[applyIncrementalFromIndex]] reuse the batch signatures it already
+    * computed instead of re-shingling the surviving docs from text.
+    */
+  def indexFromSigs(sigs: DataFrame, k: Int, bands: Int, shingleN: Int,
+      materialize: Materialize.Strategy = Materialize.fromEnv): MinhashIndex = {
+    import graft.functions.DedupFunctions
+    val banded = Materialize(sigs.select(col("id"),
+        posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
+      .toDF("id", "band", "bhash"),
+      materialize)
+    MinhashIndex(sigs, banded, k, bands, shingleN)
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * signatures (native Catalyst expression — whole-stage codegen, no
@@ -154,31 +196,19 @@ object Dedup {
   def minhashPairs(spark: SparkSession, df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       threshold: Double = 0.8, bucketCap: Int = 65536,
-      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    require(bucketCap > 0, "bucketCap > 0")
-    import graft.functions.DedupFunctions
-    // materialized: the banding and both re-attach sides re-derive from
-    // the signatures; eager materialization runs the (expensive) shingling
-    // once. Durability/cost policy is explicit — see [[Materialize]].
-    // content-free docs (null/empty/whitespace-only text) have an EMPTY
-    // signature and are dropped before banding: they carry no content
-    // signal, and as a shared-signature class they would all collide into
-    // one band bucket — an O(n²) pair cross-product and a shuffle-skew
-    // bomb at corpus scale
-    val sigs = Materialize(df.select(col(idCol).cast("long").as("id"),
-        DedupFunctions.minhashSig(coalesce(col(textCol), lit("")), k, shingleN).as("sig"))
-      .filter(size(col("sig")) > 0),
-      materialize)
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame =
+    minhashPairsOfIndex(
+      minhashIndex(spark, df, idCol, textCol, k, bands, shingleN, materialize),
+      threshold, bucketCap)
 
-    // materialized: the banded stream feeds THREE plan branches (the
-    // oversized-bucket aggregate + both self-join sides) — without this the
-    // per-doc band fold and explode re-run per branch (same treatment as
-    // lshNearNeighbors' sigged)
-    val banded = Materialize(sigs.select(col("id"),
-        posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
-      .toDF("id", "band", "bhash"),
-      materialize)
+  /** [[minhashPairs]] from a prebuilt (or [[MinhashIndex.load]]ed) index —
+    * the signature-level self-join entry point.
+    */
+  def minhashPairsOfIndex(idx: MinhashIndex, threshold: Double = 0.8,
+      bucketCap: Int = 65536): DataFrame = {
+    require(bucketCap > 0, "bucketCap > 0")
+    val k = idx.k
+    val banded = idx.banded
 
     // bucket-size cap (the lshNearNeighbors analogue): buckets are tiny on
     // clean data (band equality needs 4 identical signature slots), but a
@@ -209,8 +239,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct() // dedup across bands BEFORE the verify: 16 bytes/pair
 
-    val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val sa = idx.sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = idx.sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     // UNSORTED by design: this is an operator return value consumed by
     // joins/CC downstream (keepFirstByPairs, applyIncremental) — a tail
     // orderBy would pay a range exchange + sort the next join immediately
@@ -229,9 +259,13 @@ object Dedup {
     * on every ingest (O(corpus²) candidate work per day for pairs that are
     * already known); this variant band-joins the batch's band index against
     * the corpus's, so per ingest the candidate work is O(batch × collision
-    * rate), and the corpus-side band index is exactly what a production
-    * pipeline PERSISTS between runs (the materialized `banded` stream:
-    * id + band + 8-byte hash — no text, no signatures on the wire).
+    * rate). The corpus-side index is what a production pipeline PERSISTS
+    * between runs ([[MinhashIndex.write]]/[[MinhashIndex.load]] +
+    * [[minhashPairsBetween]]): corpus signatures are computed once, and
+    * every subsequent ingest pays zero corpus-side map work — the corpus
+    * side is a scalar parquet scan (id + band + 8-byte hash; no text, no
+    * signatures on the candidate wire). This convenience overload builds
+    * both indexes from text.
     *
     * Pair semantics are [[minhashPairs]] restricted to corpus×batch pairs:
     * candidates = any shared band bucket, verified with the same
@@ -249,26 +283,30 @@ object Dedup {
       batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 64, bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.8,
       bucketCap: Int = 65536,
-      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame =
+    minhashPairsBetween(
+      minhashIndex(spark, corpus, idCol, textCol, k, bands, shingleN, materialize),
+      minhashIndex(spark, batch, idCol, textCol, k, bands, shingleN, materialize),
+      threshold, bucketCap)
+
+  /** [[minhashPairsIncremental]] from prebuilt indexes — the production
+    * entry: `corpusIdx` is [[MinhashIndex.load]]ed from the persisted
+    * artifact, so the ingest pays ZERO corpus-side map work (no tokenize,
+    * no shingle, no signature — the corpus side is a parquet scan of
+    * scalar rows). Returns (corpus_id, batch_id, est_jaccard), unsorted.
+    */
+  def minhashPairsBetween(corpusIdx: MinhashIndex, batchIdx: MinhashIndex,
+      threshold: Double = 0.8, bucketCap: Int = 65536): DataFrame = {
+    require(corpusIdx.k == batchIdx.k && corpusIdx.bands == batchIdx.bands &&
+        corpusIdx.shingleN == batchIdx.shingleN,
+      s"index parameter mismatch: corpus (k=${corpusIdx.k}, bands=${corpusIdx.bands}, " +
+        s"shingleN=${corpusIdx.shingleN}) vs batch (k=${batchIdx.k}, " +
+        s"bands=${batchIdx.bands}, shingleN=${batchIdx.shingleN})")
     require(bucketCap > 0, "bucketCap > 0")
-    import graft.functions.DedupFunctions
-    def sigsOf(df: DataFrame) = Materialize(
-      df.select(col(idCol).cast("long").as("id"),
-          DedupFunctions.minhashSig(coalesce(col(textCol), lit("")), k, shingleN).as("sig"))
-        .filter(size(col("sig")) > 0),
-      materialize)
-    def bandedOf(s: DataFrame) = Materialize(
-      s.select(col("id"),
-          posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
-        .toDF("id", "band", "bhash"),
-      materialize)
-    val cSigs = sigsOf(corpus)
-    val bSigs = sigsOf(batch)
-    val cBand = bandedOf(cSigs) // the persistable corpus band index
-    val bBand = bandedOf(bSigs)
-    val oversized = cBand.select(col("band"), col("bhash"))
-      .union(bBand.select(col("band"), col("bhash")))
+    val k = corpusIdx.k
+    // the oversized count is taken over the COMBINED bucket population
+    val oversized = corpusIdx.banded.select(col("band"), col("bhash"))
+      .union(batchIdx.banded.select(col("band"), col("bhash")))
       .groupBy(col("band"), col("bhash")).agg(count(lit(1)).as("bn"))
       .filter(col("bn") > bucketCap)
       .withColumn("nsplit", ceil(col("bn") / bucketCap).cast("int"))
@@ -278,8 +316,8 @@ object Dedup {
         when(col("nsplit").isNull, lit(0))
           .otherwise(pmod(xxhash64(col("id"), col("band")), col("nsplit")).cast("int")))
       .select(col("band"), col("bhash"), col("salt"), col("id"))
-    val cands = salted(cBand).withColumnRenamed("id", "corpus_id")
-      .join(salted(bBand).withColumnRenamed("id", "batch_id"),
+    val cands = salted(corpusIdx.banded).withColumnRenamed("id", "corpus_id")
+      .join(salted(batchIdx.banded).withColumnRenamed("id", "batch_id"),
         Seq("band", "bhash", "salt"))
       // a doc resubmitted under its existing corpus id must not emit the
       // degenerate self-pair (ids are expected globally unique; this is a
@@ -287,8 +325,8 @@ object Dedup {
       .filter(col("corpus_id") =!= col("batch_id"))
       .select(col("corpus_id"), col("batch_id"))
       .distinct() // dedup across bands BEFORE the verify, still id-only
-    val sa = cSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a"))
-    val sb = bSigs.select(col("id").as("batch_id"), col("sig").as("sig_b"))
+    val sa = corpusIdx.sigs.select(col("id").as("corpus_id"), col("sig").as("sig_a"))
+    val sb = batchIdx.sigs.select(col("id").as("batch_id"), col("sig").as("sig_b"))
     // unsorted operator return (see minhashPairs): applyIncremental joins
     // this immediately — surface queries add their own orderBy
     cands.join(sa, Seq("corpus_id")).join(sb, Seq("batch_id"))
@@ -309,22 +347,100 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
       bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.8,
       bucketCap: Int = 65536,
-      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
-    val cross = minhashPairsIncremental(spark, corpus, batch, idCol, textCol,
-      k, bands, shingleN, threshold, bucketCap, materialize)
-    val dropped = cross.select(col("batch_id").as("_dup_id")).distinct()
-    // materialized (iterative: never a no-op): `remaining` feeds BOTH the
-    // within-batch pair pipeline and the final keep anti-join — left
-    // unmaterialized, each consumer re-runs the cross band-join + verify,
-    // the ingest job's biggest shuffle (the r4-VERDICT connectedComponents
-    // recompute class)
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame =
+    applyIncrementalFromIndex(spark,
+      minhashIndex(spark, corpus, idCol, textCol, k, bands, shingleN, materialize),
+      batch, idCol, textCol, threshold, bucketCap, materialize)
+
+  /** [[applyIncremental]] against a prebuilt (usually [[MinhashIndex.load]]ed)
+    * corpus index — the production daily-ingest entry: zero corpus-side map
+    * work per ingest, and the batch is signatured exactly ONCE (the in-batch
+    * self-dedup re-bands the already-computed batch signatures instead of
+    * re-shingling the surviving docs from text).
+    */
+  def applyIncrementalFromIndex(spark: SparkSession, corpusIdx: MinhashIndex,
+      batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, bucketCap: Int = 65536,
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame =
+    ingestIncremental(spark, corpusIdx, batch, idCol, textCol, threshold,
+      bucketCap, materialize).survivors
+
+  /** One incremental-ingest step, with per-doc verdicts.
+    *
+    *  - `survivors`: the batch rows that join the corpus (applyIncremental's
+    *    output — input columns preserved).
+    *  - `verdicts`: one row per batch doc — (id, verdict, match_id) with
+    *    verdict ∈ {kept, dropped_corpus, dropped_batch}: `dropped_corpus`
+    *    carries the lowest matching corpus id, `dropped_batch` the
+    *    component survivor kept in its place, `kept` a null match_id.
+    *    Content-free docs are always kept (no signature, nothing to match).
+    *  - `batchIndex`: the batch-side [[MinhashIndex]] restricted to the
+    *    SURVIVORS — exactly the delta a production pipeline
+    *    [[MinhashIndex.appendSegment]]s onto the corpus index after the
+    *    ingest commits (signatures are reused, never recomputed).
+    */
+  final case class IngestResult(survivors: DataFrame, verdicts: DataFrame,
+      batchIndex: MinhashIndex)
+
+  def ingestIncremental(spark: SparkSession, corpusIdx: MinhashIndex,
+      batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, bucketCap: Int = 65536,
+      materialize: Materialize.Strategy = Materialize.fromEnv): IngestResult = {
+    // the batch is signatured ONCE, here; every later stage (cross verify,
+    // in-batch self-dedup, the appendable survivor delta) reuses these sigs
+    val bIdx = minhashIndex(spark, batch, idCol, textCol, corpusIdx.k,
+      corpusIdx.bands, corpusIdx.shingleN, materialize)
+    val cross = minhashPairsBetween(corpusIdx, bIdx, threshold, bucketCap)
+    // materialized (iterative: never a no-op): the corpus-drop verdict set
+    // feeds the remaining anti-join, the signature filter AND the verdict
+    // union — left unmaterialized, each consumer re-runs the cross
+    // band-join + verify, the ingest job's biggest shuffle (the r4-VERDICT
+    // connectedComponents recompute class)
+    val corpusDrops = Materialize.iterative(
+      cross.groupBy(col("batch_id").as("_dup_id"))
+        .agg(min(col("corpus_id")).as("_match_id")),
+      materialize)
+    val dropped = corpusDrops.select(col("_dup_id"))
     val remaining = Materialize.iterative(
       batch.join(dropped, batch(idCol) === col("_dup_id"), "left_anti"),
       materialize)
-    keepFirstByPairs(spark, remaining,
-      minhashPairs(spark, remaining, idCol, textCol, k, bands, shingleN,
-        threshold, bucketCap, materialize),
-      idCol, materialize)
+    // in-batch self-dedup at the SIGNATURE level: restrict the batch index
+    // to surviving docs (one id-keyed anti-join of 1-row-per-doc sigs) and
+    // re-band — no second tokenize+shingle pass over the batch text
+    val remSigs = bIdx.sigs.join(dropped, col("id") === col("_dup_id"), "left_anti")
+    val remIdx = indexFromSigs(remSigs, bIdx.k, bIdx.bands, bIdx.shingleN, materialize)
+    val inBatch = minhashPairsOfIndex(remIdx, threshold, bucketCap)
+    val labels = connectedComponents(spark, inBatch, materialize = materialize)
+    val losers = Materialize.iterative(
+      labels.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("_loser_id"), col("cluster_id").as("_match_id")),
+      materialize)
+    val survivors = remaining.join(losers,
+      remaining(idCol) === col("_loser_id"), "left_anti")
+    val batchIds = batch.select(col(idCol).cast("long").as("id"))
+    val verdicts = batchIds
+      .join(corpusDrops, batchIds("id") === col("_dup_id"), "left")
+      .join(losers.withColumnRenamed("_match_id", "_bmatch_id"),
+        batchIds("id") === col("_loser_id"), "left")
+      .select(col("id"),
+        when(col("_dup_id").isNotNull, lit("dropped_corpus"))
+          .when(col("_loser_id").isNotNull, lit("dropped_batch"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("_match_id"), col("_bmatch_id")).as("match_id"))
+    // the appendable delta: survivors' signatures (kept content-free docs
+    // have no signature and correctly stay out of the index). One id-keyed
+    // anti-join of the 1-row-per-doc sigs, then the cheap band fold —
+    // NOT a filter of the bands-amplified stream. Unmaterialized: the
+    // delta has exactly one consumer (the appendSegment parquet write).
+    val survivorSigs = remSigs.join(losers, col("id") === col("_loser_id"), "left_anti")
+    val survivorIdx = MinhashIndex(
+      survivorSigs,
+      survivorSigs.select(col("id"),
+          posexplode(graft.functions.DedupFunctions
+            .minhashBandHashes(col("sig"), bIdx.bands)))
+        .toDF("id", "band", "bhash"),
+      bIdx.k, bIdx.bands, bIdx.shingleN)
+    IngestResult(survivors, verdicts, survivorIdx)
   }
 
   // ---- SimHash ----
@@ -530,6 +646,50 @@ object Dedup {
       .filter(col("_rk") > 1)
       .select(col("id").as("_loser_id"))
     df.join(losers, df(idCol) === col("_loser_id"), "left_anti")
+  }
+
+  /** Near-dedup applied with an EXACT-DUP PRE-PASS: drop exact duplicates
+    * (min-id survivor per sha256) first, then minhash near-dedup the
+    * survivors — the composed pipeline the bucketCap scaladoc prescribes
+    * for crawl corpora ("exact-dedup first for massive clone classes").
+    *
+    * Provably survivor-identical to
+    * `keepFirstByPairs(df, minhashPairs(df))` while no bucket overflows the
+    * cap: identical texts have identical signatures, so an exact-dup class
+    * is a minhash clique at est_jaccard 1.0 ≥ threshold (thresholds are
+    * ≤ 1), and dropping its non-min members neither changes any component's
+    * min id (the exact pre-pass keeps exactly the min) nor disconnects
+    * anything (every edge through a dropped member exists through its kept
+    * exact-twin, whose signature — hence banding — is identical). Under an
+    * OVERFLOWING cap the composed form is strictly better, which is the
+    * point: a million-document clone class never reaches the banding at
+    * all, so no oversized buckets, no salting recall loss
+    * (1-((ns-1)/ns)^bands decays once nsplit grows), and the candidate
+    * funnel shrinks by the full quadratic clone mass.
+    *
+    * Scale shape: the pre-pass is ONE narrow window shuffle keyed by the
+    * text hash carrying (id, hash) only, and the materialized artifact is
+    * the O(exact-duplicates) loser-id set — never the kept corpus (whose
+    * text would otherwise sit in checkpoint storage); the kept corpus is
+    * re-derived per consumer as a cheap anti-join off the base scan.
+    */
+  def keepFirstTwoPhase(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
+      bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.8,
+      bucketCap: Int = 65536,
+      materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_th"))
+    val exactLosers = Materialize(
+      df.select(col(idCol).as("_xid"), sha2(col(textCol), 256).as("_th"))
+        .withColumn("_keep", min(col("_xid")).over(w))
+        .filter(col("_xid") =!= col("_keep"))
+        .select(col("_xid")),
+      materialize)
+    val exactKept = df.join(exactLosers, df(idCol) === col("_xid"), "left_anti")
+    keepFirstByPairs(spark, exactKept,
+      minhashPairs(spark, exactKept, idCol, textCol, k, bands, shingleN,
+        threshold, bucketCap, materialize),
+      idCol, materialize)
   }
 
   /** Exact n-gram Jaccard for a candidate pair set (verification stage). */

@@ -403,6 +403,83 @@ object StreamingPipeline {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** One dedup-ingest micro-batch against the PERSISTED corpus index: the
+    * unit of [[dedupApplyStream]], callable directly for scheduled (cron)
+    * daily ingests. Runs [[graft.ops.Dedup.ingestIncremental]] against the
+    * index at `indexDir`, writes per-doc verdicts and the surviving rows to
+    * segment-keyed parquet directories under `outDir`, then appends the
+    * survivors' signatures to the index ([[graft.ops.MinhashIndex.appendSegment]]).
+    *
+    * Idempotent under `segment` (crash/restart contract): the index append
+    * is the COMMIT POINT and runs last. A replay after a crash before the
+    * append recomputes against the unchanged index (same verdicts — the
+    * pipeline is deterministic) and overwrites the same output directories;
+    * a replay after the append is a no-op (returns false) — recomputing
+    * would be WRONG, the batch would match its own survivors in the grown
+    * index. Readers of `outDir` see only segments whose index append
+    * committed or whose outputs are complete — at-least-once visibility of
+    * the final attempt's files, exactly the parquet-sink contract.
+    *
+    * Returns true if the segment was processed, false if already committed.
+    */
+  def ingestMicroBatch(batch: DataFrame, indexDir: String, outDir: String,
+      segment: String, idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, bucketCap: Int = 65536): Boolean = {
+    import graft.ops.{Dedup, MinhashIndex}
+    if (MinhashIndex.readMeta(indexDir).segments.contains(segment)) return false
+    val spark = batch.sparkSession
+    val idx = MinhashIndex.load(spark, indexDir)
+    val res = Dedup.ingestIncremental(spark, idx, batch, idCol, textCol,
+      threshold, bucketCap)
+    res.verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/$segment")
+    res.survivors.write.mode("overwrite").parquet(s"$outDir/survivors/$segment")
+    MinhashIndex.appendSegment(res.batchIndex, indexDir, segment)
+    true
+  }
+
+  /** Streaming near-dedup APPLY — the kept/dropped verdict per arriving
+    * doc, not just match pairs ([[corpusDedupMatches]] stops at pairs; this
+    * closes the loop): each micro-batch is one incremental-ingest step
+    * against the persisted corpus index, and the index GROWS with the
+    * batch's survivors, so later arrivals dedup against everything kept
+    * before them — corpus-match → dropped_corpus; in-stream near-dup →
+    * the component's min-id arrival survives, the rest → dropped_batch.
+    *
+    * Semantics: the survivor set is the left fold of
+    * [[graft.ops.Dedup.applyIncremental]] over the micro-batch sequence —
+    * byte-identical to the batch operator when the input fits one
+    * micro-batch, and to a sequence of daily batch ingests otherwise
+    * (micro-batch = ingest unit). Within a micro-batch the verdict is the
+    * batch operator's component-min (NOT a greedy first-arrival
+    * approximation); across micro-batches earlier-kept wins, which is what
+    * a production ingest means by first-arrival.
+    *
+    * Scale/state design: NO Spark state store at all — the state is the
+    * persisted [[graft.ops.MinhashIndex]] (scalar parquet: id + band +
+    * 8-byte hash + signatures), the same artifact the batch pipeline
+    * persists, shared between the two. Per micro-batch the work is
+    * O(batch map + batch × collision-rate join); the corpus side is never
+    * re-signatured. Restart-safety: Spark's checkpoint replays the last
+    * micro-batch and [[ingestMicroBatch]]'s segment commit makes the
+    * replay idempotent.
+    *
+    * `indexDir` must hold an initialized index ([[graft.ops.MinhashIndex.write]]
+    * of the existing corpus — or of an empty frame to start cold).
+    */
+  def dedupApplyStream(docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, bucketCap: Int = 65536,
+      availableNow: Boolean = false): StreamingQuery = {
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestMicroBatch(b.toDF(), indexDir, outDir, s"batch_$batchId",
+          idCol, textCol, threshold, bucketCap)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Start the stream: parquet sink + checkpoint (exactly-once file sink).
     * availableNow=true drains what exists and stops (used by tests and
     * catch-up runs); otherwise runs continuously.

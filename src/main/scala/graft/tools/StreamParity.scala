@@ -112,8 +112,63 @@ object StreamParity {
       println(s"STREAMPARITY only_stream=${(csStreamed -- csBatch).take(5)}")
       println(s"STREAMPARITY only_batch=${(csBatch -- csStreamed).take(5)}")
     }
+    // ---- streaming dedup-APPLY: stream even-id docs through the persisted-
+    // index ingest loop (multi-micro-batch), then replay the SAME fold with
+    // the batch applyIncremental — survivors must match segment by segment,
+    // and the grown index must hold corpus + survivors exactly ----
+    import graft.ops.MinhashIndex
+    val idxDir = Files.createTempDirectory("sp_idx").toString
+    val out3 = Files.createTempDirectory("sp_out3").toString
+    val ckpt3 = Files.createTempDirectory("sp_ckpt3").toString
+    val t2 = System.nanoTime()
+    MinhashIndex.write(Dedup.minhashIndex(spark, corpus), idxDir)
+    val src3 = spark.readStream
+      .schema("doc_id LONG, text STRING, warc_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(inDir2)
+    val q3 = StreamingPipeline.dedupApplyStream(src3, idxDir, out3, ckpt3,
+      threshold = 0.5, availableNow = true)
+    q3.awaitTermination(300000)
+    val daWall = (System.nanoTime() - t2) / 1e9
+    val segs = MinhashIndex.readMeta(idxDir).segments.drop(1) // after "base"
+    val batchAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("text"))
+    var grown = corpus.select(col("doc_id"), col("text"))
+    var segOk = true
+    var streamedKept = Set.empty[Long]
+    for (seg <- segs) {
+      val ids = spark.read.parquet(s"$out3/verdicts/$seg")
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val sub = batchAll.filter(col("doc_id").isin(ids.toSeq: _*))
+      val keptIds = Dedup.applyIncremental(spark, grown, sub, threshold = 0.5)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val streamedSeg = spark.read.parquet(s"$out3/survivors/$seg")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      if (streamedSeg != keptIds) {
+        segOk = false
+        println(s"STREAMPARITY apply seg=$seg MISMATCH " +
+          s"only_stream=${(streamedSeg -- keptIds).take(5)} " +
+          s"only_batch=${(keptIds -- streamedSeg).take(5)}")
+      }
+      streamedKept ++= streamedSeg
+      grown = grown.union(sub.filter(col("doc_id").isin(keptIds.toSeq: _*)))
+    }
+    // the grown index holds exactly corpus + streamed survivors (by id)
+    val idxIds = MinhashIndex.load(spark, idxDir).sigs
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val corpusSigIds = Dedup.minhashIndex(spark, corpus).sigs
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // content-free kept docs have no signature and correctly stay out
+    val batchSigIds = Dedup.minhashIndex(spark, batchAll).sigs
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val idxOk = idxIds == (corpusSigIds ++ streamedKept.intersect(batchSigIds))
+    println(s"STREAMPARITY apply segments=${segs.size} kept=${streamedKept.size} " +
+      s"seg_parity=$segOk index_ok=$idxOk wall=${f"$daWall%.1f"}s")
     spark.stop()
     require(ok, "streaming pair set must equal the batch operator's")
     require(csOk, "stream-static matches must equal the batch incremental pairs")
+    require(segOk, "streamed apply survivors must equal the batch-ingest fold replay")
+    require(idxOk, "grown index must hold corpus + survivors exactly")
   }
 }

@@ -146,6 +146,120 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(4L, 8L))
   }
 
+  test("persisted band index: index-fed incremental equals corpus-fed exactly") {
+    import graft.ops.MinhashIndex
+    val all = docsWithDups
+    val corpus = all.filter(col("doc_id") % 2 =!= 0)
+    val batch = all.filter(col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("mh_index").toString
+    MinhashIndex.write(Dedup.minhashIndex(spark, corpus), dir)
+    val loaded = MinhashIndex.load(spark, dir)
+    assert(loaded.k == 64 && loaded.bands == 16 && loaded.shingleN == 3)
+    // pair surface: the production path (parquet-loaded corpus index, zero
+    // corpus-side map work) must be row-identical to the corpus-fed operator
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val fed = rows(Dedup.minhashPairsBetween(loaded,
+      Dedup.minhashIndex(spark, batch), threshold = 0.5))
+    val direct = rows(Dedup.minhashPairsIncremental(spark, corpus, batch,
+      threshold = 0.5))
+    assert(fed.nonEmpty && fed == direct)
+    // apply surface: same parity end to end
+    val fedKept = Dedup.applyIncrementalFromIndex(spark, loaded, batch,
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val directKept = Dedup.applyIncremental(spark, corpus, batch, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fedKept.nonEmpty && fedKept == directKept)
+  }
+
+  test("band index append is idempotent and rejects parameter mismatches") {
+    import graft.ops.MinhashIndex
+    val all = docsWithDups
+    val a = all.filter(col("doc_id") < 20)
+    val b = all.filter(col("doc_id") >= 20)
+    val dir = java.nio.file.Files.createTempDirectory("mh_index_seg").toString
+    MinhashIndex.write(Dedup.minhashIndex(spark, a), dir)
+    val delta = Dedup.minhashIndex(spark, b)
+    assert(MinhashIndex.appendSegment(delta, dir, "batch_1"),
+      "first append must commit")
+    assert(!MinhashIndex.appendSegment(delta, dir, "batch_1"),
+      "replayed append (crash/restart) must be a no-op")
+    // the union index equals an index built over the union corpus
+    val loaded = MinhashIndex.load(spark, dir)
+    val wholesale = Dedup.minhashIndex(spark, all)
+    def sigRows(idx: graft.ops.MinhashIndex) =
+      idx.sigs.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    def bandRows(idx: graft.ops.MinhashIndex) =
+      idx.banded.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sigRows(loaded) == sigRows(wholesale))
+    assert(bandRows(loaded) == bandRows(wholesale))
+    // parameter mismatch fails loudly (signatures are not comparable)
+    val bad = Dedup.minhashIndex(spark, b, k = 32, bands = 8)
+    intercept[IllegalArgumentException] {
+      MinhashIndex.appendSegment(bad, dir, "batch_2")
+    }
+  }
+
+  test("ingestIncremental verdicts partition the batch and feed the index delta") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog again"
+    val textB = "entirely different content about sailing ships across oceans"
+    val textC = "a third unrelated passage describing mountain weather patterns"
+    val corpus = Seq((1L, textA)).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, textA), // near-dups the corpus -> dropped_corpus, match 1
+      (4L, textB), (6L, textB), // in-batch pair -> 4 kept, 6 dropped_batch
+      (8L, textC), // unique -> kept
+      (9L, "   ") // content-free -> kept, and absent from the index delta
+    ).toDF("doc_id", "text")
+    val res = Dedup.ingestIncremental(spark,
+      Dedup.minhashIndex(spark, corpus), batch, threshold = 0.8)
+    val verdicts = res.verdicts.collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(verdicts == Map(
+      2L -> ("dropped_corpus", 1L),
+      4L -> ("kept", -1L),
+      6L -> ("dropped_batch", 4L),
+      8L -> ("kept", -1L),
+      9L -> ("kept", -1L)))
+    assert(res.survivors.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(4L, 8L, 9L))
+    // the appendable delta holds exactly the content-bearing survivors
+    assert(res.batchIndex.sigs.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(4L, 8L))
+    // and appending it reproduces the next ingest's ground truth: a re-sent
+    // survivor text now matches the grown corpus
+    val dir = java.nio.file.Files.createTempDirectory("mh_ingest").toString
+    graft.ops.MinhashIndex.write(Dedup.minhashIndex(spark, corpus), dir)
+    assert(graft.ops.MinhashIndex.appendSegment(res.batchIndex, dir, "day_1"))
+    val grown = graft.ops.MinhashIndex.load(spark, dir)
+    val day2 = Seq((10L, textB)).toDF("doc_id", "text")
+    val matches = Dedup.minhashPairsBetween(grown,
+        Dedup.minhashIndex(spark, day2), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches == Set((4L, 10L)), s"grown index must catch the re-sent text: $matches")
+  }
+
+  test("two-phase exact-prepass dedup equals plain near-dedup while the cap is inert") {
+    import spark.implicits._
+    // docsWithDups + a 50-strong exact clone class: the pre-pass must
+    // collapse the clones before banding, and the survivor set must equal
+    // keepFirstByPairs over the full minhash pair set (the scaladoc proof:
+    // identical sigs => clique at est 1.0 => same component minima)
+    val clones = (0 until 50).map(i => (70000L + i, "identical clone text block " * 6))
+    val df = docsWithDups.union(clones.toDF("doc_id", "text"))
+    val twoPhase = Dedup.keepFirstTwoPhase(spark, df, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = Dedup.keepFirstByPairs(spark, df,
+        Dedup.minhashPairs(spark, df, threshold = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twoPhase == direct)
+    assert(twoPhase.contains(70000L) && !twoPhase.contains(70001L),
+      "clone class keeps exactly its min id")
+  }
+
   test("repetition metrics count duplicate words and bigrams exactly") {
     import spark.implicits._
     val docs = Seq(

@@ -154,6 +154,42 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("index-fed incremental dedup plans no signature computation at all") {
+    import graft.ops.{Materialize, MinhashIndex}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val cDir = java.nio.file.Files.createTempDirectory("plan_cidx").toString
+    val bDir = java.nio.file.Files.createTempDirectory("plan_bidx").toString
+    MinhashIndex.write(Dedup.minhashIndex(spark, corpus), cDir)
+    MinhashIndex.write(Dedup.minhashIndex(spark, batch), bDir)
+    // both sides index-fed: the whole cross-pair plan must be parquet scans
+    // of scalar index rows — ZERO graft_minhash_sig projections anywhere
+    // (the r5 shape re-signatured the corpus from text on every ingest).
+    // Recompute keeps lineage visible, so a hidden sig stage WOULD show.
+    val pairs = Dedup.minhashPairsBetween(
+      MinhashIndex.load(spark, cDir), MinhashIndex.load(spark, bDir),
+      threshold = 0.5)
+    val planStr = pairs.queryExecution.executedPlan.toString
+    assert(!planStr.contains("graft_minhash_sig"),
+      "index-fed cross pairing must not recompute signatures from text")
+    assert(planStr.toLowerCase.contains("parquet"),
+      "the candidate sides must be parquet scans of the persisted index")
+    assert(pairs.count() > 0, "non-vacuous: the split corpus has cross pairs")
+    // the signature-level self-join entry (applyIncremental's in-batch
+    // stage): re-bands precomputed sigs with the cheap band fold — the
+    // fold expression is in the plan, the shingling expression is NOT
+    // (the r5 shape re-shingled the surviving batch docs from text)
+    val remIdx = Dedup.indexFromSigs(
+      MinhashIndex.load(spark, bDir).sigs, 64, 16, 3, Materialize.Recompute)
+    val inBatch = Dedup.minhashPairsOfIndex(remIdx, threshold = 0.5)
+    val inStr = inBatch.queryExecution.executedPlan.toString
+    assert(inStr.contains("graft_minhash_band_hashes"),
+      "sig-level banding runs the band fold in-plan")
+    assert(!inStr.contains("graft_minhash_sig"),
+      "sig-level banding must not re-shingle from text")
+  }
+
   test("lang-id, ngram-jaccard, IVF plans carry no object-serde break") {
     // round-5: the last typed-map surfaces (classifyLang map, ngramJaccard
     // map, IVF assignment/probe closures) run as native doGenCode

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.spark.{Page, PageGen, Pipeline, StreamingPipeline}
@@ -309,6 +310,117 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == expected + ((900L, 901L)),
       s"k-changed restart must orphan old state cleanly and still pair fresh dups, got $got2")
+  }
+
+  private val tA = "the quick brown fox jumps over the lazy dog again"
+  private val tB = "entirely different content about sailing ships across oceans"
+  private val tC = "a third unrelated passage describing mountain weather patterns"
+
+  test("streaming dedup-apply: one micro-batch equals batch applyIncremental") {
+    import spark.implicits._
+    import graft.ops.{Dedup, MinhashIndex}
+    val corpus = Seq((1L, tA)).toDF("doc_id", "text")
+    val batch = Seq((2L, tA), (4L, tB), (6L, tB), (8L, tB), (10L, tC))
+      .toDF("doc_id", "text")
+    val indexDir = Files.createTempDirectory("da_idx").toString
+    val inDir = Files.createTempDirectory("da_in").toString
+    val outDir = Files.createTempDirectory("da_out").toString
+    val ckpt = Files.createTempDirectory("da_ckpt").toString
+    MinhashIndex.write(Dedup.minhashIndex(spark, corpus), indexDir)
+    batch.coalesce(1).write.mode("append").parquet(inDir) // one file -> one micro-batch
+    val src = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+    val q = StreamingPipeline.dedupApplyStream(src, indexDir, outDir, ckpt,
+      threshold = 0.8, availableNow = true)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$outDir/survivors/batch_0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = Dedup.applyIncremental(spark, corpus, batch, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == expect && streamed == Set(4L, 10L),
+      s"one-micro-batch streamed survivors must equal applyIncremental: $streamed vs $expect")
+    // verdicts partition the batch and name the match
+    val verdicts = spark.read.parquet(s"$outDir/verdicts/batch_0")
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(verdicts == Map(
+      2L -> ("dropped_corpus", 1L), 4L -> ("kept", -1L),
+      6L -> ("dropped_batch", 4L), 8L -> ("dropped_batch", 4L),
+      10L -> ("kept", -1L)))
+    // the index grew by exactly the content-bearing survivors
+    assert(MinhashIndex.load(spark, indexDir).sigs
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L, 10L))
+  }
+
+  test("streaming dedup-apply folds micro-batches like sequential daily ingests") {
+    import spark.implicits._
+    import graft.ops.{Dedup, MinhashIndex}
+    val corpus = Seq((1L, tA)).toDF("doc_id", "text")
+    val allBatch = Seq((2L, tA), (4L, tB), (6L, tB), (8L, tB), (10L, tC))
+      .toDF("doc_id", "text")
+    val indexDir = Files.createTempDirectory("daf_idx").toString
+    val inDir = Files.createTempDirectory("daf_in").toString
+    val outDir = Files.createTempDirectory("daf_out").toString
+    val ckpt = Files.createTempDirectory("daf_ckpt").toString
+    MinhashIndex.write(Dedup.minhashIndex(spark, corpus), indexDir)
+    // two landed files, one per micro-batch
+    allBatch.filter(col("doc_id") <= 6).coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100) // distinct mod times keep file-source ordering honest
+    allBatch.filter(col("doc_id") > 6).coalesce(1).write.mode("append").parquet(inDir)
+    val src = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingPipeline.dedupApplyStream(src, indexDir, outDir, ckpt,
+      threshold = 0.8, availableNow = true)
+    q.awaitTermination(120000)
+    val segs = MinhashIndex.readMeta(indexDir).segments
+    assert(segs.startsWith(Seq("base")) && segs.size == 3,
+      s"expected base + two micro-batch segments, got $segs")
+    // replay the SAME fold with the batch operator, using the observed
+    // micro-batch membership (order-free: verdicts record who landed where)
+    var grown = corpus
+    var replayKept = Set.empty[Long]
+    for (seg <- segs.drop(1)) {
+      val ids = spark.read.parquet(s"$outDir/verdicts/$seg")
+        .select("id").collect().map(_.getLong(0)).toSet
+      val sub = allBatch.filter(col("doc_id").isin(ids.toSeq: _*))
+      val kept = Dedup.applyIncremental(spark, grown, sub, threshold = 0.8)
+      val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      val streamedSeg = spark.read.parquet(s"$outDir/survivors/$seg")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamedSeg == keptIds,
+        s"segment $seg survivors must equal the batch-ingest replay: " +
+          s"$streamedSeg vs $keptIds")
+      replayKept ++= keptIds
+      grown = grown.union(sub.filter(col("doc_id").isin(keptIds.toSeq: _*)))
+    }
+    assert(replayKept == Set(4L, 10L))
+    // doc 8 arrived after survivor 4 joined the index: across micro-batches
+    // it is a CORPUS match (first-arrival-wins), not an in-batch loser
+    val v8 = spark.read.parquet(s"$outDir/verdicts/${segs.last}")
+      .filter(col("id") === 8L).collect()
+    if (v8.nonEmpty) // only when 8 landed in the second micro-batch
+      assert(v8.head.getString(1) == "dropped_corpus" && v8.head.getLong(2) == 4L)
+  }
+
+  test("ingest micro-batch commit is idempotent under segment replay") {
+    import spark.implicits._
+    import graft.ops.{Dedup, MinhashIndex}
+    val corpus = Seq((1L, tA)).toDF("doc_id", "text")
+    val batch = Seq((2L, tA), (4L, tB)).toDF("doc_id", "text")
+    val indexDir = Files.createTempDirectory("dai_idx").toString
+    val outDir = Files.createTempDirectory("dai_out").toString
+    MinhashIndex.write(Dedup.minhashIndex(spark, corpus), indexDir)
+    assert(StreamingPipeline.ingestMicroBatch(batch, indexDir, outDir, "day_1",
+      threshold = 0.8))
+    val survivors = spark.read.parquet(s"$outDir/survivors/day_1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(4L))
+    // replay after the commit point: MUST be a no-op — recomputing would
+    // match the batch against its own survivors in the grown index
+    assert(!StreamingPipeline.ingestMicroBatch(batch, indexDir, outDir, "day_1",
+      threshold = 0.8))
+    assert(spark.read.parquet(s"$outDir/survivors/day_1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(4L))
+    assert(MinhashIndex.readMeta(indexDir).segments == Seq("base", "day_1"))
   }
 
   test("near-dup pairs drop null event-time rows instead of wedging the query") {
