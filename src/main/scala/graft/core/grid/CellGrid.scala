@@ -341,8 +341,30 @@ final class CellGrid private (capacityHint: Int, denseRows: Int, denseCols: Int)
     }
   }
 
-  private[grid] def cursorValue(i: Int): String = slotValue(i)
-  private[grid] def cursorBacking: CharSequence = backing
+  /** GridCursor invariant (deferred reads): a loaded cursor position stays
+    * valid only while the grid keeps its dense backing — an out-of-bounds
+    * `put` migrates the grid to the sparse map and nulls the columnar
+    * arrays, so a cursor slot captured before the migration is stale. The
+    * kernel never trips this (detect passes are read-only after parse);
+    * fail with the contract spelled out instead of an anonymous NPE if a
+    * future call site interleaves writes with a live cursor.
+    */
+  private[grid] def cursorValue(i: Int): String = {
+    if (dPacked == null)
+      throw new IllegalStateException(
+        "GridCursor read after the grid migrated to the sparse map (a put " +
+          "outside the declared dense bounds invalidates live cursors; " +
+          "re-position with moveTo after any mutation)")
+    slotValue(i)
+  }
+  private[grid] def cursorBacking: CharSequence = {
+    if (dPacked == null)
+      throw new IllegalStateException(
+        "GridCursor read after the grid migrated to the sparse map (a put " +
+          "outside the declared dense bounds invalidates live cursors; " +
+          "re-position with moveTo after any mutation)")
+    backing
+  }
 
   /** All stored cells, sorted by (row, col) for deterministic traversal.
     * Materializes (and caches) Cell objects on the columnar backing —
@@ -493,6 +515,14 @@ object CellGrid {
   * never stores empty cells), so `moveTo(r, c)` returning true corresponds
   * to the old `get(r, c) != null` guard — and, for stored cells, to
   * `!valueIsNull` / `valueNonEmpty` / `!isEmpty` as well.
+  *
+  * MUTATION INVARIANT: cursor reads are valid only until the grid mutates.
+  * An out-of-bounds `put` migrates a dense grid to the sparse map, which
+  * invalidates every live cursor position; a deferred `value` /
+  * `appendValueTo` read then throws IllegalStateException (never a silent
+  * wrong-cell read or an anonymous NPE). Re-position with [[moveTo]] after
+  * any mutation. The kernel never mutates a grid while cursors are live —
+  * detect passes are read-only after parse.
   */
 final class GridCursor private[grid] (g: CellGrid) {
   private var cObj: Cell = null

@@ -133,6 +133,58 @@ object OpsScale {
     require(incKept.toDouble / nBatch <= 0.05,
       s"nearly every batch doc near-dups the corpus by construction; kept $incKept of $nBatch")
 
+    // ---- index-fed ingest (round-6): the corpus signatures are computed
+    // and PERSISTED once; the daily ingest then loads the scalar parquet
+    // index and pays zero corpus-side map work. Survivors must be identical
+    // to the corpus-fed path; the wall delta is the evidence that the
+    // corpus-side tokenize+shingle+signature stage is gone from the ingest.
+    val idxDir = java.nio.file.Files.createTempDirectory("opsscale_idx").toString
+    val tBuild = System.nanoTime()
+    graft.ops.MinhashIndex.write(Dedup.minhashIndex(spark, incCorpus), idxDir)
+    val buildWall = (System.nanoTime() - tBuild) / 1e9
+    val tFed = System.nanoTime()
+    val fedKept = Dedup.applyIncrementalFromIndex(spark,
+      graft.ops.MinhashIndex.load(spark, idxDir), incBatch, threshold = 0.5).count()
+    val fedWall = (System.nanoTime() - tFed) / 1e9
+    println(f"OPSSCALE incremental_indexed kept=$fedKept wall=$fedWall%.1fs " +
+      f"vs corpus_fed=$incWall%.1fs (one-time index build+write $buildWall%.1fs)")
+    require(fedKept == incKept,
+      s"index-fed ingest must keep the same survivors ($fedKept vs $incKept)")
+
+    // ---- two-phase exact pre-pass under a planted exact clone class ----
+    // 2000 IDENTICAL docs sit below the 65536 bucket cap, so plain minhash
+    // carries their full quadratic pair mass (~2.0M pairs) through the
+    // candidate funnel; the exact pre-pass collapses the class to one doc
+    // before banding — the funnel shrinks by the whole clone mass and no
+    // cap/salting recall question ever arises.
+    val cloneDocs = spark.range(2000)
+      .select((col("id") + 80000000L).as("doc_id"),
+        lit("exact clone body text block repeated " * 24).as("text"))
+    val withClones = amped.union(cloneDocs).localCheckpoint()
+    def distinctCandidates(df: DataFrame): Long = {
+      val s2 = df.select(col("doc_id").cast("long").as("id"),
+          DedupFunctions.minhashSig(coalesce(col("text"), lit("")), k, 3).as("sig"))
+        .filter(size(col("sig")) > 0).localCheckpoint()
+      val bd = s2.select(col("id"),
+        posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
+        .toDF("id", "band", "bhash")
+      bd.select(col("band"), col("bhash"), col("id").as("id_a"))
+        .join(bd.select(col("band"), col("bhash"), col("id").as("id_b")),
+          Seq("band", "bhash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    }
+    val candsDirect = distinctCandidates(withClones)
+    val candsTwoPhase = distinctCandidates(Dedup.keepFirst(withClones))
+    val tTp = System.nanoTime()
+    val tpKept = Dedup.keepFirstTwoPhase(spark, withClones, threshold = 0.5).count()
+    val tpWall = (System.nanoTime() - tTp) / 1e9
+    println(f"OPSSCALE two_phase candidates_direct=$candsDirect " +
+      f"candidates_after_prepass=$candsTwoPhase " +
+      f"funnel_shrink=${candsDirect - candsTwoPhase} kept=$tpKept wall=$tpWall%.1fs")
+    require(candsDirect - candsTwoPhase >= 1900000L,
+      "the exact pre-pass must remove the clone class's quadratic candidate mass")
+
     // ---- CC at adversarial diameter: a 10k-node path graph ----
     // dup-cluster graphs are near-cliques (diameter 2-3); this is the
     // opposite extreme. Pointer jumping must converge in ~log2(10000)+O(1)

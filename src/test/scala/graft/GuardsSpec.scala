@@ -62,6 +62,25 @@ class GuardsSpec extends AnyFunSuite {
     assert(it.collect().toSeq == df.collect().toSeq)
   }
 
+  test("GridCursor deferred reads fail loudly after a dense->map migration") {
+    // round-5 ADVICE: a cursor slot captured before an out-of-bounds put is
+    // stale once the grid migrates to the sparse map (the columnar arrays
+    // are nulled). Deferred value reads must throw the documented
+    // IllegalStateException, never NPE on the freed backing or silently
+    // read the wrong cell. (The kernel never mutates with a live cursor —
+    // this pins the contract for future call sites.)
+    val (g, _) = graft.core.html.DelimitedText.parse("aa\tbb\ncc\tdd", '\t')
+    val cur = g.cursor
+    assert(cur.moveTo(0, 1) && cur.value == "bb", "span-backed dense parse")
+    // re-position WITHOUT materializing, then migrate via out-of-bounds put
+    assert(cur.moveTo(1, 0))
+    g.put(graft.core.grid.Cell.str("far", 5000, 5000)) // beyond dense bounds
+    val e = intercept[IllegalStateException] { cur.value }
+    assert(e.getMessage.contains("migrated"), e.getMessage)
+    // a fresh moveTo against the migrated grid reads correctly
+    assert(cur.moveTo(1, 0) && cur.value == "cc")
+  }
+
   test("manifest reader falls back to the legacy wall_ms field name") {
     val dir = Files.createTempDirectory("snapguard").toString
     val snaps = Paths.get(dir, "_snapshots")
