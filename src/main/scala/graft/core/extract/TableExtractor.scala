@@ -1,7 +1,7 @@
 package graft.core.extract
 
 import scala.collection.mutable
-import graft.core.grid.{Cell, CellGrid, Span, TypeInfer}
+import graft.core.grid.{Cell, CellGrid, GridCursor, Span, TypeInfer}
 
 final case class TableData(columns: Vector[String], rows: Vector[Vector[String]]) {
   def rowCount: Int = rows.size
@@ -25,6 +25,83 @@ final case class HeaderResult(
     plateFormat: Option[Int] = None
 )
 
+/** Cursor-backed span view (round 6; replaced the Array[Array[Cell]]
+  * matrix): presence is one eager boolean per cell and the extractor type
+  * a lazily-memoized byte — detection reads attributes, blankness, type
+  * classes and numeric tests through [[GridCursor]] and the charwise
+  * TypeInfer predicates, so the scoring passes materialize NO Cell objects
+  * and NO value Strings (the old `g.get`-built matrix allocated a cached
+  * Cell per present cell plus value/trim copies for every classified
+  * cell). The few genuinely value-consuming stages — distinct-value
+  * ratios, header text extraction, plate row labels via their own span
+  * walk — read lazily through [[cellAt]]/[[value]], which is also where
+  * [[TableExtractor.extract]]'s TableData rows come from, so the two paths
+  * share one view and cannot drift.
+  *
+  * Grids never store empty cells (CellGrid.put/putSpanned skip them), so
+  * `present` ⇔ the old `get != null && !isEmpty` matrix slot.
+  */
+private[graft] final class SpanStats(val g: CellGrid, val r0: Int, val c0: Int,
+    val rows: Int, val cols: Int) {
+  private val cur: GridCursor = g.cursor
+  private val present_ = new Array[Boolean](rows * cols)
+  private val etype = new Array[Byte](rows * cols) // 0 = uncomputed, else code+1
+  locally {
+    var r = 0
+    while (r < rows) {
+      val base = r * cols
+      var c = 0
+      while (c < cols) {
+        present_(base + c) = cur.moveTo(r0 + r, c0 + c)
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  @inline def present(r: Int, c: Int): Boolean = present_(r * cols + c)
+
+  /** `value.exists(_ > ' ')` of a present cell (callers check presence). */
+  def nonBlank(r: Int, c: Int): Boolean =
+    present_(r * cols + c) && { cur.moveTo(r0 + r, c0 + c); cur.valueNonBlank }
+
+  /** TypeInfer.extractorType as a code (EtEmpty for absent cells),
+    * memoized per cell — candidate header windows overlap heavily.
+    */
+  def etypeCode(r: Int, c: Int): Int = {
+    val i = r * cols + c
+    if (!present_(i)) return TypeInfer.EtEmpty
+    val m = etype(i)
+    if (m != 0) m - 1
+    else {
+      cur.moveTo(r0 + r, c0 + c)
+      val code = TypeInfer.extractorTypeCode(cur)
+      etype(i) = (code + 1).toByte
+      code
+    }
+  }
+
+  /** Cell.dataTypeCode of a present cell. */
+  def dataTypeCode(r: Int, c: Int): Int = {
+    cur.moveTo(r0 + r, c0 + c)
+    cur.dataTypeCode
+  }
+
+  /** PlainFloatRe over value.trim of a present cell, charwise. */
+  def plainFloat(r: Int, c: Int): Boolean = {
+    cur.moveTo(r0 + r, c0 + c)
+    TypeInfer.cursorPlainFloat(cur)
+  }
+
+  /** Materialized value of a present cell (the rare value-consuming
+    * stages; cached on the grid's object slot).
+    */
+  def value(r: Int, c: Int): String = g.get(r0 + r, c0 + c).value
+
+  /** The Cell object at a span-relative position, or null. */
+  def cellAt(r: Int, c: Int): Cell = g.get(r0 + r, c0 + c)
+}
+
 /** Port of the reference's DataFrame extraction with intelligent header
   * detection (reference: extractors/dataframe_extractor.py:39-914): density
   * gate, plate-map detection, enhanced vertical header scoring
@@ -42,42 +119,29 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     1536 -> Seq((32, 48), (48, 32))
   )
 
-  /** Dense span view as flat arrays (de-boxed round 4: the Vector-of-
-    * Vectors tree nodes were a measurable share of the extract-ON path).
-    * Empty array iff the span is degenerate. Shared by [[extract]] and
-    * [[extractStats]] so the two paths cannot drift.
+  /** The cursor-backed span view (see [[SpanStats]]); None iff the span is
+    * degenerate. Shared by [[extract]] and [[extractStats]] so the two
+    * paths cannot drift.
     */
-  private def spanMatrix(g: CellGrid, span: Span): Array[Array[Cell]] = {
+  private def spanStats(g: CellGrid, span: Span): Option[SpanStats] = {
     val nRows = span.r1 - span.r0 + 1
     val nCols = span.c1 - span.c0 + 1
-    if (nRows <= 0 || nCols <= 0) return Array.empty
-    val matrix = new Array[Array[Cell]](nRows)
-    var mr = 0
-    while (mr < nRows) {
-      val row = new Array[Cell](nCols)
-      var mc = 0
-      while (mc < nCols) {
-        val cell = g.get(span.r0 + mr, span.c0 + mc)
-        row(mc) = if (cell == null || cell.isEmpty) null else cell
-        mc += 1
-      }
-      matrix(mr) = row
-      mr += 1
-    }
-    matrix
+    if (nRows <= 0 || nCols <= 0) None
+    else Some(new SpanStats(g, span.r0, span.c0, nRows, nCols))
   }
 
   /** reference: dataframe_extractor.py:52-116. */
   def extract(g: CellGrid, span: Span, detectHeaders: Boolean = true)
       : (Option[TableData], Option[HeaderResult], Double) = {
-    val matrix = spanMatrix(g, span)
-    if (matrix.length == 0) return (None, None, 0.0)
-
-    val density = calcDensity(matrix)
+    val st = spanStats(g, span) match {
+      case None => return (None, None, 0.0)
+      case Some(s) => s
+    }
+    val density = calcDensity(st)
     if (density < minDataDensity) return (None, None, 0.0)
 
-    val headerInfo = if (detectHeaders) Some(detectHeaderInfo(matrix, g, span)) else None
-    val table = createTable(matrix, headerInfo)
+    val headerInfo = if (detectHeaders) Some(detectHeaderInfo(st)) else None
+    val table = createTable(st, headerInfo)
     table match {
       case None => (None, headerInfo, 0.0)
       case Some(t) if t.rowCount < minDataRows =>
@@ -89,41 +153,40 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   }
 
   /** reference: dataframe_extractor.py:157-183. */
-  def calcDensity(matrix: Array[Array[Cell]]): Double = {
-    val total = matrix.length.toLong * (if (matrix.length > 0) matrix(0).length else 0)
+  private def calcDensity(st: SpanStats): Double = {
+    val total = st.rows.toLong * st.cols
     if (total == 0) return 0.0
     var nonEmpty = 0L
     var r = 0
-    while (r < matrix.length) {
-      val row = matrix(r)
+    while (r < st.rows) {
       var c = 0
-      while (c < row.length) { if (row(c) != null) nonEmpty += 1; c += 1 }
+      while (c < st.cols) { if (st.present(r, c)) nonEmpty += 1; c += 1 }
       r += 1
     }
     nonEmpty.toDouble / total
   }
 
   /** reference: dataframe_extractor.py:185-240. */
-  def detectHeaderInfo(matrix: Array[Array[Cell]], g: CellGrid, span: Span): HeaderResult = {
-    detectPlateFormat(matrix).getOrElse {
-      val vertical = detectVerticalEnhanced(matrix, g, span)
-      val horizontal = detectHorizontalEnhanced(matrix)
+  private[graft] def detectHeaderInfo(st: SpanStats): HeaderResult = {
+    detectPlateFormat(st).getOrElse {
+      val vertical = detectVerticalEnhanced(st)
+      val horizontal = detectHorizontalEnhanced(st)
       if (vertical.confidence > horizontal.confidence) vertical else horizontal
     }
   }
 
   // ---- plate maps (reference: dataframe_extractor.py:516-614) ----
 
-  def detectPlateFormat(matrix: Array[Array[Cell]]): Option[HeaderResult] = {
-    if (matrix.length < 3) return None
+  private def detectPlateFormat(st: SpanStats): Option[HeaderResult] = {
+    if (st.rows < 3) return None
     var bestScore = 0
     var best: Option[(Int, Int)] = None
     PlateFormats.foreach { case (wells, dims) =>
       dims.foreach { case (rows, cols) =>
-        if (matrix.length >= rows + 1 && matrix(0).length >= cols + 1 &&
-            checkPlateRowLabels(matrix, rows) && checkPlateColLabels(matrix(0), cols)) {
-          val rowDiff = math.abs(matrix.length - (rows + 1))
-          val colDiff = math.abs(matrix(0).length - (cols + 1))
+        if (st.rows >= rows + 1 && st.cols >= cols + 1 &&
+            checkPlateRowLabels(st, rows) && checkPlateColLabels(st, cols)) {
+          val rowDiff = math.abs(st.rows - (rows + 1))
+          val colDiff = math.abs(st.cols - (cols + 1))
           val score = 1000 - (rowDiff + colDiff)
           if (score > bestScore) {
             bestScore = score
@@ -147,26 +210,26 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   }
 
   /** reference: dataframe_extractor.py:585-597 — exact A..H match. The
-    * present (non-null) labels, in order, must equal exactly A..<expected>;
-    * compared with a trim-bounds walk instead of building both sequences
-    * (labels are single letters, so per-char case folding is exact).
+    * present labels, in order, must equal exactly A..<expected>; compared
+    * with a trim-bounds walk over the backing span (labels are single
+    * letters, so per-char case folding is exact).
     */
-  def checkPlateRowLabels(matrix: Array[Array[Cell]], expectedRows: Int): Boolean = {
-    if (matrix.length < expectedRows + 1) return false
+  private def checkPlateRowLabels(st: SpanStats, expectedRows: Int): Boolean = {
+    if (st.rows < expectedRows + 1) return false
     var k = 0
     var i = 1
-    val until = math.min(expectedRows + 1, matrix.length)
+    val until = math.min(expectedRows + 1, st.rows)
     while (i < until) {
-      val c = if (matrix(i).length > 0) matrix(i)(0) else null
+      val c = if (st.cols > 0 && st.present(i, 0)) st.cellAt(i, 0) else null
       if (c != null && !c.valueIsNull) {
         if (k >= expectedRows) return false // more labels than expected
-        val v = c.value
-        var a = 0
-        var b = v.length
-        while (a < b && Character.isWhitespace(v.charAt(a))) a += 1
-        while (b > a && Character.isWhitespace(v.charAt(b - 1))) b -= 1
+        val cs = c.valueCs
+        var a = c.valueCsFrom
+        var b = c.valueCsUntil
+        while (a < b && Character.isWhitespace(cs.charAt(a))) a += 1
+        while (b > a && Character.isWhitespace(cs.charAt(b - 1))) b -= 1
         if (b - a != 1) return false
-        if (Character.toUpperCase(v.charAt(a)) != ('A' + k).toChar) return false
+        if (Character.toUpperCase(cs.charAt(a)) != ('A' + k).toChar) return false
         k += 1
       }
       i += 1
@@ -175,35 +238,60 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   }
 
   /** reference: dataframe_extractor.py:599-614. */
-  def checkPlateColLabels(headerRow: Array[Cell], expectedCols: Int): Boolean = {
-    if (headerRow.length < expectedCols + 1) return false
-    (1 until math.min(expectedCols + 1, headerRow.length)).forall { i =>
-      val c = headerRow(i)
-      c != null && !c.valueIsNull && {
-        try Integer.parseInt(c.value.trim) == i
-        catch { case _: NumberFormatException => false }
-      }
+  private def checkPlateColLabels(st: SpanStats, expectedCols: Int): Boolean = {
+    if (st.cols < expectedCols + 1) return false
+    (1 until math.min(expectedCols + 1, st.cols)).forall { i =>
+      st.present(0, i) && cellParsesToInt(st.cellAt(0, i), i)
     }
+  }
+
+  /** `Integer.parseInt(c.value.trim) == want` (false on the
+    * NumberFormatException) replayed over the backing span — no value/trim
+    * Strings. parseInt semantics kept exactly: one optional leading sign,
+    * then Character.digit(_, 10) digits (Unicode digits included), nothing
+    * else; overflow can never equal a plate column index.
+    */
+  private def cellParsesToInt(c: Cell, want: Int): Boolean = {
+    val cs = c.valueCs
+    if (cs == null) return false
+    var a = c.valueCsFrom
+    var b = c.valueCsUntil
+    while (a < b && cs.charAt(a) <= ' ') a += 1
+    while (b > a && cs.charAt(b - 1) <= ' ') b -= 1
+    if (a >= b) return false
+    var i = a
+    var neg = false
+    val ch0 = cs.charAt(i)
+    if (ch0 == '+' || ch0 == '-') { neg = ch0 == '-'; i += 1 }
+    if (i >= b) return false
+    var v = 0L
+    while (i < b) {
+      val d = Character.digit(cs.charAt(i), 10)
+      if (d < 0) return false
+      v = v * 10 + d
+      if (v > 1000000L) return false // far past any plate index; parseInt
+        // overflow throws -> false, so capping early is verdict-identical
+      i += 1
+    }
+    (if (neg) -v else v) == want
   }
 
   // ---- vertical (reference: dataframe_extractor.py:627-720) ----
 
   /** Title rows have ≤2 filled cells of >3 (dataframe_extractor.py:616-625).
     */
-  def isTitleRow(row: Array[Cell]): Boolean = {
+  private def isTitleRow(st: SpanStats, r: Int): Boolean = {
     var filled = 0
     var i = 0
-    while (i < row.length) {
-      val c = row(i)
-      if (c != null && nonBlank(c.value)) filled += 1
+    while (i < st.cols) {
+      if (st.nonBlank(r, i)) filled += 1
       i += 1
     }
-    filled <= 2 && row.length > 3
+    filled <= 2 && st.cols > 3
   }
 
-  def detectVerticalEnhanced(matrix: Array[Array[Cell]], g: CellGrid, span: Span)
-      : HeaderResult = {
-    if (matrix.length < 2)
+  private def detectVerticalEnhanced(st: SpanStats): HeaderResult = {
+    if (st.rows < 2)
       return HeaderResult(hasHeaders = false, 0, 0, "vertical", Vector.empty, 0.0)
 
     var bestScore = 0.0
@@ -213,9 +301,11 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     val typeScoreCache = new java.util.HashMap[Int, java.lang.Double]()
 
     // per-row header-quality terms, computed once (candidate windows
-    // overlap): the text/filled ratio and the row's distinct-value ratio.
-    // Same values and summation order as headerQualityMulti over a slice.
-    val qRows = math.min(matrix.length, 13) // startRow < 10, headerRows <= 3
+    // overlap): the text/filled ratio and the row's distinct-value ratio —
+    // same values and summation order as the reference's multi-row header
+    // quality (dataframe_extractor.py:821-853) over a slice. The distinct
+    // ratio is the one stage here that must read value Strings.
+    val qRows = math.min(st.rows, 13) // startRow < 10, headerRows <= 3
     val rowRatio = new Array[Double](qRows)
     val rowHasFilled = new Array[Boolean](qRows)
     val lastRatio = new Array[Double](qRows)
@@ -223,18 +313,16 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     val distinctVals = new java.util.HashSet[String]() // reused per row
     var qi = 0
     while (qi < qRows) {
-      val row = matrix(qi)
       var textCount = 0
       var filled = 0
       var distinct = 0
       distinctVals.clear()
       var ci = 0
-      while (ci < row.length) {
-        val c = row(ci)
-        if (c != null && nonBlank(c.value)) {
+      while (ci < st.cols) {
+        if (st.nonBlank(qi, ci)) {
           filled += 1
-          if (TypeInfer.extractorType(c) == "text") textCount += 1
-          if (distinctVals.add(c.value)) distinct += 1
+          if (st.etypeCode(qi, ci) == TypeInfer.EtText) textCount += 1
+          if (distinctVals.add(st.value(qi, ci))) distinct += 1
         }
         ci += 1
       }
@@ -256,28 +344,28 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
       if (n > 0) sum / n else 0.0
     }
 
-    val maxTestRows = math.min(10, matrix.length - 2)
+    val maxTestRows = math.min(10, st.rows - 2)
     var startRow = 0
     while (startRow < maxTestRows) {
-      if (isTitleRow(matrix(startRow))) {
+      if (isTitleRow(st, startRow)) {
         titleRows += startRow
       } else {
         var headerRows = 1
-        val bound = math.min(4, matrix.length - startRow - 1)
+        val bound = math.min(4, st.rows - startRow - 1)
         while (headerRows < bound) {
           val dataStart = startRow + headerRows
-          val dataEnd = math.min(matrix.length, dataStart + 100)
+          val dataEnd = math.min(st.rows, dataStart + 100)
           if (dataEnd > dataStart) {
             // the type score depends only on dataStart (dataEnd derives from
             // it), and candidate windows overlap heavily — memoize instead
-            // of re-slicing + re-scanning ~100 rows per candidate
+            // of re-scanning ~100 rows per candidate
             var ts = typeScoreCache.get(dataStart)
             if (ts == null) {
-              ts = java.lang.Double.valueOf(typeConsistencyScore(matrix, dataStart, dataEnd))
+              ts = java.lang.Double.valueOf(typeConsistencyScore(st, dataStart, dataEnd))
               typeScoreCache.put(dataStart, ts)
             }
             val headerScore = headerQualityCached(startRow, startRow + headerRows)
-            val coverageScore = coverage(matrix(startRow))
+            val coverageScore = coverage(st, startRow)
             val total = ts.doubleValue() * 0.5 + headerScore * 0.3 + coverageScore * 0.2
             if (total > bestScore) {
               bestScore = total
@@ -292,14 +380,12 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     }
 
     if (bestScore > 0.5) {
-      val headers = extractVerticalHeadersWithMerged(
-        matrix.slice(bestStart, bestEnd), bestEnd - bestStart, g, span.r0 + bestStart)
+      val headers = extractVerticalHeadersWithMerged(st, bestStart, bestEnd - bestStart)
       val dataStart = bestEnd
-      val dataEnd = math.min(matrix.length, dataStart + 100)
-      val sample = matrix.slice(dataStart, dataEnd)
-      val (_, columnTypes) = typeConsistency(sample)
+      val dataEnd = math.min(st.rows, dataStart + 100)
+      val (_, columnTypes) = typeConsistency(st, dataStart, dataEnd)
       HeaderResult(hasHeaders = true, bestEnd - bestStart, 0, "vertical", headers, bestScore,
-        titleRows.toVector, sample.length, columnTypes, "standard")
+        titleRows.toVector, dataEnd - dataStart, columnTypes, "standard")
     } else {
       HeaderResult(hasHeaders = false, 0, 0, "vertical", Vector.empty, 0.0,
         titleRows.toVector)
@@ -307,40 +393,35 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   }
 
   /** reference: dataframe_extractor.py:323-329. */
-  def coverage(row: Array[Cell]): Double = {
-    if (row.length == 0) return 0.0
+  private def coverage(st: SpanStats, r: Int): Double = {
+    if (st.cols == 0) return 0.0
     var n = 0
     var i = 0
-    while (i < row.length) {
-      val c = row(i)
-      if (c != null && nonBlank(c.value)) n += 1
+    while (i < st.cols) {
+      if (st.nonBlank(r, i)) n += 1
       i += 1
     }
-    n.toDouble / row.length
+    n.toDouble / st.cols
   }
 
-  /** Score half of `typeConsistency` over matrix rows [from, until) without
-    * materializing the slice — identical counters and tie order.
+  /** Score half of [[typeConsistency]] over rows [from, until) — identical
+    * counters and tie order.
     */
-  private def typeConsistencyScore(matrix: Array[Array[Cell]], from: Int, until: Int): Double = {
-    if (from >= until || matrix(from).length == 0) return 0.0
+  private def typeConsistencyScore(st: SpanStats, from: Int, until: Int): Double = {
+    if (from >= until || st.cols == 0) return 0.0
     var scoreSum = 0.0
     var scoreN = 0
-    val nCols = matrix(from).length
     var colIdx = 0
-    while (colIdx < nCols) {
+    while (colIdx < st.cols) {
       var nNum = 0; var nText = 0; var nDate = 0; var nBool = 0
       var r = from
       while (r < until) {
-        val row = matrix(r)
-        if (colIdx < row.length) {
-          TypeInfer.extractorType(row(colIdx)) match {
-            case "numeric" => nNum += 1
-            case "text" => nText += 1
-            case "date" => nDate += 1
-            case "boolean" => nBool += 1
-            case _ => ()
-          }
+        st.etypeCode(r, colIdx) match {
+          case TypeInfer.EtNumeric => nNum += 1
+          case TypeInfer.EtText => nText += 1
+          case TypeInfer.EtDate => nDate += 1
+          case TypeInfer.EtBool => nBool += 1
+          case _ => ()
         }
         r += 1
       }
@@ -361,26 +442,26 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
   /** reference: dataframe_extractor.py:749-784 (dominant-type tie broken in
     * the dict insertion order numeric→text→date→boolean).
     */
-  def typeConsistency(sample: Array[Array[Cell]]): (Double, Map[Int, String]) = {
-    if (sample.length == 0 || sample(0).length == 0) return (0.0, Map.empty)
+  private def typeConsistency(st: SpanStats, from: Int, until: Int)
+      : (Double, Map[Int, String]) = {
+    if (from >= until || st.cols == 0) return (0.0, Map.empty)
     val columnTypes = mutable.LinkedHashMap.empty[Int, String]
     val scores = mutable.ArrayBuffer.empty[Double]
-    val nCols = sample(0).length
     var colIdx = 0
-    while (colIdx < nCols) {
+    while (colIdx < st.cols) {
       // plain counters; dominant = first max in numeric→text→date→boolean
       // order (the reference's dict insertion order)
       var nNum = 0; var nText = 0; var nDate = 0; var nBool = 0
-      sample.foreach { row =>
-        if (colIdx < row.length) {
-          TypeInfer.extractorType(row(colIdx)) match {
-            case "numeric" => nNum += 1
-            case "text" => nText += 1
-            case "date" => nDate += 1
-            case "boolean" => nBool += 1
-            case _ => ()
-          }
+      var r = from
+      while (r < until) {
+        st.etypeCode(r, colIdx) match {
+          case TypeInfer.EtNumeric => nNum += 1
+          case TypeInfer.EtText => nText += 1
+          case TypeInfer.EtDate => nDate += 1
+          case TypeInfer.EtBool => nBool += 1
+          case _ => ()
         }
+        r += 1
       }
       val totalNonEmpty = nNum + nText + nDate + nBool
       if (totalNonEmpty > 0) {
@@ -396,68 +477,22 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     (if (scores.nonEmpty) scores.sum / scores.size else 0.0, columnTypes.toMap)
   }
 
-  /** Allocation-free equivalent of `v.trim.nonEmpty` — the ONE blankness
-    * predicate for this extractor (headerQualityMulti/coverage use
-    * `trim.nonEmpty` directly, so the memoized header path must agree;
-    * `trim` strips chars <= U+0020, NOT Character.isWhitespace's set).
-    */
-  @inline private def nonBlank(v: String): Boolean = {
-    if (v == null) return false
-    var i = 0
-    while (i < v.length) {
-      if (v.charAt(i) > ' ') return true
-      i += 1
-    }
-    false
-  }
-
-  /** reference: dataframe_extractor.py:821-853. */
-  def headerQualityMulti(headerRows: Array[Array[Cell]]): Double = {
-    if (headerRows.length == 0) return 0.0
-    val scores = mutable.ArrayBuffer.empty[Double]
-    headerRows.foreach { row =>
-      var textCount = 0
-      var filled = 0
-      row.foreach { c =>
-        if (c != null && nonBlank(c.value)) {
-          filled += 1
-          if (TypeInfer.extractorType(c) == "text") textCount += 1
-        }
-      }
-      if (filled > 0) scores += textCount.toDouble / filled
-    }
-    val last = headerRows(headerRows.length - 1)
-    val distinctVals = new java.util.HashSet[String]()
-    var filled = 0
-    var distinct = 0
-    var i = 0
-    while (i < last.length) {
-      val c = last(i)
-      if (c != null && nonBlank(c.value)) {
-        filled += 1
-        if (distinctVals.add(c.value)) distinct += 1
-      }
-      i += 1
-    }
-    if (filled > 0) scores += distinct.toDouble / filled
-    if (scores.nonEmpty) scores.sum / scores.size else 0.0
-  }
-
   /** reference: dataframe_extractor.py:855-914 — note the reference looks
     * cells up at absolute column index col_idx (not offset by the range's
-    * start column); replicated for fidelity.
+    * start column); replicated for fidelity (the multi-row path reads the
+    * GRID at absolute columns 0..cols, not the span's columns).
     */
-  def extractVerticalHeadersWithMerged(headerMatrix: Array[Array[Cell]], headerRows: Int,
-      g: CellGrid, startRow: Int): Vector[String] = {
-    if (headerMatrix.length == 0 || headerRows == 0) return Vector.empty
+  private def extractVerticalHeadersWithMerged(st: SpanStats, bestStart: Int,
+      headerRows: Int): Vector[String] = {
+    if (headerRows == 0 || st.rows <= bestStart) return Vector.empty
     if (headerRows == 1) {
-      val row = headerMatrix(0)
-      return Vector.tabulate(row.length) { i =>
-        val c = row(i)
-        if (c != null && !c.valueIsNull) c.value else s"Col_$i"
+      return Vector.tabulate(st.cols) { i =>
+        if (st.present(bestStart, i)) st.value(bestStart, i) else s"Col_$i"
       }
     }
-    val numCols = headerMatrix(0).length
+    val g = st.g
+    val startRow = st.r0 + bestStart
+    val numCols = st.cols
     val mergedValues = mutable.HashMap.empty[String, String]
     (0 until headerRows).foreach { rowIdx =>
       (0 until numCols).foreach { colIdx =>
@@ -489,16 +524,15 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
 
   // ---- horizontal (reference: dataframe_extractor.py:266-296, 722-747) ----
 
-  def detectHorizontalEnhanced(matrix: Array[Array[Cell]]): HeaderResult = {
-    if (matrix.length == 0 || matrix(0).length < 2)
+  private def detectHorizontalEnhanced(st: SpanStats): HeaderResult = {
+    if (st.rows == 0 || st.cols < 2)
       return HeaderResult(hasHeaders = false, 0, 0, "horizontal", Vector.empty, 0.0)
-    val (score, headers, cols) = detectHorizontal(matrix)
+    val (score, headers, cols) = detectHorizontal(st)
     HeaderResult(hasHeaders = score > 0.5, 0, cols, "horizontal", headers, score)
   }
 
-  private def detectHorizontal(matrix: Array[Array[Cell]]): (Double, Vector[String], Int) = {
-    val numCols = matrix(0).length
-    val maxHeaderCols = math.min(3, numCols - minDataRows)
+  private def detectHorizontal(st: SpanStats): (Double, Vector[String], Int) = {
+    val maxHeaderCols = math.min(3, st.cols - minDataRows)
     var bestScore = 0.0
     var bestHeaders = Vector.empty[String]
     var bestCols = 0
@@ -507,27 +541,23 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     // iteration, so hoisted, along with the header-only score terms
     val headers =
       if (maxHeaderCols < 1) Vector.empty[String]
-      else Vector.tabulate(matrix.length) { i =>
-        val row = matrix(i)
-        val c = if (row.length > 0) row(0) else null
-        if (c != null && !c.valueIsNull) c.value else s"Col_$i"
+      else Vector.tabulate(st.rows) { i =>
+        if (st.cols > 0 && st.present(i, 0)) st.value(i, 0) else s"Col_$i"
       }
     val headerBase =
       if (headers.isEmpty) 0.0
       else {
         val d = headers.distinct.size.toDouble / headers.size * 0.3
-        val textHeaders = headers.count { h =>
-          h != null && h.nonEmpty && !isAllDigits(h.replace(".", "").replace("-", ""))
-        }
+        val textHeaders = headers.count(h => h != null && h.nonEmpty && !isNumericLike(h))
         d + textHeaders.toDouble / headers.size * 0.3
       }
     var headerCols = 1
     while (headerCols <= maxHeaderCols) {
-      // scoreHeaders(headers, matrix.map(_.drop(headerCols))) without the
-      // per-candidate matrix copy: same terms, column scan from headerCols
+      // the reference scores (headers, matrix.drop(headerCols)) per
+      // candidate: same terms, column scan from headerCols, no copies
       val score =
-        if (headers.isEmpty || matrix.length == 0) 0.0
-        else headerBase + columnTypeConsistencyFrom(matrix, headerCols) * 0.4
+        if (headers.isEmpty || st.rows == 0) 0.0
+        else headerBase + columnTypeConsistencyFrom(st, headerCols) * 0.4
       if (score > bestScore) {
         bestScore = score
         bestHeaders = headers
@@ -538,81 +568,52 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     (bestScore, bestHeaders, bestCols)
   }
 
-  /** reference: dataframe_extractor.py:331-379. */
-  def scoreHeaders(headers: Vector[String], dataRows: Array[Array[Cell]]): Double = {
-    if (headers.isEmpty || dataRows.length == 0) return 0.0
-    var score = 0.0
-    score += headers.distinct.size.toDouble / headers.size * 0.3
-    val textHeaders = headers.count { h =>
-      h != null && h.nonEmpty && !isAllDigits(h.replace(".", "").replace("-", ""))
+  /** `isAllDigits(h.replace(".", "").replace("-", ""))` without the two
+    * String copies: at least one ASCII digit and nothing but digits, '.'
+    * and '-' (the replace result must be nonEmpty and all-digits).
+    * reference: dataframe_extractor.py:331-379 (the header text-ness term).
+    */
+  private def isNumericLike(h: String): Boolean = {
+    var digits = 0
+    var i = 0
+    while (i < h.length) {
+      val ch = h.charAt(i)
+      if (ch >= '0' && ch <= '9') digits += 1
+      else if (ch != '.' && ch != '-') return false
+      i += 1
     }
-    score += textHeaders.toDouble / headers.size * 0.3
-    score += columnTypeConsistency(dataRows) * 0.4
-    score
+    digits > 0
   }
-
-  private def isAllDigits(s: String): Boolean =
-    s.nonEmpty && s.forall(c => c >= '0' && c <= '9')
 
   /** reference: dataframe_extractor.py:381-440 (bool counts as numeric via
     * Python's bool⊂int; plain float() parse without comma stripping).
+    * Columns [fromCol, cols); Cell.dataTypeCode 2/3 are number/boolean.
     */
-  def columnTypeConsistency(dataRows: Array[Array[Cell]]): Double = {
-    if (dataRows.length == 0 || dataRows(0).length == 0) return 0.0
-    val numCols = dataRows(0).length
-    var consistent = 0
-    (0 until numCols).foreach { colIdx =>
-      val types = mutable.HashSet.empty[String]
-      var any = false
-      dataRows.foreach { row =>
-        if (colIdx < row.length && row(colIdx) != null) {
-          val c = row(colIdx)
-          any = true
-          c.dataType match {
-            case "number" | "boolean" => types += "numeric"
-            case _ =>
-              if (plainFloatParses(c.value)) types += "numeric" else types += "text"
-          }
-        }
-      }
-      if (any && types.size == 1) consistent += 1
-    }
-    consistent.toDouble / numCols
-  }
-
-  /** `columnTypeConsistency(matrix.map(_.drop(fromCol)))` without the copy:
-    * the matrix is rectangular over its span, so dropping columns maps to
-    * scanning original indices [fromCol, width).
-    */
-  private def columnTypeConsistencyFrom(matrix: Array[Array[Cell]], fromCol: Int): Double = {
-    if (matrix.length == 0 || matrix(0).length <= fromCol) return 0.0
-    val numCols = matrix(0).length - fromCol
+  private def columnTypeConsistencyFrom(st: SpanStats, fromCol: Int): Double = {
+    if (st.rows == 0 || st.cols <= fromCol) return 0.0
+    val numCols = st.cols - fromCol
     var consistent = 0
     var colIdx = fromCol
-    while (colIdx < matrix(0).length) {
+    while (colIdx < st.cols) {
       var sawNumeric = false
       var sawText = false
       var any = false
-      matrix.foreach { row =>
-        if (colIdx < row.length && row(colIdx) != null) {
-          val c = row(colIdx)
+      var r = 0
+      while (r < st.rows) {
+        if (st.present(r, colIdx)) {
           any = true
-          c.dataType match {
-            case "number" | "boolean" => sawNumeric = true
-            case _ =>
-              if (plainFloatParses(c.value)) sawNumeric = true else sawText = true
-          }
+          val dt = st.dataTypeCode(r, colIdx)
+          if (dt == 2 || dt == 3) sawNumeric = true
+          else if (st.plainFloat(r, colIdx)) sawNumeric = true
+          else sawText = true
         }
+        r += 1
       }
       if (any && (sawNumeric ^ sawText)) consistent += 1
       colIdx += 1
     }
     consistent.toDouble / numCols
   }
-
-  private val PlainFloatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
-  private def plainFloatParses(v: String): Boolean =
-    v != null && PlainFloatRe.matches(v.trim)
 
   // ---- table creation + quality ----
 
@@ -621,53 +622,51 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     * returns None. Single source of truth for both the materializing path
     * and the stats-only kernel path.
     */
-  private def tableShape(matrix: Array[Array[Cell]], headerInfo: Option[HeaderResult])
+  private def tableShape(st: SpanStats, headerInfo: Option[HeaderResult])
       : Option[(Int, Int, Int, Int)] = {
-    if (matrix.length == 0) return None
+    if (st.rows == 0) return None
     headerInfo match {
       case Some(hi) if hi.hasHeaders && hi.orientation == "vertical" =>
         var startRow = 0
         if (hi.titleRows.nonEmpty) {
           val titleSet = hi.titleRows.toSet
-          startRow = matrix.indices.find(i => !titleSet.contains(i)).getOrElse(0)
+          startRow = (0 until st.rows).find(i => !titleSet.contains(i)).getOrElse(0)
         }
         val dataStart = startRow + hi.headerRows
-        if (hi.headers.size != matrix(0).length) None // pandas would raise
+        if (hi.headers.size != st.cols) None // pandas would raise
         else {
-          val fr = math.min(dataStart, matrix.length)
-          Some((fr, 0, matrix.length - fr, hi.headers.size))
+          val fr = math.min(dataStart, st.rows)
+          Some((fr, 0, st.rows - fr, hi.headers.size))
         }
       case Some(hi) if hi.hasHeaders =>
         // pandas raises when len(columns) != data width (headers here are one
         // per ROW — the reference's transposed path fails for non-square
         // shapes); replicate by returning None on mismatch
-        if (hi.headers.size != math.max(0, matrix(0).length - hi.headerColumns)) None
+        if (hi.headers.size != math.max(0, st.cols - hi.headerColumns)) None
         else {
-          val fc = math.min(hi.headerColumns, matrix(0).length)
-          Some((0, fc, matrix.length, hi.headers.size))
+          val fc = math.min(hi.headerColumns, st.cols)
+          Some((0, fc, st.rows, hi.headers.size))
         }
       case _ => // no header info, or !hasHeaders: numbered columns, all rows
-        Some((0, 0, matrix.length, matrix(0).length))
+        Some((0, 0, st.rows, st.cols))
     }
   }
 
   /** reference: dataframe_extractor.py:442-481. */
-  def createTable(matrix: Array[Array[Cell]], headerInfo: Option[HeaderResult])
+  private def createTable(st: SpanStats, headerInfo: Option[HeaderResult])
       : Option[TableData] = {
-    // output rows materialize as Vectors (TableData is the public surface);
-    // the matrix itself stays flat
+    // output rows materialize as Vectors (TableData is the public surface)
     def rowsFrom(fromRow: Int, fromCol: Int): Vector[Vector[String]] =
-      Vector.tabulate(matrix.length - fromRow) { r =>
-        val row = matrix(fromRow + r)
-        Vector.tabulate(row.length - fromCol) { c =>
-          val cell = row(fromCol + c)
-          if (cell == null || cell.valueIsNull) null else cell.value
+      Vector.tabulate(st.rows - fromRow) { r =>
+        Vector.tabulate(st.cols - fromCol) { c =>
+          if (st.present(fromRow + r, fromCol + c)) st.value(fromRow + r, fromCol + c)
+          else null
         }
       }
-    tableShape(matrix, headerInfo).map { case (fr, fc, _, _) =>
+    tableShape(st, headerInfo).map { case (fr, fc, _, _) =>
       val columns = headerInfo match {
         case Some(hi) if hi.hasHeaders => hi.headers
-        case _ => (0 until matrix(0).length).map(_.toString).toVector
+        case _ => (0 until st.cols).map(_.toString).toVector
       }
       TableData(columns, rowsFrom(fr, fc))
     }
@@ -695,7 +694,7 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     math.min(1.0, score)
   }
 
-  /** The kernel-pipeline variant of [[extract]]: same matrix build, density
+  /** The kernel-pipeline variant of [[extract]]: same span view, density
     * gate, header detection, shape logic and quality arithmetic — but the
     * TableData row Vectors are never materialized (the pipeline only ships
     * (rows, cols, quality) on the span; the created rows were discarded).
@@ -704,12 +703,14 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     * fixture in OperatorGoldenSpec.
     */
   def extractStats(g: CellGrid, span: Span): (Option[(Int, Int)], Option[HeaderResult], Double) = {
-    val matrix = spanMatrix(g, span)
-    if (matrix.length == 0) return (None, None, 0.0)
-    val density = calcDensity(matrix)
+    val st = spanStats(g, span) match {
+      case None => return (None, None, 0.0)
+      case Some(s) => s
+    }
+    val density = calcDensity(st)
     if (density < minDataDensity) return (None, None, 0.0)
-    val headerInfo = Some(detectHeaderInfo(matrix, g, span))
-    tableShape(matrix, headerInfo) match {
+    val headerInfo = Some(detectHeaderInfo(st))
+    tableShape(st, headerInfo) match {
       case None => (None, headerInfo, 0.0)
       case Some((fr, fc, nr, nc)) =>
         if (nr < minDataRows) {
@@ -717,16 +718,15 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
             (Some((nr, nc)), headerInfo, 0.95)
           else (None, headerInfo, 0.0)
         } else {
-          // nonNull over the same region createTable would materialize:
-          // a slot counts when the cell exists AND its value is non-null
+          // nonNull over the same region createTable would materialize
+          // (present cells always have a non-null value — the grid stores
+          // neither empty nor null-valued cells)
           var nonNull = 0L
           var r = fr
-          while (r < matrix.length) {
-            val row = matrix(r)
+          while (r < st.rows) {
             var c = fc
-            while (c < row.length) {
-              val cell = row(c)
-              if (cell != null && !cell.valueIsNull) nonNull += 1
+            while (c < st.cols) {
+              if (st.present(r, c)) nonNull += 1
               c += 1
             }
             r += 1

@@ -99,6 +99,41 @@ class Cell private[grid] (
     case _ => vLen > 0
   }
 
+  /** `value != null && value.exists(_ > ' ')` — the extractor's blankness
+    * predicate (String.trim's char class, NOT Character.isWhitespace) —
+    * without materializing span-backed values.
+    */
+  def valueNonBlank: Boolean = _v match {
+    case s: String =>
+      var i = 0
+      val n = s.length
+      while (i < n) { if (s.charAt(i) > ' ') return true; i += 1 }
+      false
+    case null => false
+    case cs: CharSequence =>
+      var i = vFrom
+      val n = vFrom + vLen
+      while (i < n) { if (cs.charAt(i) > ' ') return true; i += 1 }
+      false
+  }
+
+  /** Value chars + bounds for same-package analyzers that classify the
+    * value WITHOUT forcing materialization (String-backed cells expose the
+    * string itself — a String is its own CharSequence). `valueCs` is null
+    * iff value is null; reads through it never mutate the cell.
+    */
+  private[core] def valueCs: CharSequence = _v.asInstanceOf[CharSequence]
+  private[core] def valueCsFrom: Int = _v match {
+    case _: String => 0
+    case null => 0
+    case _ => vFrom
+  }
+  private[core] def valueCsUntil: Int = _v match {
+    case s: String => s.length
+    case null => 0
+    case _ => vFrom + vLen
+  }
+
   /** Append the value to `sb` without materializing a per-cell String —
     * the serialize phase writes every cell exactly once, so this is the
     * path that lets span-backed cells stay strings-free end to end.

@@ -609,4 +609,43 @@ final class GridCursor private[grid] (g: CellGrid) {
       SpanCodec.append(sb, g.cursorBacking, SpanCodec.vFrom(span), SpanCodec.vUntil(span))
     }
   }
+
+  /** Cell.valueNonBlank for the loaded position — `value.exists(_ > ' ')`
+    * over the backing span, no Cell object, no value String.
+    */
+  def valueNonBlank: Boolean = {
+    if (cObj != null) cObj.valueNonBlank
+    else {
+      val cs = valueCs
+      var i = valueCsFrom
+      val n = valueCsUntil
+      while (i < n) { if (cs.charAt(i) > ' ') return true; i += 1 }
+      false
+    }
+  }
+
+  /** Value chars + bounds for same-package analyzers (mirrors
+    * [[Cell.valueCs]]): String-backed and slot-cached positions expose the
+    * string, span slots the shared backing. Only valid on a loaded
+    * position (like [[value]]).
+    */
+  private[core] def valueCs: CharSequence = {
+    if (cObj != null) cObj.valueCs
+    else if (sval != null) sval
+    else {
+      if (slot < 0)
+        throw new IllegalStateException("cursor is not positioned on a cell")
+      g.cursorBacking
+    }
+  }
+  private[core] def valueCsFrom: Int = {
+    if (cObj != null) cObj.valueCsFrom
+    else if (sval != null) 0
+    else SpanCodec.vFrom(span)
+  }
+  private[core] def valueCsUntil: Int = {
+    if (cObj != null) cObj.valueCsUntil
+    else if (sval != null) sval.length
+    else SpanCodec.vUntil(span)
+  }
 }

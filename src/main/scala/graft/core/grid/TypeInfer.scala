@@ -349,6 +349,18 @@ object TypeInfer {
     */
   private val BoolWords = Set("true", "false", "yes", "no", "y", "n")
 
+  /** Extractor type codes (indexes into [[ExtractorTypes]]) — primitive
+    * tallies and the SpanStats byte memo use these; [[extractorType]] maps
+    * them to the reference's strings.
+    */
+  final val EtEmpty = 0
+  final val EtNumeric = 1
+  final val EtText = 2
+  final val EtDate = 3
+  final val EtBool = 4
+  val ExtractorTypes: Array[String] =
+    Array("empty", "numeric", "text", "date", "boolean")
+
   def extractorType(c: Cell): String = {
     if (c == null || c.isEmpty) return "empty"
     val cached = c.extractorTypeCache
@@ -357,15 +369,137 @@ object TypeInfer {
       case "boolean" => "boolean"
       case "number" => "numeric"
       case _ =>
-        val v = c.value.trim
-        val noComma = if (v.indexOf(',') >= 0) v.replace(",", "") else v
-        if (FloatRe.matches(noComma)) "numeric"
-        else if (v.length >= 6 && v.exists(ch => ch == '-' || ch == '/' || ch == ':')) "date"
-        else if (BoolWords.contains(v.toLowerCase)) "boolean"
-        else "text"
+        ExtractorTypes(classifyExtractor(c.valueCs, c.valueCsFrom, c.valueCsUntil))
     }
     c.extractorTypeCache = t
     t
+  }
+
+  /** [[extractorType]] as a code for a loaded cursor position — no Cell
+    * object, no cache (the extractor memoizes per span in its byte matrix).
+    * A loaded position is never empty (grids store no empty cells), so
+    * EtEmpty is unreachable here; dataType codes 2/3 are number/boolean
+    * (Cell.DataTypes).
+    */
+  private[core] def extractorTypeCode(cur: GridCursor): Int =
+    cur.dataTypeCode match {
+      case 2 => EtNumeric
+      case 3 => EtBool
+      case _ => classifyExtractor(cur.valueCs, cur.valueCsFrom, cur.valueCsUntil)
+    }
+
+  /** [[cellPlainFloat]] for a loaded cursor position. */
+  private[core] def cursorPlainFloat(cur: GridCursor): Boolean = {
+    val cs = cur.valueCs
+    var a = cur.valueCsFrom
+    var b = cur.valueCsUntil
+    while (a < b && cs.charAt(a) <= ' ') a += 1
+    while (b > a && cs.charAt(b - 1) <= ' ') b -= 1
+    matchesFloat(cs, a, b, skipCommas = false)
+  }
+
+  /** Charwise replay of the extractor's string branch — NO value / trim /
+    * noComma String materialization (the extract-ON path classified up to
+    * ~100 rows × cols per grid through materialized copies):
+    *   v = value.trim; noComma = v.replace(",", "")
+    *   FloatRe(noComma) → numeric; len(v) >= 6 ∧ v has -,/,: → date;
+    *   v.toLowerCase ∈ BoolWords → boolean; else text.
+    * The float/date arithmetic is char-exact for ALL inputs (Java's \d is
+    * ASCII; the date test is plain char equality); only the BoolWords
+    * lowercase needs locale semantics, so a non-ASCII candidate falls back
+    * to String.toLowerCase there. extractorType ≡ this replay is
+    * property-pinned over arbitrary unicode in PropertySpec.
+    */
+  private def classifyExtractor(cs: CharSequence, from0: Int, until0: Int): Int = {
+    var a = from0
+    var b = until0
+    while (a < b && cs.charAt(a) <= ' ') a += 1
+    while (b > a && cs.charAt(b - 1) <= ' ') b -= 1
+    if (matchesFloat(cs, a, b, skipCommas = true)) return EtNumeric
+    if (b - a >= 6) {
+      var i = a
+      while (i < b) {
+        val ch = cs.charAt(i)
+        if (ch == '-' || ch == '/' || ch == ':') return EtDate
+        i += 1
+      }
+    }
+    // BoolWords membership: words are 1-5 ASCII letters, so longer values
+    // can't match (String.toLowerCase never shrinks a string)
+    if (b - a >= 1 && b - a <= 5) {
+      var i = a
+      var ascii = true
+      while (i < b && ascii) { if (cs.charAt(i) >= 0x80) ascii = false; i += 1 }
+      if (!ascii) {
+        // locale-exact lowercase on the (rare) non-ASCII candidate
+        return if (BoolWords.contains(SpanCodec.sub(cs, a, b).toLowerCase)) EtBool
+          else EtText
+      }
+      if (isBoolWordAscii(cs, a, b)) return EtBool
+    }
+    EtText
+  }
+
+  /** `FloatRe.matches(trimmed.replace(",", ""))` replayed charwise over
+    * [a, b) — commas are skipped at ANY position when `skipCommas` (the
+    * extractor's noComma semantics); the pattern is
+    * ^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$ with ASCII digits.
+    */
+  private[core] def matchesFloat(cs: CharSequence, a: Int, b: Int,
+      skipCommas: Boolean): Boolean = {
+    var i = a
+    @inline def cur(): Int = {
+      if (skipCommas) while (i < b && cs.charAt(i) == ',') i += 1
+      if (i < b) cs.charAt(i) else -1
+    }
+    var ch = cur()
+    if (ch == '+' || ch == '-') { i += 1; ch = cur() }
+    var d1 = 0
+    while (ch >= '0' && ch <= '9') { d1 += 1; i += 1; ch = cur() }
+    var sawDot = false
+    var d2 = 0
+    if (ch == '.') {
+      sawDot = true
+      i += 1; ch = cur()
+      while (ch >= '0' && ch <= '9') { d2 += 1; i += 1; ch = cur() }
+    }
+    if (d1 == 0 && !(sawDot && d2 >= 1)) return false
+    if (ch == 'e' || ch == 'E') {
+      i += 1; ch = cur()
+      if (ch == '+' || ch == '-') { i += 1; ch = cur() }
+      var d3 = 0
+      while (ch >= '0' && ch <= '9') { d3 += 1; i += 1; ch = cur() }
+      if (d3 == 0) return false
+    }
+    cur() == -1
+  }
+
+  /** `PlainFloatRe.matches(c.value.trim)` without materializing: the
+    * horizontal header path's per-cell numeric test (no comma stripping).
+    */
+  private[core] def cellPlainFloat(c: Cell): Boolean = {
+    val cs = c.valueCs
+    if (cs == null) return false
+    var a = c.valueCsFrom
+    var b = c.valueCsUntil
+    while (a < b && cs.charAt(a) <= ' ') a += 1
+    while (b > a && cs.charAt(b - 1) <= ' ') b -= 1
+    matchesFloat(cs, a, b, skipCommas = false)
+  }
+
+  private def isBoolWordAscii(cs: CharSequence, a: Int, b: Int): Boolean = {
+    @inline def is(w: String): Boolean = {
+      if (b - a != w.length) return false
+      var i = 0
+      while (i < w.length) {
+        val ch = cs.charAt(a + i)
+        val lo = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+        if (lo != w.charAt(i)) return false
+        i += 1
+      }
+      true
+    }
+    is("true") || is("false") || is("yes") || is("no") || is("y") || is("n")
   }
 }
 

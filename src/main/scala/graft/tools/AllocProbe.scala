@@ -76,15 +76,15 @@ object AllocProbe {
     }
     measureGrids("headerinfo only") {
       denseGrids.foreach { g =>
-        val span = graft.core.grid.Span(0, 0, g.maxRow, g.maxCol)
         val te = new graft.core.extract.TableExtractor()
-        val matrix = Array.tabulate(span.r1 - span.r0 + 1) { r =>
-          Array.tabulate(span.c1 - span.c0 + 1) { c =>
-            val cell = g.get(span.r0 + r, span.c0 + c)
-            if (cell == null || cell.isEmpty) null else cell
-          }
-        }
-        te.detectHeaderInfo(matrix, g, span)
+        te.detectHeaderInfo(new graft.core.extract.SpanStats(
+          g, 0, 0, g.maxRow + 1, g.maxCol + 1))
+      }
+    }
+    measureGrids("extractStats (kernel path)") {
+      denseGrids.foreach { g =>
+        val span = graft.core.grid.Span(0, 0, g.maxRow, g.maxCol)
+        new graft.core.extract.TableExtractor().extractStats(g, span)
       }
     }
   }

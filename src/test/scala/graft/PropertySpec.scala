@@ -498,4 +498,57 @@ class PropertySpec extends AnyFunSuite {
       d1 == d2 && h1 == h2
     })
   }
+
+  test("extractorType charwise replay == reference formula; valueNonBlank == spec") {
+    // round 6: the extractor's type/blank/float predicates run straight off
+    // the value chars (no value/trim/noComma materialization). Pin verdict
+    // equality with the reference formula over arbitrary unicode — incl.
+    // comma soup, malformed floats, İ/Kelvin lowercase traps, fullwidth
+    // letters, control chars — for String-backed AND span-backed cells.
+    import graft.core.grid.TypeInfer
+    import graft.core.html.DelimitedText
+    val FloatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+    val BoolWords = Set("true", "false", "yes", "no", "y", "n")
+    def oracle(c: Cell): String = {
+      if (c == null || c.isEmpty) "empty"
+      else c.dataType match {
+        case "boolean" => "boolean"
+        case "number" => "numeric"
+        case _ =>
+          val v = c.value.trim
+          val noComma = if (v.indexOf(',') >= 0) v.replace(",", "") else v
+          if (FloatRe.matches(noComma)) "numeric"
+          else if (v.length >= 6 && v.exists(ch => ch == '-' || ch == '/' || ch == ':')) "date"
+          else if (BoolWords.contains(v.toLowerCase)) "boolean"
+          else "text"
+      }
+    }
+    val tricky = Gen.oneOf(Seq("3,141", "1,2,3", ",,", ",+5,", "+.5", ".5e3",
+      "5.e2", "1.2.3", "-", "+", "e9", "1e", "1e+", "2024-01-15", "a-b-c1",
+      "TRUE", "Yes", "nO", "Y", "İ", "K", "ß", "ÑO", "naïve", "  true  ",
+      "1", "12345:", "::::::", "1,000.5", ".", "..", "0.0.0", "+1,",
+      "1 000", "ＹＥＳ", "FALSE ", "no,", "t,rue", "+,5", "1,e3"))
+    val anyVal: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(10)), tricky,
+      Gen.listOf(Gen.oneOf(Gen.numChar, Gen.alphaChar,
+        Gen.oneOf(',', '.', '-', '/', ':', '+', 'e', 'E', ' ', '\u0001', 'İ')))
+        .map(_.mkString.take(14)))
+    check(Prop.forAll(anyVal) { v =>
+      val c = new Cell(v, v, "string", 0, 0)
+      TypeInfer.extractorType(c) == oracle(c) && c.valueNonBlank == v.exists(_ > ' ')
+    })
+    // span-backed cells (StrView backing, converted slots, dataType
+    // shortcut branches) via the delimited parser
+    check(Prop.forAll(Gen.listOfN(3, Gen.listOfN(3, anyVal))) { rows =>
+      val text = rows.map(_.map(v =>
+        v.replace('\t', ' ').replace('\n', ' ').replace('\r', ' ')).mkString("\t"))
+        .mkString("\n")
+      val (g, _) = DelimitedText.parse(text, '\t')
+      g.cellsSorted.forall { c =>
+        val got = TypeInfer.extractorType(c)
+        got == oracle(c) &&
+          c.valueNonBlank == (c.value != null && c.value.exists(_ > ' '))
+      }
+    })
+  }
 }
