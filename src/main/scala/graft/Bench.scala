@@ -443,10 +443,11 @@ object Bench {
          |
          |Single-node vs reference (BASELINE.md): the reference publishes
          |1M+ cells/s on its simple path and 100K+ cells/s on the island path
-         |(single-process Python). This kernel measures ~1.43M cells/s on ONE
+         |(single-process Python). This kernel measures ~1.77M cells/s on ONE
          |thread over a corpus mix that routes ~60 % of pages through the
          |island path (reproduce: `sbt "runMain graft.tools.KernelBench"` —
-         |phase split and per-variant allocation printed), i.e. it beats
+         |phase split and per-variant allocation printed; round-6 clean
+         |window: 8→32 kernel scaling 0.981, p32 253k docs/s), i.e. it beats
          |the reference's SIMPLE-path rate per core on island-heavy input
          |before any parallelism. Allocation trajectory per doc: 159 KB
          |(round 1) → 85 KB (r2) → 78 KB (r3) → 64.9 KB (r4) → 55.4 KB
@@ -459,7 +460,14 @@ object Bench {
          |metrics, copy-on-first-merge accumulators, dense-grid bitset
          |flood fill, two-holder formatting-boundary walk; cascade
          |24.1k → 13.8k B/grid, detect wall ~halved, equivalence
-         |property-pinned).
+         |property-pinned) → ~51 KB with the extract-tables-ON path cut
+         |79.9k → 67.2k B/doc (round 6: the extractor's Cell matrix
+         |replaced by the cursor-backed SpanStats view — presence booleans
+         |+ a lazily-memoized type byte per cell, blank/type/float
+         |predicates charwise over the backing span; headerinfo 26.7k →
+         |14.3k B/grid, extract-ON 9.4k → 10.7k docs/s single-thread,
+         |verdicts property-pinned to the reference formula over
+         |arbitrary unicode).
          |
          |Reading: the wall-based number on this box conflates engine scaling
          |with hypervisor CPU steal — identical pure-ALU per-thread work was

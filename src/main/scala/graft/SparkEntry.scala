@@ -399,6 +399,19 @@ object SparkEntry {
       val queries = emb.orderBy(col("vec_id")).limit(8)
       Similarity.ivfTopK(s, emb, queries, k = 5, nList = 16, nProbe = 8)
     }),
+    // the production ANN path: build the IVF index, PERSIST it, load it
+    // back, and search from the loaded artifact — the corpus side of the
+    // search is a parquet scan of precomputed (id, vec, cell) rows with NO
+    // assignment expression (PlanShapeSpec pins that); results are
+    // bit-identical to q_ann_ivf, whose oracle this shares
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.orderBy(col("vec_id")).limit(8)
+      val idxDir = java.nio.file.Files.createTempDirectory("q_ivf_idx").toString
+      graft.ops.IvfIndex.write(Similarity.ivfIndex(s, emb, nList = 16), idxDir)
+      Similarity.ivfTopKFromIndex(graft.ops.IvfIndex.load(s, idxDir),
+        queries, k = 5, nProbe = 8)
+    }),
     // banded multi-table LSH at scale-safe parameters (4096 buckets/table ×
     // 16 tables — recall ≥0.93 in the ≥0.92-cosine near-dup regime the
     // operator targets, OpsSpec-asserted on planted near-duplicates; the
@@ -601,7 +614,14 @@ object SparkEntry {
       |  WHERE id != cluster_id)""".stripMargin
 
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // IVF search from the persisted index is bit-identical to q_ann_ivf
+    // (same deterministic centroids; assignments become stored data), so
+    // the indexed surface shares the replayed-k-means oracle — the driver
+    // gate then checks the write→load→search round-trip end to end.
+    ("q_ann_ivf_indexed" -> oracleSqlBase("q_ann_ivf"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS count_order,

@@ -294,24 +294,41 @@ object Similarity {
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("query_id", "neighbor_id", "cos", "rank")
     val cents = trainCentroids(sample, nList, iters)
+    ivfTopKFromIndex(IvfIndex(cents, assignVectors(cents, corpus, idCol, vecCol), nList),
+      queries, k, nProbe, idCol, vecCol)
+  }
 
-    // assignment/probes are native Catalyst expressions (doGenCode; the
-    // centroid matrix rides the plan as a codegen reference object) — the
-    // corpus-wide assignment scan stays inside whole-stage codegen instead
-    // of a Deserialize→map→Serialize break around a broadcast closure.
-    // Cell ids are bit-identical to the previous typed maps (same
-    // Similarity.nearestCells arithmetic — the oracle replays it).
-    import graft.functions.IvfFunctions
-    val assigned = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+  /** Map-side assignment of vectors to FIXED centroids — the add() step of
+    * a growing ANN corpus, and the delta a production pipeline
+    * [[IvfIndex.appendSegment]]s. The assignment is a native Catalyst
+    * expression (doGenCode; the centroid matrix rides the plan as a
+    * codegen reference object), so the corpus-wide scan stays inside
+    * whole-stage codegen instead of a Deserialize→map→Serialize break.
+    * Cell ids replay Similarity.nearestCells' arithmetic bit-exactly (the
+    * oracle recomputes them).
+    */
+  def assignVectors(cents: Array[Array[Double]], df: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("cvec"),
-      IvfFunctions.nearestCell(col(vecCol), cents).as("cell"))
+      graft.functions.IvfFunctions.nearestCell(col(vecCol), cents).as("cell"))
 
+  /** IVF search from a prebuilt (usually [[IvfIndex.load]]ed) index: the
+    * production query path — the corpus side is a parquet scan of already-
+    * assigned (id, vec, cell) rows, so the search plans NO assignment
+    * expression over the corpus at all; only the (tiny, broadcast) query
+    * probes pay centroid arithmetic at search time, and only probed cells
+    * pay the exact cosine.
+    */
+  def ivfTopKFromIndex(idx: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.IvfFunctions
     val probes = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qvec"),
-        explode(IvfFunctions.probeCells(col(vecCol), cents, nProbe)).as("cell"))
+        explode(IvfFunctions.probeCells(col(vecCol), idx.centroids, nProbe)).as("cell"))
       .select(col("query_id"), col("qvec"), col("cell"))
 
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    val scored = idx.assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qvec").cast("array<double>"),
         col("cvec").cast("array<double>")), 6))
@@ -319,6 +336,23 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      // the per-query rank ORDER is the semantics of a top-k result (and
+      // the result set is k×queries tiny) — not an operator-tail waste sort
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Build the IVF index for a corpus: deterministic bounded-sample Lloyd
+    * k-means + map-side assignment — the artifact [[IvfIndex.write]]
+    * persists so production search never retrains or reassigns per query.
+    */
+  def ivfIndex(spark: SparkSession, corpus: DataFrame, nList: Int = 16,
+      trainSampleN: Int = 4096, iters: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    import spark.implicits._
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(trainSampleN).select(col(vecCol)).as[Array[Float]].collect()
+    require(sample.nonEmpty, "empty corpus: IVF centroid training needs vectors")
+    val cents = trainCentroids(sample, nList, iters)
+    IvfIndex(cents, assignVectors(cents, corpus, idCol, vecCol), nList)
   }
 }

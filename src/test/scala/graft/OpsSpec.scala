@@ -544,6 +544,50 @@ class OpsSpec extends AnyFunSuite {
       "nProbe = nList must equal exact search on the planted pairs")
   }
 
+  test("persisted IVF index: loaded search equals direct ivfTopK bit-exactly") {
+    import graft.ops.IvfIndex
+    val emb = embWithNearDups
+    val queries = emb.filter(col("vec_id") >= 100000L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = rows(Similarity.ivfTopK(spark, emb, queries, k = 3, nList = 16, nProbe = 4))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    IvfIndex.write(Similarity.ivfIndex(spark, emb, nList = 16), dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.nList == 16 && loaded.centroids.length == 16)
+    val fed = rows(Similarity.ivfTopKFromIndex(loaded, queries, k = 3, nProbe = 4))
+    assert(fed.nonEmpty && fed == direct,
+      "write -> load -> search must be bit-identical to the direct operator")
+  }
+
+  test("IVF index append: new vectors assigned to frozen centroids are searchable") {
+    import graft.ops.IvfIndex
+    val emb = embWithNearDups
+    // day 0: index only the base corpus; day 1: append the planted
+    // near-dup copies assigned against the FROZEN centroids (FAISS add())
+    val base = emb.filter(col("vec_id") < 100000L)
+    val planted = emb.filter(col("vec_id") >= 100000L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_add").toString
+    IvfIndex.write(Similarity.ivfIndex(spark, base, nList = 16), dir)
+    val day0 = IvfIndex.load(spark, dir)
+    val delta = Similarity.assignVectors(day0.centroids, planted)
+    assert(IvfIndex.appendSegment(delta, dir, "day_1"))
+    assert(!IvfIndex.appendSegment(delta, dir, "day_1"), "replay must be a no-op")
+    val grown = IvfIndex.load(spark, dir)
+    assert(grown.assigned.count() == emb.count())
+    // the appended vectors are found: each base query's nearest neighbor
+    // is its planted copy (cos ~0.970 vs background ~0.5), same recall
+    // bar as the direct-operator test
+    val queries = base.orderBy(col("vec_id")).limit(60)
+    val out = Similarity.ivfTopKFromIndex(grown, queries, k = 1, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = out.count { case (qid, nid) => nid == qid + 100000L }
+    assert(hits >= 54, s"appended near-dups must be retrievable: $hits/60")
+    // centroids are frozen: the grown index's matrix is day 0's, bit-exact
+    assert(grown.centroids.length == day0.centroids.length &&
+      grown.centroids.zip(day0.centroids).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("ANN operators return empty (not throw) on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

@@ -190,6 +190,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "sig-level banding must not re-shingle from text")
   }
 
+  test("index-fed IVF search plans no corpus-side assignment expression") {
+    import graft.ops.IvfIndex
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("plan_ivf").toString
+    IvfIndex.write(graft.ops.Similarity.ivfIndex(spark, emb, nList = 16), dir)
+    val queries = emb.orderBy(col("vec_id")).limit(8)
+    val df = graft.ops.Similarity.ivfTopKFromIndex(IvfIndex.load(spark, dir),
+      queries, k = 5, nProbe = 8)
+    val planStr = df.queryExecution.executedPlan.toString
+    // corpus cells are stored data (parquet scan); only the tiny query
+    // side computes probes at search time
+    assert(!planStr.contains("graft_ivf_nearest_cell"),
+      "index-fed search must not re-assign the corpus")
+    assert(planStr.contains("graft_ivf_probe_cells"),
+      "query probes still compute at search time")
+    assert(planStr.toLowerCase.contains("parquet"),
+      "the corpus side is a parquet scan of the persisted index")
+    assert(df.count() > 0)
+  }
+
   test("lang-id, ngram-jaccard, IVF plans carry no object-serde break") {
     // round-5: the last typed-map surfaces (classifyLang map, ngramJaccard
     // map, IVF assignment/probe closures) run as native doGenCode
