@@ -100,6 +100,71 @@ private[graft] final class SpanStats(val g: CellGrid, val r0: Int, val c0: Int,
 
   /** The Cell object at a span-relative position, or null. */
   def cellAt(r: Int, c: Int): Cell = g.get(r0 + r, c0 + c)
+
+  private val cur2: GridCursor = g.cursor
+
+  /** Char-exact equality of the values at two PRESENT positions (the
+    * String-equality a HashSet[String] would compute) — two cursors, zero
+    * materialization. Lets narrow-row distinct counts run as O(n²) span
+    * compares instead of building a string set per row.
+    */
+  def valuesEqual(r1: Int, c1: Int, r2: Int, c2: Int): Boolean = {
+    cur.moveTo(r0 + r1, c0 + c1)
+    cur2.moveTo(r0 + r2, c0 + c2)
+    val a = cur.valueCs
+    val af = cur.valueCsFrom
+    val n = cur.valueCsUntil - af
+    val b = cur2.valueCs
+    val bf = cur2.valueCsFrom
+    if (cur2.valueCsUntil - bf != n) return false
+    var i = 0
+    while (i < n) {
+      if (a.charAt(af + i) != b.charAt(bf + i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** The horizontal path's numeric-like test (digits/'.'/'-' with ≥1
+    * digit) over the col-0 value chars of a PRESENT row — the charwise
+    * `isAllDigits(h.replace(".","").replace("-",""))`.
+    */
+  def headerNumericLike(r: Int): Boolean = {
+    cur.moveTo(r0 + r, c0)
+    val cs = cur.valueCs
+    var i = cur.valueCsFrom
+    val n = cur.valueCsUntil
+    var digits = 0
+    while (i < n) {
+      val ch = cs.charAt(i)
+      if (ch >= '0' && ch <= '9') digits += 1
+      else if (ch != '.' && ch != '-') return false
+      i += 1
+    }
+    digits > 0
+  }
+
+  /** Col-0 value of PRESENT row `r` equals the literal placeholder
+    * "Col_<idx>" (the collision case between a real value and an absent
+    * row's synthetic header).
+    */
+  def headerEqualsPlaceholder(r: Int, idx: Int): Boolean = {
+    cur.moveTo(r0 + r, c0)
+    val cs = cur.valueCs
+    val f = cur.valueCsFrom
+    val u = cur.valueCsUntil
+    if (u - f < 5) return false // "Col_" + at least one digit
+    if (cs.charAt(f) != 'C' || cs.charAt(f + 1) != 'o' ||
+        cs.charAt(f + 2) != 'l' || cs.charAt(f + 3) != '_') return false
+    val s = java.lang.Integer.toString(idx)
+    if (u - f - 4 != s.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (cs.charAt(f + 4 + i) != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Port of the reference's DataFrame extraction with intelligent header
@@ -166,12 +231,23 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     nonEmpty.toDouble / total
   }
 
-  /** reference: dataframe_extractor.py:185-240. */
+  /** reference: dataframe_extractor.py:185-240. The horizontal candidate
+    * is SCORED without materializing its header vector (charwise distinct
+    * + text-ness over the col-0 spans); the vector is built only when the
+    * horizontal orientation actually wins — on most grids vertical wins
+    * and the old per-grid col-0 value materialization was pure waste.
+    */
   private[graft] def detectHeaderInfo(st: SpanStats): HeaderResult = {
     detectPlateFormat(st).getOrElse {
       val vertical = detectVerticalEnhanced(st)
-      val horizontal = detectHorizontalEnhanced(st)
-      if (vertical.confidence > horizontal.confidence) vertical else horizontal
+      val (hScore, hCols) = detectHorizontalScore(st)
+      if (vertical.confidence > hScore) vertical
+      else {
+        // bestHeaders semantics preserved: non-empty iff some candidate
+        // scored above the initial 0.0
+        val headers = if (hScore > 0.0) horizontalHeaderVector(st) else Vector.empty
+        HeaderResult(hasHeaders = hScore > 0.5, 0, hCols, "horizontal", headers, hScore)
+      }
     }
   }
 
@@ -310,19 +386,36 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     val rowHasFilled = new Array[Boolean](qRows)
     val lastRatio = new Array[Double](qRows)
     val lastNonEmpty = new Array[Boolean](qRows)
-    val distinctVals = new java.util.HashSet[String]() // reused per row
+    // distinct-value counting: narrow rows (the overwhelming case) run
+    // O(n²) span compares through the cursors — the String-set verdict
+    // with zero value materialization; wide rows fall back to the set
+    // (quadratic compares would beat the string cost there)
+    val narrow = st.cols <= 64
+    val seenCols = if (narrow) new Array[Int](st.cols) else null
+    val distinctVals = if (narrow) null else new java.util.HashSet[String]()
     var qi = 0
     while (qi < qRows) {
       var textCount = 0
       var filled = 0
       var distinct = 0
-      distinctVals.clear()
+      if (!narrow) distinctVals.clear()
+      var nSeen = 0
       var ci = 0
       while (ci < st.cols) {
         if (st.nonBlank(qi, ci)) {
           filled += 1
           if (st.etypeCode(qi, ci) == TypeInfer.EtText) textCount += 1
-          if (distinctVals.add(st.value(qi, ci))) distinct += 1
+          if (narrow) {
+            var dup = false
+            var s = 0
+            while (s < nSeen && !dup) {
+              if (st.valuesEqual(qi, ci, qi, seenCols(s))) dup = true
+              s += 1
+            }
+            if (!dup) distinct += 1
+            seenCols(nSeen) = ci
+            nSeen += 1
+          } else if (distinctVals.add(st.value(qi, ci))) distinct += 1
         }
         ci += 1
       }
@@ -524,49 +617,72 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
 
   // ---- horizontal (reference: dataframe_extractor.py:266-296, 722-747) ----
 
-  private def detectHorizontalEnhanced(st: SpanStats): HeaderResult = {
-    if (st.rows == 0 || st.cols < 2)
-      return HeaderResult(hasHeaders = false, 0, 0, "horizontal", Vector.empty, 0.0)
-    val (score, headers, cols) = detectHorizontal(st)
-    HeaderResult(hasHeaders = score > 0.5, 0, cols, "horizontal", headers, score)
-  }
-
-  private def detectHorizontal(st: SpanStats): (Double, Vector[String], Int) = {
+  /** Horizontal candidate score + header-column count, header vector NOT
+    * materialized. Reference bug kept: headers always come from column 0
+    * regardless of header_cols (dataframe_extractor.py:283-286) — so the
+    * header-only score terms are per-grid constants, computed charwise
+    * over the col-0 spans / Col_i placeholders when the grid is narrow
+    * enough for pairwise compares (rows ≤ 64; a taller grid falls back to
+    * the materializing set — quadratic compares would beat string cost).
+    */
+  private def detectHorizontalScore(st: SpanStats): (Double, Int) = {
+    if (st.rows == 0 || st.cols < 2) return (0.0, 0)
     val maxHeaderCols = math.min(3, st.cols - minDataRows)
-    var bestScore = 0.0
-    var bestHeaders = Vector.empty[String]
-    var bestCols = 0
-    // reference bug kept: headers always from column 0 regardless of
-    // header_cols (dataframe_extractor.py:283-286) — identical every
-    // iteration, so hoisted, along with the header-only score terms
-    val headers =
-      if (maxHeaderCols < 1) Vector.empty[String]
-      else Vector.tabulate(st.rows) { i =>
-        if (st.cols > 0 && st.present(i, 0)) st.value(i, 0) else s"Col_$i"
-      }
+    if (maxHeaderCols < 1) return (0.0, 0)
     val headerBase =
-      if (headers.isEmpty) 0.0
-      else {
+      if (st.rows <= 64) {
+        var distinct = 0
+        var textHeaders = 0
+        var i = 0
+        while (i < st.rows) {
+          val pi = st.present(i, 0)
+          // present values are nonEmpty (grids store no blank cells);
+          // Col_i placeholders contain 'C' — never numeric-like
+          if (!pi || !st.headerNumericLike(i)) textHeaders += 1
+          var dup = false
+          var j = 0
+          while (j < i && !dup) {
+            val pj = st.present(j, 0)
+            dup =
+              if (pi && pj) st.valuesEqual(i, 0, j, 0)
+              else if (!pi && !pj) false // Col_i != Col_j
+              else if (pi) st.headerEqualsPlaceholder(i, j)
+              else st.headerEqualsPlaceholder(j, i)
+            j += 1
+          }
+          if (!dup) distinct += 1
+          i += 1
+        }
+        distinct.toDouble / st.rows * 0.3 + textHeaders.toDouble / st.rows * 0.3
+      } else {
+        val headers = horizontalHeaderVector(st)
         val d = headers.distinct.size.toDouble / headers.size * 0.3
-        val textHeaders = headers.count(h => h != null && h.nonEmpty && !isNumericLike(h))
+        val textHeaders = headers.count(h => h.nonEmpty && !isNumericLike(h))
         d + textHeaders.toDouble / headers.size * 0.3
       }
+    var bestScore = 0.0
+    var bestCols = 0
     var headerCols = 1
     while (headerCols <= maxHeaderCols) {
       // the reference scores (headers, matrix.drop(headerCols)) per
       // candidate: same terms, column scan from headerCols, no copies
-      val score =
-        if (headers.isEmpty || st.rows == 0) 0.0
-        else headerBase + columnTypeConsistencyFrom(st, headerCols) * 0.4
+      val score = headerBase + columnTypeConsistencyFrom(st, headerCols) * 0.4
       if (score > bestScore) {
         bestScore = score
-        bestHeaders = headers
         bestCols = headerCols
       }
       headerCols += 1
     }
-    (bestScore, bestHeaders, bestCols)
+    (bestScore, bestCols)
   }
+
+  /** The reference's horizontal header vector (col-0 value or Col_i) —
+    * materialized only for a WINNING horizontal candidate.
+    */
+  private def horizontalHeaderVector(st: SpanStats): Vector[String] =
+    Vector.tabulate(st.rows) { i =>
+      if (st.present(i, 0)) st.value(i, 0) else s"Col_$i"
+    }
 
   /** `isAllDigits(h.replace(".", "").replace("-", ""))` without the two
     * String copies: at least one ASCII digit and nothing but digits, '.'
