@@ -107,7 +107,8 @@ object IvfIndex {
     val cents = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    require(cents.length == m.nList || cents.length <= m.nList,
+    // trainCentroids emits min(nList, sample size) centroids, never more
+    require(cents.length <= m.nList,
       s"centroid count ${cents.length} exceeds n_list ${m.nList}")
     val assigned = spark.read.parquet(m.segments.map(s => s"$dir/assigned/$s"): _*)
     IvfIndex(cents, assigned, m.nList)
