@@ -359,6 +359,29 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, t(s, dir, "documents"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
+    // eval-set decontamination: exact word-8-gram overlap between the
+    // corpus and a deterministic eval slice (every 97th doc). Each eval
+    // doc trivially contaminates its own source plus any corpus doc
+    // sharing an 8-token run (the synthetic near-dup classes) — the
+    // oracle replays the identical tokenization + n-gram join in SQL.
+    // n=4 instead of the production 13: the synthetic near-dup variants
+    // share only short token runs, so the production n would reduce the
+    // check to self-matches — n=4 adds 8 genuine cross-doc matches that
+    // exercise the join beyond the identity.
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContamination(s, docs,
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 4)
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+    // the applied step: the corpus with every contaminated doc dropped
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(s, docs,
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 4)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // exact n-gram Jaccard (the dedup verification stage) oracle-checked
     // end to end on a deterministic pair set (each doc vs its successor):
     // the DuckDB oracle replays word 3-shingling and the set Jaccard with
@@ -586,6 +609,27 @@ object SparkEntry {
       |  JOIN vecs sb ON sb.vec_id = c.id_b),
       |lsh_pairs AS MATERIALIZED (
       |  SELECT id_a, id_b, cos FROM verified WHERE cos >= 0.35)""".stripMargin
+
+  /** Shared contamination CTEs: corpus + eval-slice word-4-gram sets over
+    * the SAME tokenization the minhash toks CTE replays (lower, \\s+
+    * split, non-empty tokens). `cng` = corpus n-grams (non-distinct — the
+    * operator counts distinctness after the join), `eng` = distinct eval
+    * n-grams. Shared by q_contamination and q_decontaminate.
+    */
+  private val ContaminationCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |cng AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+      |    j -> array_to_string(tk[j:j+3], ' '))) AS ngram
+      |  FROM toks WHERE len(tk) >= 4),
+      |eng AS MATERIALIZED (
+      |  SELECT DISTINCT eval_id, ngram FROM (
+      |    SELECT doc_id AS eval_id, unnest(list_transform(range(1, len(tk) - 2),
+      |      j -> array_to_string(tk[j:j+3], ' '))) AS ngram
+      |    FROM toks WHERE doc_id % 97 = 0 AND len(tk) >= 4))""".stripMargin
 
   /** Recursive-CTE connected-components closure over a pair CTE (id_a,
     * id_b): nodes, symmetric edges, reachability. ONE definition shared by
@@ -1223,6 +1267,27 @@ object SparkEntry {
         |  WHERE rk > 1)
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM best_losers)
+        |ORDER BY doc_id""".stripMargin,
+    // word-4-gram contamination: identical tokenization to the minhash
+    // toks CTE (lower + \s+ split + nonempty), STRICT n-grams (len >= 4
+    // only — no short-text fallback), DISTINCT eval-side n-grams, and the
+    // count of distinct shared n-grams per (corpus doc, eval doc). DuckDB
+    // list slice l[a:b] is 1-based inclusive; range(a,b) half-open, so
+    // j ranges over 1..len-3 and tk[j:j+3] is the 4-token window.
+    // Validated against a pure-python replay at two SFs.
+    "q_contamination" ->
+      s"""$ContaminationCtes
+        |SELECT c.doc_id, e.eval_id,
+        |  count(DISTINCT c.ngram) AS shared_ngrams
+        |FROM cng c JOIN eng e ON c.ngram = e.ngram
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_decontaminate" ->
+      s"""$ContaminationCtes,
+        |contaminated AS (
+        |  SELECT DISTINCT c.doc_id FROM cng c JOIN eng e ON c.ngram = e.ngram)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
     // the two-phase (exact pre-pass + minhash) survivors equal the plain
     // near-dedup apply set while the bucket cap is inert — the oracle IS

@@ -692,6 +692,61 @@ object Dedup {
       idCol, materialize)
   }
 
+  /** Exact n-gram CONTAMINATION between a training corpus and an
+    * evaluation set — the decontamination screen a training-data pipeline
+    * runs before release (eval text leaking into training data inflates
+    * benchmarks; the standard check is exact word-n-gram overlap, n ≈ 13
+    * for published pipelines). A corpus doc is contaminated iff it shares
+    * at least `minShared` DISTINCT word n-grams with an eval doc; docs
+    * with fewer than n tokens have no n-gram and are never flagged.
+    * Tokenization is [[shingles]]' (lowercase, \s+ split) without its
+    * short-text fallback — contamination wants strict n-grams.
+    *
+    * Scale shape (100 TB corpus, benchmark-sized eval set): the eval
+    * n-gram set is explicitly BROADCAST, so the corpus pays one map-side
+    * scan (codegen'd split/transform/explode — no UDF, no custom
+    * expression) into a broadcast hash join; corpus n-grams NEVER
+    * shuffle. The only exchange is the count-distinct aggregate over
+    * MATCHED rows — O(contamination), map-side partial-deduped. The
+    * corpus side deliberately skips a per-doc distinct (that would be a
+    * corpus-wide n-gram shuffle); distinctness is counted after the join
+    * instead, where only matches remain.
+    *
+    * Returns (doc_id, eval_id, shared_ngrams), unsorted.
+    */
+  def ngramContamination(spark: SparkSession, corpus: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 13,
+      minShared: Int = 1): DataFrame = {
+    require(n > 0, "n > 0")
+    require(minShared > 0, "minShared > 0")
+    def ngrams(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).cast("long").as(outId),
+          filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+            t => length(t) > 0).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col(outId),
+          explode(transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("ngram"))
+    val c = ngrams(corpus, "doc_id")
+    val e = ngrams(evalSet, "eval_id").distinct() // tiny; distinct before broadcast
+    c.join(broadcast(e), Seq("ngram"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(countDistinct(col("ngram")).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** The decontaminated corpus: every doc flagged by
+    * [[ngramContamination]] is dropped via a key-equality left-anti join
+    * (the flagged set is O(contamination), never broadcast-forced).
+    */
+  def decontaminate(spark: SparkSession, corpus: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 13,
+      minShared: Int = 1): DataFrame = {
+    val flagged = ngramContamination(spark, corpus, evalSet, idCol, textCol, n, minShared)
+      .select(col("doc_id").as("_contam_id")).distinct()
+    corpus.join(flagged, corpus(idCol) === col("_contam_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for a candidate pair set (verification stage). */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
     val sa = shingles(a, n).toSet

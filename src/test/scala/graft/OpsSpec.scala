@@ -260,6 +260,30 @@ class OpsSpec extends AnyFunSuite {
       "clone class keeps exactly its min id")
   }
 
+  test("n-gram contamination flags exact and partial eval overlap only") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, evalDoc), // identical: all 7 of its word-4-grams shared
+      (2L, "prefix words then alpha beta gamma delta and a different tail"), // 1 shared
+      (3L, "entirely unrelated content with no shared runs at all here"), // clean
+      (4L, "alpha beta gamma"), // < n tokens: no n-gram, never flagged
+      (5L, null.asInstanceOf[String]) // null text: never flagged
+    ).toDF("doc_id", "text")
+    val es = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(spark, corpus, es, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 100L, 7L), (2L, 100L, 1L)))
+    val kept = Dedup.decontaminate(spark, corpus, es, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // minShared threshold: requiring 2 shared n-grams clears the
+    // single-overlap doc but still drops the identical one
+    val strict = Dedup.decontaminate(spark, corpus, es, n = 4, minShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(2L, 3L, 4L, 5L))
+  }
+
   test("repetition metrics count duplicate words and bigrams exactly") {
     import spark.implicits._
     val docs = Seq(

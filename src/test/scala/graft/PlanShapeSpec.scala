@@ -190,6 +190,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "sig-level banding must not re-shingle from text")
   }
 
+  test("contamination: corpus n-grams reach the broadcast join unshuffled") {
+    // the eval side is benchmark-sized and broadcast; the 100 TB corpus
+    // side must be ONE map-side scan into the join — no exchange may sit
+    // below the BroadcastHashJoin (the only shuffles in the plan belong
+    // to the count-distinct over MATCHED rows, O(contamination))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = Dedup.ngramContamination(spark, docs,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 4)
+    df.collect() // finalize AQE
+    val all = nodes(df)
+    val bhjs = all.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhjs.nonEmpty, s"eval n-grams must broadcast: ${all.map(_.nodeName).distinct}")
+    bhjs.foreach { j =>
+      // the build (eval) side may shuffle its own tiny distinct before the
+      // broadcast — that is O(eval); the STREAMED (corpus) side must not
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }
+      val below = nodes(streamed).collect { case e: ShuffleExchangeExec => e }
+      assert(below.isEmpty,
+        s"corpus n-grams must not shuffle before the eval join: $below")
+    }
+  }
+
   test("index-fed IVF search plans no corpus-side assignment expression") {
     import graft.ops.IvfIndex
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
