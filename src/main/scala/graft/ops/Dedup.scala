@@ -719,21 +719,30 @@ object Dedup {
       minShared: Int = 1): DataFrame = {
     require(n > 0, "n > 0")
     require(minShared > 0, "minShared > 0")
-    def ngrams(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).cast("long").as(outId),
-          filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
-            t => length(t) > 0).as("toks"))
-        .filter(size(col("toks")) >= n)
-        .select(col(outId),
-          explode(transform(sequence(lit(0), size(col("toks")) - n),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("ngram"))
-    val c = ngrams(corpus, "doc_id")
-    val e = ngrams(evalSet, "eval_id").distinct() // tiny; distinct before broadcast
+    val c = wordNgrams(corpus, idCol, textCol, n, "doc_id")
+    val e = wordNgrams(evalSet, idCol, textCol, n, "eval_id")
+      .distinct() // tiny; distinct before broadcast
     c.join(broadcast(e), Seq("ngram"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(countDistinct(col("ngram")).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
   }
+
+  /** Strict word n-grams of a doc column as (outId, ngram) rows — one
+    * map-side codegen'd projection (split/transform/slice/explode
+    * built-ins, no UDF). Docs with fewer than n tokens emit nothing.
+    * Shared by the batch contamination screen and its streaming face
+    * (the projection is stateless, so it runs unchanged on a stream).
+    */
+  private[graft] def wordNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, outId: String): DataFrame =
+    df.select(col(idCol).cast("long").as(outId),
+        filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(outId),
+        explode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("ngram"))
 
   /** The decontaminated corpus: every doc flagged by
     * [[ngramContamination]] is dropped via a key-equality left-anti join

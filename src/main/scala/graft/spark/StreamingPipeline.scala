@@ -403,6 +403,40 @@ object StreamingPipeline {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Streaming contamination screen: arriving docs matched against a
+    * STATIC evaluation set by exact word-n-gram overlap — the streaming
+    * face of [[graft.ops.Dedup.ngramContamination]] (flag eval-leaking
+    * docs as they land, before they ever reach the training corpus).
+    *
+    * Fully STATELESS: the doc side is a map-side n-gram projection (the
+    * same codegen'd built-ins as batch — stateless, so it runs unchanged
+    * on a stream) into a stream-static inner join against the
+    * (benchmark-sized, effectively broadcast) eval n-gram set — no
+    * watermark, no state store. Emits ONE row per matched (doc, eval,
+    * ngram) in append mode; the per-pair distinct count — batch's
+    * shared_ngrams — is the sink-side aggregate, exactly the
+    * at-least-once + idempotent-sink pattern of [[nearDupPairs]] /
+    * [[corpusDedupMatches]] (a streaming groupBy would otherwise need a
+    * watermark the screen does not want: a doc's verdict must not wait
+    * out an event-time horizon). The eval set is materialized once at
+    * query start (stream-static re-evaluates the static side per
+    * micro-batch; Materialize.iterative — the loop case).
+    *
+    * Distinct (doc_id, eval_id, ngram) rows equal the batch operator's
+    * pre-aggregate join output; grouping them reproduces shared_ngrams
+    * exactly (StreamingSpec pins both).
+    */
+  def contaminationMatches(docs: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 13): DataFrame = {
+    import graft.ops.{Dedup, Materialize}
+    val e = Materialize.iterative(
+      Dedup.wordNgrams(evalSet, idCol, textCol, n, "eval_id").distinct(),
+      Materialize.fromEnv)
+    Dedup.wordNgrams(docs, idCol, textCol, n, "doc_id")
+      .join(e, Seq("ngram"))
+      .select(col("doc_id"), col("eval_id"), col("ngram"))
+  }
+
   /** One dedup-ingest micro-batch against the PERSISTED corpus index: the
     * unit of [[dedupApplyStream]], callable directly for scheduled (cron)
     * daily ingests. Runs [[graft.ops.Dedup.ingestIncremental]] against the

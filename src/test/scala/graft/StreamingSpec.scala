@@ -401,6 +401,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(v8.head.getString(1) == "dropped_corpus" && v8.head.getLong(2) == 4L)
   }
 
+  test("streaming contamination matches reproduce the batch screen exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Dedup
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val evalSet = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, evalDoc), // identical: 7 shared 4-grams
+      (2L, "prefix words then alpha beta gamma delta and a different tail"),
+      (3L, "entirely unrelated content with no shared runs at all here"),
+      (4L, "alpha beta gamma") // < n tokens
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.contaminationMatches(
+        mem.toDS().toDF("doc_id", "text"), evalSet, n = 4)
+      .writeStream.format("memory").queryName("contam").outputMode("append").start()
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*) // second micro-batch
+      q.processAllAvailable()
+      // distinct match rows == the batch pre-aggregate join output, and
+      // the sink-side aggregate reproduces shared_ngrams exactly
+      val counts = spark.sql(
+        """SELECT doc_id, eval_id, count(DISTINCT ngram) AS shared
+          |FROM contam GROUP BY 1, 2""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Dedup.ngramContamination(spark,
+          arrivals.toDF("doc_id", "text"), evalSet, n = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(counts == batch && counts == Set((1L, 100L, 7L), (2L, 100L, 1L)),
+        s"streamed screen must equal batch: $counts vs $batch")
+    } finally q.stop()
+  }
+
   test("ingest micro-batch commit is idempotent under segment replay") {
     import spark.implicits._
     import graft.ops.{Dedup, MinhashIndex}
