@@ -660,10 +660,19 @@ object Dedup {
     * ≤ 1), and dropping its non-min members neither changes any component's
     * min id (the exact pre-pass keeps exactly the min) nor disconnects
     * anything (every edge through a dropped member exists through its kept
-    * exact-twin, whose signature — hence banding — is identical). Under an
-    * OVERFLOWING cap the composed form is strictly better, which is the
-    * point: a million-document clone class never reaches the banding at
-    * all, so no oversized buckets, no salting recall loss
+    * exact-twin, whose signature — hence banding — is identical). The proof
+    * needs one carve-out the pre-pass mirrors explicitly: CONTENT-FREE docs
+    * (zero whitespace tokens — null/empty/whitespace-only text) are
+    * excluded from the exact pre-pass, because minhash drops them before
+    * banding (empty shingle set → no signature → unpaired → all kept by
+    * keepFirstByPairs), while a sha256 window would group identical blank
+    * texts — and sha2(null) nulls, grouping ALL null-text docs — and drop
+    * their non-min members. Routine in real crawls (empty pages), so the
+    * exclusion is the same `size(sig) > 0` semantics the banding applies
+    * (OpsSpec pins the equivalence on a corpus with duplicated blank docs).
+    * Under an OVERFLOWING cap the composed form is strictly better, which
+    * is the point: a million-document clone class never reaches the banding
+    * at all, so no oversized buckets, no salting recall loss
     * (1-((ns-1)/ns)^bands decays once nsplit grows), and the candidate
     * funnel shrinks by the full quadratic clone mass.
     *
@@ -679,8 +688,16 @@ object Dedup {
       bucketCap: Int = 65536,
       materialize: Materialize.Strategy = Materialize.fromEnv): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_th"))
+    // content-free docs never enter the pre-pass (see scaladoc): the
+    // predicate replays shingles()'s tokenizer (\s+ split, non-empty
+    // tokens; lowercasing cannot change token presence) with codegen'd
+    // built-ins — the exact-hash analogue of the banding's size(sig) > 0
+    val hasTokens = size(filter(
+      split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => length(t) > 0)) > 0
     val exactLosers = Materialize(
-      df.select(col(idCol).as("_xid"), sha2(col(textCol), 256).as("_th"))
+      df.filter(hasTokens)
+        .select(col(idCol).as("_xid"), sha2(col(textCol), 256).as("_th"))
         .withColumn("_keep", min(col("_xid")).over(w))
         .filter(col("_xid") =!= col("_keep"))
         .select(col("_xid")),
@@ -733,16 +750,32 @@ object Dedup {
     * built-ins, no UDF). Docs with fewer than n tokens emit nothing.
     * Shared by the batch contamination screen and its streaming face
     * (the projection is stateless, so it runs unchanged on a stream).
+    *
+    * The short-doc guard is FOLDED INTO the projection
+    * (`when(size(toks) >= n, transform(...)).otherwise(empty)`) instead of
+    * a separate `.filter(size >= n)`: Catalyst pushes such a filter below
+    * the toks projection, re-inlining the full split/filter lambda into the
+    * Filter node — the corpus tokenization (the operator's only per-corpus
+    * work) then evaluates TWICE per doc (round-6 verdict finding). With the
+    * guard in-branch there is no Filter to push, and because `toks` is
+    * non-trivial and referenced more than once, CollapseProject keeps the
+    * two projections separate — ONE tokenization per doc in the plan
+    * (PlanShapeSpec-pinned). The guard itself stays semantically required:
+    * Spark's `sequence(0, negative)` is DESCENDING and would emit garbage
+    * n-grams for short docs; `explode` of the empty otherwise-array emits
+    * nothing, preserving the old filter's drop semantics exactly.
     */
   private[graft] def wordNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int, outId: String): DataFrame =
     df.select(col(idCol).cast("long").as(outId),
         filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
           t => length(t) > 0).as("toks"))
-      .filter(size(col("toks")) >= n)
       .select(col(outId),
-        explode(transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("ngram"))
+        explode(
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(0), size(col("toks")) - n),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("ngram"))
 
   /** The decontaminated corpus: every doc flagged by
     * [[ngramContamination]] is dropped via a key-equality left-anti join

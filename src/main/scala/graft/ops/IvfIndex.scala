@@ -37,7 +37,13 @@ object IvfIndex {
 
   private val mapper = new ObjectMapper()
 
-  final case class Meta(nList: Int, segments: Seq[String])
+  /** `absorbed` = segment names rewritten into a compacted segment; kept on
+    * record so [[appendSegment]]'s idempotency survives [[compact]] (same
+    * contract as [[MinhashIndex.Meta]]).
+    */
+  final case class Meta(nList: Int, segments: Seq[String], absorbed: Seq[String]) {
+    def committed: Set[String] = segments.toSet ++ absorbed
+  }
 
   private def manifestPath(dir: String) = Paths.get(dir, "index.json")
 
@@ -45,17 +51,24 @@ object IvfIndex {
     val p = manifestPath(dir)
     require(Files.exists(p), s"no IvfIndex manifest at $p")
     val root = mapper.readTree(Files.readAllBytes(p))
+    val absorbed = // absent in pre-round-7 manifests
+      if (root.has("absorbed")) root.get("absorbed").elements().asScala.map(_.asText()).toSeq
+      else Seq.empty
     Meta(root.get("n_list").asInt(),
-      root.get("segments").elements().asScala.map(_.asText()).toSeq)
+      root.get("segments").elements().asScala.map(_.asText()).toSeq,
+      absorbed)
   }
 
-  private def commitManifest(dir: String, nList: Int, segments: Seq[String]): Unit = {
+  private def commitManifest(dir: String, nList: Int, segments: Seq[String],
+      absorbed: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(dir))
     val root = mapper.createObjectNode()
     root.put("format", 1)
     root.put("n_list", nList)
     val arr = root.putArray("segments")
     segments.foreach(arr.add)
+    val abs = root.putArray("absorbed")
+    absorbed.foreach(abs.add)
     val tmp = Paths.get(dir, ".index.json.tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
@@ -67,7 +80,9 @@ object IvfIndex {
       .parquet(s"$dir/assigned/$segment")
 
   /** Write a fresh index (centroids + assigned segment `base`), replacing
-    * any manifest already at `dir`.
+    * any manifest already at `dir`. Resets the ingest history (a rebuild is
+    * an explicit new lineage); stale data from a replaced index is orphaned
+    * until [[vacuum]] reclaims it.
     */
   def write(idx: IvfIndex, dir: String): Unit = {
     val spark = idx.assigned.sparkSession
@@ -76,25 +91,76 @@ object IvfIndex {
       .toDF("cell", "vec")
       .write.mode("overwrite").parquet(s"$dir/centroids")
     writeAssigned(idx.assigned, dir, "base")
-    commitManifest(dir, idx.nList, Seq("base"))
+    commitManifest(dir, idx.nList, Seq("base"), Seq.empty)
   }
 
   /** Append an assigned-vector delta idempotently (the add() step of a
     * growing ANN corpus): returns false without touching anything when
-    * `segment` is already committed. The delta must be assigned against
-    * THIS index's centroids ([[Similarity.assignVectors]] on a loaded
-    * index) — cell ids from different centroids are not comparable, which
-    * is also why centroids are immutable here.
+    * `segment` is already committed (live or compacted away). The delta
+    * must be assigned against THIS index's centroids
+    * ([[Similarity.assignVectors]] on a loaded index) — cell ids from
+    * different centroids are not comparable, which is also why centroids
+    * are immutable here.
+    *
+    * SINGLE WRITER: the manifest update is an unguarded read-modify-write
+    * (same contract as [[MinhashIndex.appendSegment]]) — all mutators of
+    * one index directory must be serialized by the caller.
     */
   def appendSegment(delta: DataFrame, dir: String, segment: String): Boolean = {
     require(segment.nonEmpty && segment.forall(c =>
         c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
       s"segment name '$segment' must be a plain file-name token")
     val m = readMeta(dir)
-    if (m.segments.contains(segment)) return false
+    if (m.committed.contains(segment)) return false
     writeAssigned(delta, dir, segment)
-    commitManifest(dir, m.nList, m.segments :+ segment)
+    commitManifest(dir, m.nList, m.segments :+ segment, m.absorbed)
     true
+  }
+
+  /** Compact the assigned segments into one fresh segment (centroids are
+    * frozen and untouched) — bounds the per-ingest small-file growth
+    * exactly like [[MinhashIndex.compact]], with the same crash contract:
+    * data first into a never-committed directory, the manifest ATOMIC_MOVE
+    * is the commit point, absorbed names keep replays no-ops. Returns the
+    * new segment name, or None when already a single segment.
+    * Single-writer, like [[appendSegment]].
+    */
+  def compact(spark: SparkSession, dir: String): Option[String] = {
+    val m = readMeta(dir)
+    if (m.segments.size <= 1) return None
+    val taken = m.committed
+    val name = Iterator.from(0).map(i => s"compacted_$i").find(!taken.contains(_)).get
+    val live = spark.read.parquet(m.segments.map(s => s"$dir/assigned/$s"): _*)
+    live.write.mode("overwrite").parquet(s"$dir/assigned/$name")
+    commitManifest(dir, m.nList, Seq(name), (m.absorbed ++ m.segments).distinct)
+    Some(name)
+  }
+
+  /** Delete assigned-segment directories not listed live by the committed
+    * manifest (compacted-away data, crash leftovers, rebuild orphans).
+    * Never touches live segments, the centroids, or the manifest. Returns
+    * the deleted directory names. Single-writer, like [[appendSegment]].
+    */
+  def vacuum(dir: String): Seq[String] = {
+    val live = readMeta(dir).segments.toSet
+    val p = Paths.get(dir, "assigned")
+    if (!Files.isDirectory(p)) return Seq.empty
+    val ds = Files.list(p)
+    val children = try ds.iterator().asScala.toVector finally ds.close()
+    children.filter(c => Files.isDirectory(c) && !live.contains(c.getFileName.toString))
+      .map { c =>
+        deleteRecursively(c)
+        s"assigned/${c.getFileName}"
+      }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val ds = Files.list(p)
+      val children = try ds.iterator().asScala.toVector finally ds.close()
+      children.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
   }
 
   /** Load the committed index: centroids into the driver-side matrix (it

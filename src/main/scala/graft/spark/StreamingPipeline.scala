@@ -455,12 +455,29 @@ object StreamingPipeline {
     * the final attempt's files, exactly the parquet-sink contract.
     *
     * Returns true if the segment was processed, false if already committed.
+    *
+    * `maxSegments > 0` bounds the index's segment count: once an append
+    * pushes the live-segment count past it, the index is compacted into
+    * one fresh base segment and orphaned data vacuumed
+    * ([[graft.ops.MinhashIndex.compact]]/[[graft.ops.MinhashIndex.vacuum]]) —
+    * without this, days of streaming accrete one tiny parquet directory per
+    * micro-batch, the exact small-file storm the snapshot path measured at
+    * 9x wall. Compaction runs strictly AFTER the segment commit point, so
+    * crash/replay semantics are unchanged (a replayed batch stays a no-op
+    * via the manifest's absorbed-name record; a crash mid-compact leaves
+    * the pre-compact manifest fully readable and the next batch retries).
+    *
+    * SINGLE WRITER per index directory (the manifest update is a
+    * read-modify-write — see [[graft.ops.MinhashIndex.appendSegment]]);
+    * the streaming caller satisfies this by construction, scheduled (cron)
+    * callers must not overlap invocations on one index.
     */
   def ingestMicroBatch(batch: DataFrame, indexDir: String, outDir: String,
       segment: String, idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8, bucketCap: Int = 65536): Boolean = {
+      threshold: Double = 0.8, bucketCap: Int = 65536,
+      maxSegments: Int = 0): Boolean = {
     import graft.ops.{Dedup, MinhashIndex}
-    if (MinhashIndex.readMeta(indexDir).segments.contains(segment)) return false
+    if (MinhashIndex.readMeta(indexDir).committed.contains(segment)) return false
     val spark = batch.sparkSession
     val idx = MinhashIndex.load(spark, indexDir)
     val res = Dedup.ingestIncremental(spark, idx, batch, idCol, textCol,
@@ -468,6 +485,10 @@ object StreamingPipeline {
     res.verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/$segment")
     res.survivors.write.mode("overwrite").parquet(s"$outDir/survivors/$segment")
     MinhashIndex.appendSegment(res.batchIndex, indexDir, segment)
+    if (maxSegments > 0 && MinhashIndex.readMeta(indexDir).segments.size > maxSegments) {
+      MinhashIndex.compact(spark, indexDir)
+      MinhashIndex.vacuum(indexDir)
+    }
     true
   }
 
@@ -499,16 +520,20 @@ object StreamingPipeline {
     *
     * `indexDir` must hold an initialized index ([[graft.ops.MinhashIndex.write]]
     * of the existing corpus — or of an empty frame to start cold).
+    *
+    * `maxSegments` (default 16) keeps the long-running stream's index at a
+    * bounded segment count via post-commit compaction + vacuum (see
+    * [[ingestMicroBatch]]); 0 disables maintenance.
     */
   def dedupApplyStream(docs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, bucketCap: Int = 65536,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false, maxSegments: Int = 16): StreamingQuery = {
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestMicroBatch(b.toDF(), indexDir, outDir, s"batch_$batchId",
-          idCol, textCol, threshold, bucketCap)
+          idCol, textCol, threshold, bucketCap, maxSegments)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -2,6 +2,8 @@ package graft.tools
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -84,8 +86,10 @@ object StreamParity {
     val inDir2 = Files.createTempDirectory("sp_in2").toString
     val out2 = Files.createTempDirectory("sp_out2").toString
     val ckpt2 = Files.createTempDirectory("sp_ckpt2").toString
+    // 16 input files at maxFilesPerTrigger=2 -> 8 micro-batches, enough to
+    // trip the dedup-apply phase's segment-compaction bound several times
     docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-      .repartition(8).write.mode("overwrite").parquet(inDir2)
+      .repartition(16).write.mode("overwrite").parquet(inDir2)
     val t1 = System.nanoTime()
     val src2 = spark.readStream
       .schema("doc_id LONG, text STRING, warc_ts TIMESTAMP")
@@ -127,10 +131,19 @@ object StreamParity {
       .option("maxFilesPerTrigger", 2)
       .parquet(inDir2)
     val q3 = StreamingPipeline.dedupApplyStream(src3, idxDir, out3, ckpt3,
-      threshold = 0.5, availableNow = true)
+      threshold = 0.5, availableNow = true, maxSegments = 3)
     q3.awaitTermination(300000)
     val daWall = (System.nanoTime() - t2) / 1e9
-    val segs = MinhashIndex.readMeta(idxDir).segments.drop(1) // after "base"
+    // enumerate micro-batch segments from the OUTPUT dir in batch order:
+    // compaction rewrites the manifest's segment list (that is its job),
+    // but the per-batch verdict/survivor dirs are the fold's ground truth
+    val segs = {
+      val ds = Files.list(java.nio.file.Paths.get(s"$out3/verdicts"))
+      try ds.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch_")).toVector
+        .sortBy(_.stripPrefix("batch_").toLong)
+      finally ds.close()
+    }
     val batchAll = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(pmod(col("doc_id"), lit(2)) === 0)
       .select(col("doc_id"), col("text"))
@@ -163,12 +176,34 @@ object StreamParity {
     val batchSigIds = Dedup.minhashIndex(spark, batchAll).sigs
       .select(col("id")).collect().map(_.getLong(0)).toSet
     val idxOk = idxIds == (corpusSigIds ++ streamedKept.intersect(batchSigIds))
+    // compaction bound: 8 micro-batches at maxSegments=3 must end with a
+    // bounded live-segment count (not base + one per batch), all batch
+    // names on the absorbed record (replays stay no-ops), and no orphaned
+    // data directories after the in-loop vacuums
+    val meta = MinhashIndex.readMeta(idxDir)
+    val liveSegs = meta.segments.size
+    val absorbedOk = segs.forall(meta.committed.contains)
+    val replayNoop = !StreamingPipeline.ingestMicroBatch(
+      spark.read.parquet(inDir2).limit(2), idxDir, out3, segs.head,
+      threshold = 0.5)
+    val orphanDirs = {
+      val ds = Files.list(java.nio.file.Paths.get(s"$idxDir/sigs"))
+      try ds.iterator().asScala.map(_.getFileName.toString)
+        .count(n => !meta.segments.contains(n))
+      finally ds.close()
+    }
     println(s"STREAMPARITY apply segments=${segs.size} kept=${streamedKept.size} " +
-      s"seg_parity=$segOk index_ok=$idxOk wall=${f"$daWall%.1f"}s")
+      s"seg_parity=$segOk index_ok=$idxOk live_segments=$liveSegs " +
+      s"absorbed_ok=$absorbedOk replay_noop=$replayNoop orphan_dirs=$orphanDirs " +
+      s"wall=${f"$daWall%.1f"}s")
     spark.stop()
     require(ok, "streaming pair set must equal the batch operator's")
     require(csOk, "stream-static matches must equal the batch incremental pairs")
     require(segOk, "streamed apply survivors must equal the batch-ingest fold replay")
     require(idxOk, "grown index must hold corpus + survivors exactly")
+    require(liveSegs <= 4, s"compaction must bound live segments, got $liveSegs")
+    require(absorbedOk && replayNoop,
+      "every streamed batch must stay committed (replay = no-op) across compaction")
+    require(orphanDirs == 0, "vacuum must leave no orphaned segment data")
   }
 }

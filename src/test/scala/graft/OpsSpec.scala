@@ -201,6 +201,72 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("band index compaction: bit-identical load, crash-safe, vacuum-exact") {
+    import graft.ops.MinhashIndex
+    val all = docsWithDups
+    val parts = (0 until 4).map(i => all.filter(col("doc_id") % 4 === i))
+    val dir = java.nio.file.Files.createTempDirectory("mh_compact").toString
+    MinhashIndex.write(Dedup.minhashIndex(spark, parts(0)), dir)
+    (1 until 4).foreach(i =>
+      assert(MinhashIndex.appendSegment(Dedup.minhashIndex(spark, parts(i)),
+        dir, s"batch_$i")))
+    def sigRows(idx: graft.ops.MinhashIndex) =
+      idx.sigs.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    def bandRows(idx: graft.ops.MinhashIndex) =
+      idx.banded.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = (sigRows(MinhashIndex.load(spark, dir)),
+      bandRows(MinhashIndex.load(spark, dir)))
+
+    // crash mid-compact: segment data written but the manifest commit never
+    // happens — the old index stays fully readable, the leftover is an
+    // invisible orphan. Simulated by writing an unlisted segment directory
+    // (exactly the on-disk state a pre-ATOMIC_MOVE crash leaves).
+    val live0 = MinhashIndex.load(spark, dir)
+    live0.sigs.write.mode("overwrite").parquet(s"$dir/sigs/compacted_crash")
+    live0.banded.write.mode("overwrite").parquet(s"$dir/banded/compacted_crash")
+    assert(MinhashIndex.readMeta(dir).segments.size == 4, "old manifest intact")
+    assert((sigRows(MinhashIndex.load(spark, dir)),
+      bandRows(MinhashIndex.load(spark, dir))) == before,
+      "crash leftover is invisible to load")
+
+    // real compaction: one live segment, same loaded rows bit for bit
+    val seg = MinhashIndex.compact(spark, dir)
+    assert(seg.isDefined)
+    val metaC = MinhashIndex.readMeta(dir)
+    assert(metaC.segments == Seq(seg.get))
+    assert(metaC.absorbed.toSet == Set("base", "batch_1", "batch_2", "batch_3"))
+    val after = (sigRows(MinhashIndex.load(spark, dir)),
+      bandRows(MinhashIndex.load(spark, dir)))
+    assert(after == before, "compaction must not change the loaded index")
+    // idempotent re-compact of a single segment is a no-op
+    assert(MinhashIndex.compact(spark, dir).isEmpty)
+
+    // replayed micro-batch append AFTER compaction stays a no-op (the
+    // absorbed record): recomputing would match a batch against its own
+    // survivors in the grown index
+    assert(!MinhashIndex.appendSegment(Dedup.minhashIndex(spark, parts(1)),
+      dir, "batch_1"))
+
+    // vacuum removes exactly the orphans (absorbed dirs + the crash
+    // leftover), never the committed segment; the index is unchanged
+    val deleted = MinhashIndex.vacuum(dir).toSet
+    assert(deleted.contains("sigs/compacted_crash") && deleted.contains("sigs/base"))
+    assert(!deleted.contains(s"sigs/${seg.get}") && !deleted.contains(s"banded/${seg.get}"))
+    def segDirs(sub: String) = {
+      val ds = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+      try { import scala.jdk.CollectionConverters._
+        ds.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally ds.close()
+    }
+    assert(segDirs("sigs") == Set(seg.get) && segDirs("banded") == Set(seg.get))
+    assert((sigRows(MinhashIndex.load(spark, dir)),
+      bandRows(MinhashIndex.load(spark, dir))) == before,
+      "vacuum must not change the loaded index")
+    // and the compacted index still answers queries: fresh appends + pairs
+    assert(MinhashIndex.appendSegment(Dedup.minhashIndex(spark, parts(1)),
+      dir, "day_next"), "a NEW segment name still appends after compaction")
+  }
+
   test("ingestIncremental verdicts partition the batch and feed the index delta") {
     import spark.implicits._
     val textA = "the quick brown fox jumps over the lazy dog again"
@@ -258,6 +324,30 @@ class OpsSpec extends AnyFunSuite {
     assert(twoPhase == direct)
     assert(twoPhase.contains(70000L) && !twoPhase.contains(70001L),
       "clone class keeps exactly its min id")
+  }
+
+  test("two-phase dedup keeps duplicated content-free docs (minhash parity)") {
+    import spark.implicits._
+    // the r6-ADVICE break: identical whitespace-only/empty texts share a
+    // sha256 (and sha2(null) groups all null-text docs), so an unguarded
+    // exact pre-pass drops their non-min members — but minhash drops
+    // content-free docs BEFORE banding, so keepFirstByPairs∘minhashPairs
+    // keeps them all. Empty pages are routine in real crawls; the pre-pass
+    // must mirror the size(sig) > 0 exclusion.
+    val df = Seq(
+      (1L, "real duplicated content body " * 5),
+      (2L, "real duplicated content body " * 5), // genuine exact dup: dropped
+      (3L, ""), (4L, ""), // identical empty texts: both kept
+      (5L, " \t\n "), (6L, " \t\n "), // identical whitespace-only: both kept
+      (7L, null.asInstanceOf[String]), (8L, null.asInstanceOf[String]) // nulls: both kept
+    ).toDF("doc_id", "text")
+    val twoPhase = Dedup.keepFirstTwoPhase(spark, df, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = Dedup.keepFirstByPairs(spark, df,
+        Dedup.minhashPairs(spark, df, threshold = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twoPhase == direct, s"two-phase $twoPhase != direct $direct")
+    assert(twoPhase == Set(1L, 3L, 4L, 5L, 6L, 7L, 8L))
   }
 
   test("n-gram contamination flags exact and partial eval overlap only") {
@@ -610,6 +700,29 @@ class OpsSpec extends AnyFunSuite {
     // centroids are frozen: the grown index's matrix is day 0's, bit-exact
     assert(grown.centroids.length == day0.centroids.length &&
       grown.centroids.zip(day0.centroids).forall { case (a, b) => a.sameElements(b) })
+
+    // compaction: the two assigned segments rewrite into one; loaded rows,
+    // centroids and search results are unchanged; absorbed names keep the
+    // day_1 replay a no-op; vacuum reclaims exactly the absorbed dirs
+    def assignedRows(idx: graft.ops.IvfIndex) =
+      idx.assigned.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector, r.getInt(2))).toSet
+    val beforeRows = assignedRows(grown)
+    val seg = IvfIndex.compact(spark, dir)
+    assert(seg.isDefined)
+    val metaC = IvfIndex.readMeta(dir)
+    assert(metaC.segments == Seq(seg.get) &&
+      metaC.absorbed.toSet == Set("base", "day_1"))
+    val compacted = IvfIndex.load(spark, dir)
+    assert(assignedRows(compacted) == beforeRows)
+    assert(compacted.centroids.zip(day0.centroids).forall { case (a, b) =>
+      a.sameElements(b) })
+    assert(!IvfIndex.appendSegment(delta, dir, "day_1"),
+      "replay after compaction must stay a no-op")
+    assert(IvfIndex.compact(spark, dir).isEmpty, "single segment: nothing to do")
+    val deleted = IvfIndex.vacuum(dir).toSet
+    assert(deleted == Set("assigned/base", "assigned/day_1"))
+    assert(assignedRows(IvfIndex.load(spark, dir)) == beforeRows)
   }
 
   test("ANN operators return empty (not throw) on an empty corpus") {

@@ -214,6 +214,16 @@ class PlanShapeSpec extends AnyFunSuite {
       val below = nodes(streamed).collect { case e: ShuffleExchangeExec => e }
       assert(below.isEmpty,
         s"corpus n-grams must not shuffle before the eval join: $below")
+      // round 7: the corpus tokenization evaluates ONCE per doc. The old
+      // shape projected toks then filtered size(toks) >= n, and Catalyst
+      // pushed the filter below the projection, re-inlining the full
+      // split/filter lambda — the plan computed the tokenization twice
+      // (r6 verdict finding #1: a 2x tax on the operator's only per-corpus
+      // map stage). The guard now lives inside the projection, so exactly
+      // one split(lower(...)) appears on the streamed side.
+      val tokEvals = "split\\(lower\\(".r.findAllIn(streamed.toString).length
+      assert(tokEvals == 1,
+        s"corpus tokenization must evaluate once on the streamed side, found $tokEvals")
     }
   }
 
