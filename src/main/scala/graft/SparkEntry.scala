@@ -193,6 +193,16 @@ object SparkEntry {
     "q_rep_ngrams" -> ((s, dir) =>
       TextOps.repetitionMetrics(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // the full Gopher rule set (Rae et al. §A1.1) as per-doc exact-integer
+    // inputs plus the composed pass verdict: word count/length bounds,
+    // symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    // fraction, >=2 stop-word hits. The oracle replays every tally and
+    // the integer-arithmetic gate; the corpus splits non-vacuously
+    // (277/500 docs clear the 50-word floor, 224 the stop-word gate at
+    // sf0.01). Map-side only — no shuffle before the surface sort.
+    "q_gopher" -> ((s, dir) =>
+      TextOps.gopherMetrics(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // deterministic hash-Bernoulli downsample: the 2/16 slice by the first
     // md5 nibble of doc_id (cross-engine hash so the oracle replays it
     // bit-for-bit; the production key is xxhash64 — Sampling.xxhashKey).
@@ -797,6 +807,39 @@ object SparkEntry {
         |      list_filter(string_split(coalesce(text, ''), ' '), x -> length(x) > 0) AS w
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // the Gopher tallies + gate replayed: same \s+ tokenization as the
+    // minhash toks CTE, lines on chr(10), '#'/'…' char counts + "..."
+    // non-overlapping run count (both engines' replace scans left to
+    // right), \p{L} letter test (java.util.regex and RE2 agree on the
+    // Unicode letter category), and the identical integer-product gate
+    "q_gopher" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text,''), '\s+'), x -> len(x) > 0) AS w,
+        |    string_split(coalesce(text,''), chr(10)) AS ln,
+        |    coalesce(text,'') AS tx
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w)::BIGINT AS n_words,
+        |    coalesce(list_sum(list_transform(w, x -> len(x))), 0)::BIGINT AS sum_word_len,
+        |    len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x))))::BIGINT AS n_stop_hits,
+        |    len(list_filter(w, x -> regexp_matches(x, '\p{L}')))::BIGINT AS n_alpha_words,
+        |    ((len(tx) - len(replace(replace(tx, '#', ''), '…', ''))) + (len(tx) - len(replace(tx, '...', ''))) // 3)::BIGINT AS n_symbols,
+        |    len(ln)::BIGINT AS n_lines,
+        |    len(list_filter(ln, l -> list_contains(['•','-','*','‣'], substr(l, 1, 1))))::BIGINT AS n_bullet_lines,
+        |    len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…')))::BIGINT AS n_ellipsis_lines
+        |  FROM g)
+        |SELECT doc_id, n_words, sum_word_len, n_stop_hits, n_alpha_words, n_symbols,
+        |  n_lines, n_bullet_lines, n_ellipsis_lines,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+        |   AND n_symbols * 10 <= n_words
+        |   AND n_bullet_lines * 10 <= n_lines * 9
+        |   AND n_ellipsis_lines * 10 <= n_lines * 3
+        |   AND n_alpha_words * 10 >= n_words * 8
+        |   AND n_stop_hits >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     // md5 of the stringified id is identical in both engines (UTF-8 bytes,
     // lowercase hex); nibble = position in the hex alphabet
     "q_sample_hash" ->

@@ -96,6 +96,115 @@ object TextOps {
       .filter(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5 && col("digit_ratio") <= 0.3)
   }
 
+  // ---- Gopher quality rules (Rae et al. 2021 §A1.1) ----
+
+  /** Gopher's eight English function words: a doc passing the other gates
+    * but containing fewer than 2 of these is near-certainly not prose.
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val BulletChars = Seq("•", "-", "*", "‣")
+
+  /** Per-doc Gopher rule inputs as EXACT INTEGERS (the repetitionMetrics
+    * style: gates compare integer products, never replayed float division):
+    * word tallies (count, total length, stop-word hits, words containing a
+    * letter), symbol counts ('#' + '…' chars + non-overlapping "..." runs),
+    * and line tallies (count, bullet-start, ellipsis-end). Words are the
+    * corpus-wide \s+ tokenization (the minhash/contamination tokenizer);
+    * lines split on \n. One map-side projection chain of codegen'd
+    * built-ins and higher-order functions — no UDF, no shuffle; each
+    * source array (words, lines) is computed ONCE (the aliases are
+    * non-cheap and multi-referenced, so CollapseProject keeps the
+    * projections separate — the wordNgrams single-evaluation shape).
+    *
+    * `pass` applies the published gate: word count in [minWords, maxWords],
+    * mean word length in [3, 10], symbol-to-word ratio <= 0.1, <=90% of
+    * lines bullet-started, <=30% ellipsis-ended, >=80% of words containing
+    * a letter, >=2 stop-word hits — all in integer arithmetic.
+    */
+  def gopherMetrics(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    df.select(col(idCol),
+        filter(split(t, "\\s+"), x => length(x) > 0).as("w"),
+        split(t, "\n").as("ln"),
+        t.as("tx"))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(col("w"), lit(0L), (a, x) => a + length(x)).as("sum_word_len"),
+        size(filter(col("w"), x => lower(x).isin(GopherStopWords: _*)))
+          .cast("long").as("n_stop_hits"),
+        size(filter(col("w"), x => x.rlike("\\p{L}")))
+          .cast("long").as("n_alpha_words"),
+        ((length(col("tx")) - length(translate(col("tx"), "#…", ""))).cast("long") +
+          ((length(col("tx")) -
+            length(regexp_replace(col("tx"), "\\.\\.\\.", ""))) / 3).cast("long"))
+          .as("n_symbols"),
+        size(col("ln")).cast("long").as("n_lines"),
+        size(filter(col("ln"), l => substring(l, 1, 1).isin(BulletChars: _*)))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(col("ln"), l => endswith(l, lit("...")) || endswith(l, lit("…"))))
+          .cast("long").as("n_ellipsis_lines"))
+      .select(col(idCol), col("n_words"), col("sum_word_len"), col("n_stop_hits"),
+        col("n_alpha_words"), col("n_symbols"), col("n_lines"),
+        col("n_bullet_lines"), col("n_ellipsis_lines"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("sum_word_len") >= col("n_words") * 3 &&
+          col("sum_word_len") <= col("n_words") * 10 &&
+          col("n_symbols") * 10 <= col("n_words") &&
+          col("n_bullet_lines") * 10 <= col("n_lines") * 9 &&
+          col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+          col("n_alpha_words") * 10 >= col("n_words") * 8 &&
+          col("n_stop_hits") >= 2L).as("pass"))
+  }
+
+  /** The composed Gopher FILTER: rows of `df` passing the full rule set,
+    * original columns preserved. Built as one boolean predicate whose
+    * word and line tallies each fold their source array ONCE
+    * (`aggregate(words, counters, merge, finish-to-boolean)`), with the
+    * raw-text symbol count threaded through the fold's init struct — so
+    * even under maximal filter pushdown (Catalyst inlines the predicate
+    * down to the scan) the doc is tokenized exactly once per gate side.
+    * Map-side only; at 100 TB this is one codegen'd scan stage.
+    */
+  def gopherFilter(df: DataFrame, textCol: String = "text",
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val sym = (length(t) - length(translate(t, "#…", ""))).cast("long") +
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val passWords = aggregate(
+      filter(split(t, "\\s+"), x => length(x) > 0),
+      struct(lit(0L).as("n"), lit(0L).as("len"), lit(0L).as("stop"),
+        lit(0L).as("alpha"), sym.as("sym")),
+      (acc, x) => struct(
+        (acc("n") + 1L).as("n"),
+        (acc("len") + length(x)).as("len"),
+        (acc("stop") + when(lower(x).isin(GopherStopWords: _*), 1L).otherwise(0L))
+          .as("stop"),
+        (acc("alpha") + when(x.rlike("\\p{L}"), 1L).otherwise(0L)).as("alpha"),
+        acc("sym").as("sym")),
+      acc => acc("n") >= minWords && acc("n") <= maxWords &&
+        acc("len") >= acc("n") * 3 && acc("len") <= acc("n") * 10 &&
+        acc("sym") * 10 <= acc("n") &&
+        acc("alpha") * 10 >= acc("n") * 8 &&
+        acc("stop") >= 2L)
+    val passLines = aggregate(
+      split(t, "\n"),
+      struct(lit(0L).as("n"), lit(0L).as("bullet"), lit(0L).as("ellipsis")),
+      (acc, l) => struct(
+        (acc("n") + 1L).as("n"),
+        (acc("bullet") +
+          when(substring(l, 1, 1).isin(BulletChars: _*), 1L).otherwise(0L)).as("bullet"),
+        (acc("ellipsis") +
+          when(endswith(l, lit("...")) || endswith(l, lit("…")), 1L).otherwise(0L))
+          .as("ellipsis")),
+      acc => acc("bullet") * 10 <= acc("n") * 9 &&
+        acc("ellipsis") * 10 <= acc("n") * 3)
+    df.filter(passWords && passLines)
+  }
+
   // ---- language ID: stopword-hit heuristic (pure Scala, broadcastable) ----
 
   /** Declared ORDER defines tie-breaking (first max wins) — part of the

@@ -395,6 +395,41 @@ class OpsSpec extends AnyFunSuite {
       (6L, 4L, 3L, 3L, 2L)))
   }
 
+  test("gopher metrics tally exactly and the fold-gate filter agrees") {
+    import spark.implicits._
+    // 13 words x 10: mean word length 400/130 ~ 3.08, 80 stop hits -> pass
+    val prose = Seq.fill(10)("the cat and dog have fun with that toy to be of note")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, prose), // passes every gate
+      (2L, Seq.fill(12)("• bullet item line").mkString("\n")), // all-bullet: fails
+      (3L, Seq.fill(60)("# word").mkString(" ")), // 60 '#' of 120 words: symbol fail
+      (4L, "too short to pass the word floor"), // < 50 words
+      (5L, null.asInstanceOf[String]), // 0 words
+      (6L, Seq.fill(10)("trailing thought...").mkString("\n")), // all-ellipsis: fails
+      (7L, "• alpha beta...\ngamma # delta…\nplain line") // hand-tallied below
+    ).toDF("doc_id", "text")
+    val m = graft.ops.TextOps.gopherMetrics(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // hand tally for doc 7: 8 words (•, alpha, beta..., gamma, #, delta…,
+    // plain, line) of total length 34; 6 contain a letter; symbols = one
+    // '#' + one '…' + one "..." = 3; 3 lines, 1 bullet-start, 2 ellipsis-end
+    val r7 = m(7L)
+    assert((r7.getLong(1), r7.getLong(2), r7.getLong(3), r7.getLong(4), r7.getLong(5),
+      r7.getLong(6), r7.getLong(7), r7.getLong(8)) == (8L, 34L, 0L, 6L, 3L, 3L, 1L, 2L))
+    val passes = m.collect { case (id, r) if r.getBoolean(9) => id }.toSet
+    assert(passes == Set(1L))
+    // the composed filter (single-fold gate expression) agrees with the
+    // metrics projection's pass column on every doc
+    val filtered = graft.ops.TextOps.gopherFilter(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(filtered == passes)
+    // per-gate non-vacuity: each crafted failure fails for its own reason
+    assert(m(2L).getLong(7) * 10 > m(2L).getLong(6) * 9, "doc 2 trips the bullet gate")
+    assert(m(3L).getLong(5) * 10 > m(3L).getLong(1), "doc 3 trips the symbol gate")
+    assert(m(6L).getLong(8) * 10 > m(6L).getLong(6) * 3, "doc 6 trips the ellipsis gate")
+  }
+
   test("hash-bernoulli sampling is deterministic, partition-invariant, nested") {
     import spark.implicits._
     val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("doc_id", "text")
