@@ -362,6 +362,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // cross-doc repeated-passage detection (the Lee-et-al screen doc-level
+    // dedup cannot see): every 25-token sliding window fingerprinted with
+    // the 64-bit polynomial, windows occurring >=2 times flagged. w=25
+    // instead of the production 50 keeps the synthetic corpus non-vacuous
+    // at depth (638 duplicated fingerprints / 2822 occurrences at sf0.01)
+    // while the oracle replays tokenization, windowing, the hugeint
+    // mod-2^64 fingerprint fold, and the occurrence count exactly.
+    "q_dedup_passages" -> ((s, dir) =>
+      Dedup.duplicatePassages(s, t(s, dir, "documents"), w = 25)
+        .orderBy(col("doc_id"), col("pos"))),
+    // the applied step: docs owning any non-canonical duplicated window
+    // (canonical = lexicographic-min (doc_id, pos) per fingerprint) drop;
+    // the doc holding each passage's first occurrence survives
+    "q_passage_apply" -> ((s, dir) =>
+      Dedup.dropPassageDups(s, t(s, dir, "documents"), w = 25)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
     // oracle-checked end to end: the pigeonhole blocking is complete for
     // hamming <= 3, so the output equals ALL pairs at that distance and the
     // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
@@ -646,6 +663,34 @@ object SparkEntry {
       |    SELECT doc_id AS eval_id, unnest(list_transform(range(1, len(tk) - 2),
       |      j -> array_to_string(tk[j:j+3], ' '))) AS ngram
       |    FROM toks WHERE doc_id % 97 = 0 AND len(tk) >= 4))""".stripMargin
+
+  /** Shared passage-fingerprint CTEs: the corpus-wide tokenization (the
+    * minhash toks CTE), 25-token sliding windows (DuckDB slice tk[j:j+24]
+    * is 1-based inclusive; range(1, len-23) half-open, so j covers
+    * 1..len-24 = exactly the Spark sequence(0, size-25) offsets shifted by
+    * one), and the q_fingerprint hugeint 31-poly fold over each
+    * space-joined window. Ends in `fps` (doc_id, pos, fp). Shared by
+    * q_dedup_passages and q_passage_apply.
+    */
+  private val PassageCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, unnest(range(1, len(tk) - 23)) AS j, tk
+      |  FROM toks WHERE len(tk) >= 25),
+      |fps AS MATERIALIZED (
+      |  SELECT doc_id, j - 1 AS pos,
+      |    CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+      |      THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp
+      |  FROM (
+      |    SELECT doc_id, j,
+      |      list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |        list_transform(string_split(array_to_string(tk[j:j+24], ' '), ''),
+      |          c -> unicode(c)::HUGEINT)),
+      |        (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS m
+      |    FROM win))""".stripMargin
 
   /** Recursive-CTE connected-components closure over a pair CTE (id_a,
     * id_b): nodes, symmetric edges, reachability. ONE definition shared by
@@ -1348,6 +1393,30 @@ object SparkEntry {
         |$ClosureLosers
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    // windowed passage fingerprints + occurrence counts replayed exactly
+    // (PassageCtes): flag every window whose fingerprint occurs >= 2 times
+    "q_dedup_passages" ->
+      s"""$PassageCtes
+        |SELECT doc_id, pos, fp, n_occurrences FROM (
+        |  SELECT doc_id, pos, fp,
+        |    count(*) OVER (PARTITION BY fp) AS n_occurrences
+        |  FROM fps)
+        |WHERE n_occurrences >= 2
+        |ORDER BY doc_id, pos""".stripMargin,
+    // same replayed fingerprints; losers = docs owning any occurrence that
+    // is not its fingerprint's lexicographic-min (doc_id, pos) — rk > 1
+    // implies the fingerprint occurs at least twice
+    "q_passage_apply" ->
+      s"""$PassageCtes,
+        |plosers AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+        |    FROM fps)
+        |  WHERE rk > 1)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM plosers)
         |ORDER BY doc_id""".stripMargin,
     // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
     // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)

@@ -789,6 +789,95 @@ object Dedup {
     corpus.join(flagged, corpus(idCol) === col("_contam_id"), "left_anti")
   }
 
+  // ---- cross-doc repeated-passage dedup ----
+
+  /** Fingerprints of every `w`-token sliding window of every doc — the
+    * PASSAGE-level identity the doc-level operators cannot see: boilerplate
+    * paragraphs repeated across millions of pages survive doc-level
+    * near-dedup because the surrounding page differs (the Lee et al.
+    * "deduplicating training data" screen; published pipelines use ~50
+    * tokens). Tokenization is the corpus-wide standard ([[shingles]]':
+    * lower, \s+ split, non-empty), windows are STRIDE 1 (any stride s > 1
+    * provably misses duplicated passages whose token offsets differ mod s),
+    * and the fingerprint is the 64-bit polynomial [[TextOps.fingerprint]]
+    * over the space-joined window — a native codegen expression, so the
+    * whole projection is map-side Tungsten work. Docs with fewer than `w`
+    * tokens emit nothing. Single tokenization per doc (the wordNgrams
+    * guard-in-projection shape).
+    *
+    * Returns (doc_id, pos, fp) with pos = 0-based token offset.
+    */
+  def passageFingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 50): DataFrame = {
+    require(w > 0, "w > 0")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .select(col("doc_id"),
+        posexplode(
+          when(size(col("toks")) >= w,
+            transform(sequence(lit(0), size(col("toks")) - w),
+              i => graft.functions.GraftFunctions.fingerprint64(
+                concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+            .otherwise(array().cast("array<long>"))))
+      .toDF("doc_id", "pos", "fp")
+  }
+
+  /** Duplicated passages: every window whose fingerprint occurs at least
+    * twice in the corpus (within OR across docs). Returns (doc_id, pos,
+    * fp, n_occurrences), unsorted (operator contract — consumers join).
+    *
+    * Scale shape (100 TB): ONE hash exchange keyed by the fingerprint,
+    * carrying (fp 8 B, doc_id 8 B, pos 4 B) per token — O(corpus tokens ×
+    * 20 B) on the wire, which is the honest cost of stride-1 exact passage
+    * detection (the suffix-array formulation is single-machine; windowed
+    * fingerprints are its distributable equivalent). The window text
+    * itself NEVER shuffles — only the 8-byte fingerprint — and the count
+    * is a window aggregate over that one exchange (the q_dedup_keep
+    * shape: no second join, no broadcast of an unbounded set). Run it
+    * AFTER doc-level dedup so exact-duplicate documents don't multiply
+    * the token stream.
+    */
+  def duplicatePassages(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 50): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    passageFingerprints(df, idCol, textCol, w)
+      .withColumn("n_occurrences", count(lit(1)).over(byFp))
+      .filter(col("n_occurrences") >= 2)
+  }
+
+  /** Repeated-passage dedup APPLIED at doc granularity: for every
+    * duplicated fingerprint the CANONICAL occurrence is the lexicographic
+    * min (doc_id, pos); a doc owning at least `minDupWindows`
+    * non-canonical occurrences is dropped. Keep-first semantics at the
+    * passage level — the doc holding a passage's first occurrence
+    * survives, later docs built from already-seen passages go (a doc
+    * repeating its OWN passage counts too: its first occurrence is the
+    * canonical one, the repeats are non-canonical — self-boilerplate is
+    * exactly what the repetition literature screens). Passage-level text
+    * REWRITING (excising the repeated span) is deliberately not this
+    * operator: it changes document bytes, which belongs to a transform
+    * stage, not a filter.
+    *
+    * Scale: the fingerprint exchange of [[passageFingerprints]] plus a
+    * row_number within the fp hash partitions (sort is within-partition,
+    * no range exchange), one O(duplicated windows) doc-keyed aggregate,
+    * and a key-equality left-anti join (never broadcast-forced).
+    */
+  def dropPassageDups(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 50,
+      minDupWindows: Long = 1L): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))
+    val losers = passageFingerprints(df, idCol, textCol, w)
+      .withColumn("_rk", row_number().over(byFp))
+      .filter(col("_rk") > 1) // rk > 1 implies the fp occurs >= 2 times
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("_ndup"))
+      .filter(col("_ndup") >= minDupWindows)
+      .select(col("doc_id").as("_pl_id"))
+    df.join(losers, df(idCol) === col("_pl_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for a candidate pair set (verification stage). */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
     val sa = shingles(a, n).toSet

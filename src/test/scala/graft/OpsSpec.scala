@@ -395,6 +395,40 @@ class OpsSpec extends AnyFunSuite {
       (6L, 4L, 3L, 3L, 2L)))
   }
 
+  test("repeated-passage dedup flags planted shared paragraphs, keeps first") {
+    import spark.implicits._
+    // w=5; docs 1 and 2 share exactly one 5-token paragraph at different
+    // offsets (the cross-doc boilerplate doc-level dedup cannot see);
+    // doc 4 repeats its OWN 5-token run; doc 3 and the short doc 5 are clean
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"one two three $shared tail end"),
+      (2L, s"different opening $shared"),
+      (3L, "entirely unique words with no repeated passage anywhere here"),
+      (4L, "a b c d e filler a b c d e"),
+      (5L, "too short") // < w tokens: no windows
+    ).toDF("doc_id", "text")
+    val hits = Dedup.duplicatePassages(spark, docs, w = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    // shared paragraph at pos 3 (doc 1) / pos 2 (doc 2); self-repeat at
+    // pos 0 and 6 (doc 4) — and nothing else
+    assert(hits == Set((1L, 3, 2L), (2L, 2, 2L), (4L, 0, 2L), (4L, 6, 2L)))
+    // the two duplicated-window fingerprints agree across docs
+    val byFp = Dedup.duplicatePassages(spark, docs, w = 5)
+      .collect().groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byFp.size == 2 && byFp.values.toSet == Set(Set(1L, 2L), Set(4L)))
+    // apply: doc 1 holds the canonical (min doc_id) occurrence and stays;
+    // doc 2 goes; doc 4's self-repeat is non-canonical and drops it too
+    val kept = Dedup.dropPassageDups(spark, docs, w = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // minDupWindows raises the bar: requiring 2 dup windows clears doc 2
+    // (one non-canonical window) but doc 4 still has only one -> all kept
+    val lax = Dedup.dropPassageDups(spark, docs, w = 5, minDupWindows = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lax == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("gopher metrics tally exactly and the fold-gate filter agrees") {
     import spark.implicits._
     // 13 words x 10: mean word length 400/130 ~ 3.08, 80 stop hits -> pass

@@ -227,6 +227,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("passage dedup: one fp-keyed scalar exchange, no range partitioning") {
+    // stride-1 passage fingerprinting is the widest exchange in the suite
+    // by row count (one row per corpus token) — pin that it carries ONLY
+    // (doc_id, pos, fp) scalars (the window text never shuffles), that
+    // the occurrence count rides ONE hash exchange (the q_dedup_keep
+    // window shape: no join, no broadcast), and that the operator return
+    // is unsorted (no RangePartitioning — the round-6 contract)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = Dedup.duplicatePassages(spark, docs, w = 25)
+    df.collect() // finalize AQE
+    val shuffles = nodes(df).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"expected one fp exchange: $shuffles")
+    assert(shuffles.head.output.map(_.name).toSet == Set("doc_id", "pos", "fp"),
+      s"fp exchange must carry scalars only: ${shuffles.head.output}")
+    assert(!df.queryExecution.executedPlan.toString.toLowerCase
+      .contains("rangepartitioning"), "unsorted operator return")
+    // the fingerprint is the native expression inside codegen, one
+    // tokenization per doc (the guard-in-projection shape)
+    val projStr = Dedup.passageFingerprints(docs, w = 25)
+      .queryExecution.executedPlan.toString
+    assert(projStr.contains("graft_fingerprint64"), "native fp expression in-plan")
+    assert(!projStr.contains("DeserializeToObject"))
+    assert("split\\(lower\\(".r.findAllIn(projStr).length == 1,
+      "one tokenization per doc")
+  }
+
   test("index-fed IVF search plans no corpus-side assignment expression") {
     import graft.ops.IvfIndex
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
