@@ -176,7 +176,7 @@ object Bench {
     // to N→4N executors on separate machines (where group boundaries are
     // executor boundaries). eff = groups/one-job, for wall and for
     // task-CPU; 1.0 = the wide job costs nothing extra. Unclamped.
-    val ctlReps = locally {
+    val ctlRepsAll = locally {
       val s = session(32, fair = true)
       import s.implicits._
       val cpuNs = new AtomicLong()
@@ -218,18 +218,40 @@ object Bench {
       }
       // warm both shapes once (JIT + page cache), discarded
       oneJob(); groupJobs()
-      // alternate order across reps so monotone drift cancels
-      val reps = (0 until 5).map { r =>
-        val (first, second) = if (r % 2 == 0) (measure(oneJob()), measure(groupJobs()))
+      // alternate order across reps so monotone drift cancels.
+      // DISCARD-AND-RERUN (round-6 verdict finding #2): at equal
+      // subscription the one-job vs groups task-CPU can differ only by the
+      // engine's own coordination cost — a >3x gap is impossible for the
+      // engine (same code, same data, all 32 threads both sides) and means
+      // a hypervisor steal phase hit one side only (BENCH_r06 rep 3 read
+      // eff_cpu 6.027, one bad rep from flipping the headline). Such reps
+      // are rejected from the median and re-measured (bounded), but still
+      // published raw.
+      val accepted = Vector.newBuilder[(Double, Double, Double, Double, Double, Double)]
+      val rejected = Vector.newBuilder[(Double, Double, Double, Double, Double, Double)]
+      var nAccepted = 0
+      var attempts = 0
+      val maxAttempts = 5 + 5 // at most 5 rerolls on top of the 5 reps
+      while (nAccepted < 5 && attempts < maxAttempts) {
+        val (first, second) =
+          if (attempts % 2 == 0) (measure(oneJob()), measure(groupJobs()))
           else { val g = measure(groupJobs()); (measure(oneJob()), g) }
         val (w1, c1, n1) = first // one 32-way job
         val (wg, cg, ng) = second // four concurrent 8-way jobs
-        require(n1 == ng, s"control rep $r: one-job rows $n1 != group rows $ng")
-        (wg / w1, cg / c1, w1, wg, c1, cg)
+        require(n1 == ng, s"control rep $attempts: one-job rows $n1 != group rows $ng")
+        val rep = (wg / w1, cg / c1, w1, wg, c1, cg)
+        val effCpu = cg / c1
+        if (effCpu > 3.0 || effCpu < 1.0 / 3.0) rejected += rep
+        else { accepted += rep; nAccepted += 1 }
+        attempts += 1
       }
       s.stop()
-      reps
+      // a catastrophic window can reject everything — fall back to the
+      // rejected reps rather than losing the driver's one JSON line
+      val acc = accepted.result()
+      (if (acc.nonEmpty) acc else rejected.result(), rejected.result())
     }
+    val (ctlReps, ctlRejected) = ctlRepsAll
     // groups/one-job: >1 means the single wide job was CHEAPER than the 4
     // independent narrow jobs; the efficiency claim needs min(x, 1/x)-style
     // symmetry, so report the ratio in the direction that penalizes the
@@ -238,10 +260,13 @@ object Bench {
       math.min(effCpu, 1.0 / effCpu) }.toSeq)
     val efficiencyCtlWall = median(ctlReps.map { case (effWall, _, _, _, _, _) =>
       math.min(effWall, 1.0 / effWall) }.toSeq)
-    val ctlJson = ctlReps.map { case (effWall, effCpu, w1, wg, c1, cg) =>
-      f"""{"eff_wall":$effWall%.3f,"eff_cpu":$effCpu%.3f,"wall_one":$w1%.2f,""" +
-        f""""wall_groups":$wg%.2f,"cpu_one":$c1%.1f,"cpu_groups":$cg%.1f}"""
-    }.mkString("[", ",", "]")
+    def ctlRepJson(reps: Seq[(Double, Double, Double, Double, Double, Double)]) =
+      reps.map { case (effWall, effCpu, w1, wg, c1, cg) =>
+        f"""{"eff_wall":$effWall%.3f,"eff_cpu":$effCpu%.3f,"wall_one":$w1%.2f,""" +
+          f""""wall_groups":$wg%.2f,"cpu_one":$c1%.1f,"cpu_groups":$cg%.1f}"""
+      }.mkString("[", ",", "]")
+    val ctlJson = ctlRepJson(ctlReps)
+    val ctlRejJson = ctlRepJson(ctlRejected)
 
     // ---- phase 3: headline queries at the driver-selected parallelism ----
     // wall AND per-query task-CPU: wall in a steal-contended window inflated
@@ -251,20 +276,28 @@ object Bench {
     val s = session(cpus)
     s.range(1000).selectExpr("sum(id)").collect() // absorb session init cost
     val qCpuNs = new AtomicLong()
-    s.sparkContext.addSparkListener(new SparkListener {
+    val qListener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         if (te.taskMetrics != null) qCpuNs.addAndGet(te.taskMetrics.executorCpuTime)
       }
-    })
+    }
+    s.sparkContext.addSparkListener(qListener)
     // the listener bus is async: poll until the counter stabilizes so task
-    // CPU attributes to the query that spent it, not its successor
+    // CPU attributes to the query that spent it, not its successor. Under
+    // heavy steal the bus can lag well past a second (r6 ADVICE) — the cap
+    // is generous (10 s) and LOUD when hit, because silently attributing a
+    // query's tail CPU to its successor is exactly the cross-round
+    // comparability queries_cpu exists for.
     def drainedCpu(): Long = {
       var prev = -1L
       var cur = qCpuNs.get()
       var spins = 0
-      while (cur != prev && spins < 40) {
+      while (cur != prev && spins < 400) {
         Thread.sleep(25); prev = cur; cur = qCpuNs.get(); spins += 1
       }
+      if (spins >= 400)
+        System.err.println("BENCH warning: listener-bus drain hit the 10s cap; " +
+          "per-query cpu attribution may bleed into the next query")
       cur
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -280,6 +313,7 @@ object Bench {
       // masquerade as a fast one
       (name, if (ok) dt else -dt, cpu)
     }
+    s.sparkContext.removeSparkListener(qListener)
     s.stop()
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
@@ -307,7 +341,7 @@ object Bench {
       s""""pairs_valid":${validPairs.size},""" +
       s""""clean_cpu_envelope":{${cleanCpu.toSeq.sortBy(_._1)
         .map { case (l, c) => f""""p$l":$c%.1f""" }.mkString(",")}},""" +
-      s""""ctl_reps":$ctlJson,""" +
+      s""""ctl_reps":$ctlJson,"ctl_rejected":$ctlRejJson,""" +
       f""""scaling_efficiency_ctl_wall":$efficiencyCtlWall%.3f,""" +
       f""""scaling_efficiency":$efficiency%.3f}"""
 
@@ -349,6 +383,20 @@ object Bench {
              f"- cpu $effCpu%.3f (one-job ${c1}%.1f s vs groups ${cg}%.1f s), " +
                f"wall $effWall%.3f (${w1}%.2f s vs ${wg}%.2f s)"
            }.mkString("\n")}
+         |
+         |REP REJECTION (round 7): a rep whose one-job vs groups task-CPU
+         |differ by more than 3x is discarded from the median and
+         |re-measured (bounded at 5 rerolls) — that ratio is impossible for
+         |the engine itself at equal subscription (same code, same data,
+         |all 32 threads on both sides), so it can only be a hypervisor
+         |steal phase landing on one side (BENCH_r06 rep 3 read 6.027 and
+         |sat one bad rep from flipping the headline). Rejected reps this
+         |run: ${ctlRejected.size}${if (ctlRejected.isEmpty) "." else
+             " (published raw in the JSON ctl_rejected field):\n" +
+               ctlRejected.map { case (effWall, effCpu, w1, wg, c1, cg) =>
+                 f"- REJECTED cpu $effCpu%.3f (one-job ${c1}%.1f s vs groups ${cg}%.1f s), " +
+                   f"wall $effWall%.3f (${w1}%.2f s vs ${wg}%.2f s)"
+               }.mkString("\n")}
          |
          |Why the headline changed (window provenance — round-4 discrepancy):
          |the r2-r4 headline was the median task-CPU ratio over back-to-back

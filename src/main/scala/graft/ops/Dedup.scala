@@ -736,14 +736,26 @@ object Dedup {
       minShared: Int = 1): DataFrame = {
     require(n > 0, "n > 0")
     require(minShared > 0, "minShared > 0")
-    val c = wordNgrams(corpus, idCol, textCol, n, "doc_id")
-    val e = wordNgrams(evalSet, idCol, textCol, n, "eval_id")
-      .distinct() // tiny; distinct before broadcast
-    c.join(broadcast(e), Seq("ngram"))
+    ngramContaminationAgainst(corpus,
+      wordNgrams(evalSet, idCol, textCol, n, "eval_id")
+        .distinct(), // tiny; distinct before broadcast
+      idCol, textCol, n, minShared)
+  }
+
+  /** [[ngramContamination]] against a PRECOMPUTED distinct eval n-gram set
+    * (eval_id, ngram) — the entry the streaming faces use so the eval side
+    * is tokenized once at query start (materialized) instead of once per
+    * micro-batch. Same plan shape: corpus n-grams map-side into the
+    * broadcast join, the count-distinct is the only exchange.
+    */
+  def ngramContaminationAgainst(corpus: DataFrame, evalNgrams: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 13,
+      minShared: Int = 1): DataFrame =
+    wordNgrams(corpus, idCol, textCol, n, "doc_id")
+      .join(broadcast(evalNgrams), Seq("ngram"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(countDistinct(col("ngram")).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
-  }
 
   /** Strict word n-grams of a doc column as (outId, ngram) rows — one
     * map-side codegen'd projection (split/transform/slice/explode

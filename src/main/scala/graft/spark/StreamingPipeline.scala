@@ -437,6 +437,74 @@ object StreamingPipeline {
       .select(col("doc_id"), col("eval_id"), col("ngram"))
   }
 
+  /** Streaming decontamination APPLY — the kept/flagged verdict per
+    * arriving doc ([[contaminationMatches]] stops at match events; this
+    * closes the loop, mirroring [[dedupApplyStream]]'s verdict surface):
+    * each micro-batch is screened against the static eval set and lands
+    * per-doc verdicts plus the kept rows in segment-keyed parquet.
+    *
+    * Per-doc verdicts need the doc's matches AGGREGATED (did ANY n-gram
+    * hit, and against which eval doc) — a streaming groupBy would demand a
+    * watermark the screen must not wait out (a doc's verdict is final the
+    * moment its micro-batch is screened; the eval set is static). So the
+    * aggregate runs inside foreachBatch: bounded by the micro-batch,
+    * stateless across batches, no state store. The eval n-gram set is
+    * tokenized ONCE at query start and materialized
+    * ([[graft.ops.Dedup.ngramContaminationAgainst]]); each batch pays one
+    * map-side n-gram scan into the broadcast join — the batch operator's
+    * exact plan over micro-batch-sized input.
+    *
+    * Output per segment `batch_<id>`:
+    *  - `verdicts/`: (id, verdict ∈ {kept, flagged}, match_id = lowest
+    *    matching eval id or null, shared_ngrams with that eval doc).
+    *  - `kept/`: the surviving rows, input columns preserved.
+    * Replay-idempotent by determinism: the eval set never changes, so a
+    * replayed micro-batch overwrites its segment with identical bytes
+    * (no commit-point ordering needed, unlike the index-growing dedup
+    * apply). Verdicts are the decontaminate operator's semantics exactly:
+    * kept set ≡ [[graft.ops.Dedup.decontaminate]] on the same rows
+    * (StreamingSpec-pinned).
+    */
+  def decontaminateApplyStream(docs: DataFrame, evalSet: DataFrame, outDir: String,
+      checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 13, minShared: Int = 1,
+      availableNow: Boolean = false): StreamingQuery = {
+    import graft.ops.{Dedup, Materialize}
+    val evalNgrams = Materialize.iterative(
+      Dedup.wordNgrams(evalSet, idCol, textCol, n, "eval_id").distinct(),
+      Materialize.fromEnv)
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val batch = b.toDF()
+        val contam = Dedup.ngramContaminationAgainst(batch, evalNgrams,
+          idCol, textCol, n, minShared)
+        // one row per flagged doc: lowest matching eval id (deterministic),
+        // with that pair's shared count. Materialized: verdicts AND the
+        // kept anti-join both consume it — unmaterialized each re-runs the
+        // screen join.
+        val flagged = Materialize.iterative(
+          contam.groupBy(col("doc_id"))
+            .agg(min(struct(col("eval_id"), col("shared_ngrams"))).as("_m"))
+            .select(col("doc_id").as("_flag_id"),
+              col("_m.eval_id").as("_match_id"),
+              col("_m.shared_ngrams").as("_shared")),
+          Materialize.fromEnv)
+        val ids = batch.select(col(idCol).cast("long").as("id"))
+        ids.join(flagged, ids("id") === col("_flag_id"), "left")
+          .select(col("id"),
+            when(col("_flag_id").isNotNull, lit("flagged"))
+              .otherwise(lit("kept")).as("verdict"),
+            col("_match_id").as("match_id"),
+            col("_shared").as("shared_ngrams"))
+          .write.mode("overwrite").parquet(s"$outDir/verdicts/batch_$batchId")
+        batch.join(flagged, batch(idCol) === col("_flag_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outDir/kept/batch_$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** One dedup-ingest micro-batch against the PERSISTED corpus index: the
     * unit of [[dedupApplyStream]], callable directly for scheduled (cron)
     * daily ingests. Runs [[graft.ops.Dedup.ingestIncremental]] against the

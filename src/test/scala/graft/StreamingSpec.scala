@@ -436,6 +436,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination apply: kept set equals batch decontaminate") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val evalSet = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val allDocs = Seq(
+      (1L, evalDoc), // identical: flagged (7 shared 4-grams)
+      (2L, "prefix words then alpha beta gamma delta and a different tail"), // flagged (1)
+      (3L, "entirely unrelated content with no shared runs at all here"), // kept
+      (4L, "alpha beta gamma"), // < n tokens: kept
+      (5L, "second clean arrival with entirely fresh vocabulary throughout") // kept
+    )
+    val inDir = Files.createTempDirectory("dca_in").toString
+    val outDir = Files.createTempDirectory("dca_out").toString
+    val ckpt = Files.createTempDirectory("dca_ckpt").toString
+    // two landed files -> two micro-batches
+    allDocs.take(2).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Thread.sleep(1100)
+    allDocs.drop(2).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val src = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingPipeline.decontaminateApplyStream(src, evalSet, outDir, ckpt,
+      n = 4, availableNow = true)
+    q.awaitTermination(120000)
+    // kept union across segments == the batch decontaminate on all rows
+    // (the screen is stateless across batches: verdicts are per-doc)
+    val keptStreamed = spark.read.parquet(s"$outDir/kept/*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptBatch = Dedup.decontaminate(spark, allDocs.toDF("doc_id", "text"),
+        evalSet, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptStreamed == keptBatch && keptStreamed == Set(3L, 4L, 5L))
+    // verdicts carry the match evidence
+    val verdicts = spark.read.parquet(s"$outDir/verdicts/*")
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(verdicts == Map(
+      1L -> ("flagged", 100L, 7L),
+      2L -> ("flagged", 100L, 1L),
+      3L -> ("kept", -1L, -1L),
+      4L -> ("kept", -1L, -1L),
+      5L -> ("kept", -1L, -1L)))
+  }
+
   test("ingest micro-batch commit is idempotent under segment replay") {
     import spark.implicits._
     import graft.ops.{Dedup, MinhashIndex}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Triangulating validator for the passage-dedup oracles: a pure-python
+replay of windowed passage fingerprinting (tokenize -> stride-1 w-token
+windows -> Java 31-poly fingerprint mod 2^64 -> occurrence counts ->
+keep-first apply) compared against BOTH the DuckDB oracle SQL
+(oracle_sql.json from a Verify/QDump dump) and the Spark output parquet.
+
+Usage: check_passage_sql.py <sfDir> <dumpDir>   (dumpDir from graft.tools.QDump)
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+MASK = (1 << 64) - 1
+W = 25  # must match the q_dedup_passages / q_passage_apply surfaces
+
+
+def fp64(s: str) -> int:
+    h = 1125899906842597
+    for c in s:  # BMP corpus: codepoints == UTF-16 units (q_fingerprint contract)
+        h = (31 * h + ord(c)) & MASK
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def replay(docs):
+    rows = []  # (doc_id, pos, fp)
+    for doc_id, text in docs:
+        tk = [t for t in (text or "").lower().split() if t]
+        if len(tk) < W:
+            continue
+        for j in range(len(tk) - W + 1):
+            rows.append((doc_id, j, fp64(" ".join(tk[j : j + W]))))
+    counts = {}
+    for _, _, f in rows:
+        counts[f] = counts.get(f, 0) + 1
+    hits = {(d, p, f, counts[f]) for d, p, f in rows if counts[f] >= 2}
+    # apply: canonical = lexicographic-min (doc_id, pos) per fp
+    first = {}
+    for d, p, f in sorted(rows):
+        first.setdefault(f, (d, p))
+    losers = {d for d, p, f in rows if first[f] != (d, p)}
+    return hits, losers
+
+
+def main():
+    sf, dump = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    py_hits, py_losers = replay(docs)
+    all_ids = {d for d, _ in docs}
+    py_kept = all_ids - py_losers
+
+    oracle = json.load(open(f"{dump}/oracle_sql.json"))
+    sql_hits = {
+        tuple(r)
+        for r in con.execute(oracle["q_dedup_passages"]).fetchall()
+    }
+    sql_kept = {r[0] for r in con.execute(oracle["q_passage_apply"]).fetchall()}
+
+    spark_hits = {
+        tuple(r)
+        for r in pd.read_parquet(f"{dump}/q_dedup_passages")[
+            ["doc_id", "pos", "fp", "n_occurrences"]
+        ].itertuples(index=False)
+    }
+    spark_kept = set(pd.read_parquet(f"{dump}/q_passage_apply")["doc_id"])
+
+    ok = py_hits == sql_hits == spark_hits and py_kept == sql_kept == spark_kept
+    print(
+        f"PASSAGE_CHECK sf={sf} hits py={len(py_hits)} sql={len(sql_hits)} "
+        f"spark={len(spark_hits)} kept py={len(py_kept)} sql={len(sql_kept)} "
+        f"spark={len(spark_kept)} equal={ok}"
+    )
+    if not ok:
+        print("only_py_hits", sorted(py_hits - sql_hits)[:5])
+        print("only_sql_hits", sorted(sql_hits - py_hits)[:5])
+        print("kept_diff", sorted(py_kept ^ sql_kept)[:5], sorted(py_kept ^ spark_kept)[:5])
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
