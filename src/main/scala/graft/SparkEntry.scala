@@ -379,6 +379,14 @@ object SparkEntry {
       Dedup.dropPassageDups(s, t(s, dir, "documents"), w = 25)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
+    // the transform face (Lee et al. proper): non-canonical duplicated
+    // windows EXCISED token-wise, canonical occurrences and untouched
+    // docs byte-exact — the oracle rebuilds every rewritten doc's text
+    // string and the driver hash-compares the full strings
+    "q_passage_strip" -> ((s, dir) =>
+      Dedup.stripDuplicatePassages(s, t(s, dir, "documents"), w = 25)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .orderBy(col("doc_id"))),
     // oracle-checked end to end: the pigeonhole blocking is complete for
     // hamming <= 3, so the output equals ALL pairs at that distance and the
     // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
@@ -1418,6 +1426,39 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM plosers)
         |ORDER BY doc_id""".stripMargin,
+    // same replayed fingerprints; covered token indexes = union of
+    // [pos, pos+25) over non-canonical windows; rewritten docs rebuild
+    // from their RAW (case-preserving) tokens minus the covered indexes,
+    // untouched docs pass their text through byte-exact
+    "q_passage_strip" ->
+      s"""$PassageCtes,
+        |noncanon AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+        |    FROM fps) WHERE rk > 1),
+        |pcovered AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 25)) AS ti FROM noncanon),
+        |rawtoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text,''), '\\s+'), t -> len(t) > 0) AS rtk
+        |  FROM documents),
+        |tokrows AS (
+        |  SELECT doc_id, unnest(range(1, len(rtk) + 1)) AS j, rtk FROM rawtoks),
+        |kepttok AS (
+        |  SELECT t.doc_id, t.j, t.rtk[t.j] AS tok
+        |  FROM tokrows t LEFT JOIN pcovered c ON c.doc_id = t.doc_id AND c.ti = t.j - 1
+        |  WHERE c.doc_id IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY j), ' ') AS newtext
+        |  FROM kepttok GROUP BY doc_id),
+        |strippedids AS (SELECT DISTINCT doc_id FROM pcovered)
+        |SELECT d.doc_id,
+        |  coalesce(CASE WHEN s.doc_id IS NULL THEN d.text ELSE r.newtext END, '') AS text
+        |FROM documents d
+        |LEFT JOIN strippedids s ON s.doc_id = d.doc_id
+        |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
     // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)
     "q_fingerprint" ->

@@ -890,6 +890,51 @@ object Dedup {
     df.join(losers, df(idCol) === col("_pl_id"), "left_anti")
   }
 
+  /** Repeated-passage dedup applied as a TRANSFORM — the Lee et al.
+    * semantics proper: the tokens of every NON-CANONICAL duplicated window
+    * are EXCISED from their doc (the canonical occurrence — lexicographic
+    * min (doc_id, pos) — survives verbatim in its own doc), instead of
+    * [[dropPassageDups]]' whole-doc drop. Docs with no duplicated window
+    * keep their text BYTE-EXACT; rewritten docs are rebuilt from their
+    * surviving case-preserving tokens joined by single spaces (whitespace
+    * normalization is inherent to a token-level rewrite — this is a
+    * transform stage, documented as such). The fingerprint matching is
+    * case-insensitive ([[passageFingerprints]] lowercases), but
+    * lowercasing never changes token boundaries, so the lowered window
+    * positions index the raw tokens exactly.
+    *
+    * Scale shape: the [[passageFingerprints]] exchange + row_number as in
+    * [[dropPassageDups]], then the covered-index set — O(duplicated
+    * windows × w) ints, deduped and folded to ONE sorted int array per
+    * rewritten doc — rides a key-equality left join back to the corpus;
+    * the rebuild is a map-side higher-order filter (the per-token
+    * `array_contains` is linear in the doc's covered count — bounded by
+    * its token count). Corpus text never shuffles.
+    *
+    * Returns df's columns with `textCol` replaced.
+    */
+  def stripDuplicatePassages(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 50): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))
+    val covered = passageFingerprints(df, idCol, textCol, w)
+      .withColumn("_rk", row_number().over(byFp))
+      .filter(col("_rk") > 1)
+      .select(col("doc_id").as("_strip_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("_ti"))
+      .distinct()
+      .groupBy(col("_strip_id"))
+      .agg(sort_array(collect_set(col("_ti"))).as("_cov"))
+    val rawToks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => length(t) > 0)
+    df.join(covered, df(idCol) === col("_strip_id"), "left")
+      .withColumn(textCol,
+        when(col("_cov").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(rawToks, (t, i) => not(array_contains(col("_cov"), i))))))
+      .drop("_strip_id", "_cov")
+  }
+
   /** Exact n-gram Jaccard for a candidate pair set (verification stage). */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
     val sa = shingles(a, n).toSet

@@ -429,6 +429,36 @@ class OpsSpec extends AnyFunSuite {
     assert(lax == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("passage strip excises non-canonical windows, keeps the rest byte-exact") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"one two three $shared tail end"), // canonical holder: untouched
+      (2L, s"Different OPENING $shared"), // shared run excised, case preserved
+      (3L, "entirely  unique   text with irregular spacing kept byte-exact"),
+      (4L, "a b c d e filler a b c d e"), // self-repeat: second run excised
+      (5L, null.asInstanceOf[String]), // null text: untouched (stays null)
+      (6L, shared) // the whole doc is one non-canonical window -> empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatePassages(spark, docs, w = 5)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out(1L) == s"one two three $shared tail end", "canonical doc byte-exact")
+    assert(out(2L) == "Different OPENING", "excised run, original case kept")
+    assert(out(3L) == "entirely  unique   text with irregular spacing kept byte-exact",
+      "untouched docs keep irregular whitespace byte-exact")
+    assert(out(4L) == "a b c d e filler", "self-repeat excised")
+    assert(out(5L) == null, "null text passes through")
+    assert(out(6L) == "", "fully-covered doc becomes empty, row preserved")
+    // matching is case-insensitive: doc 2's UPPERCASED shared run still
+    // excises (fingerprints lowercase; rebuild preserves the raw tokens)
+    val docsU = Seq((1L, s"x y z $shared"), (2L, "p q " + shared.toUpperCase))
+      .toDF("doc_id", "text")
+    val outU = Dedup.stripDuplicatePassages(spark, docsU, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outU(2L) == "p q")
+  }
+
   test("gopher metrics tally exactly and the fold-gate filter agrees") {
     import spark.implicits._
     // 13 words x 10: mean word length 400/130 ~ 3.08, 80 stop hits -> pass

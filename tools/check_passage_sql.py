@@ -41,7 +41,22 @@ def replay(docs):
     for d, p, f in sorted(rows):
         first.setdefault(f, (d, p))
     losers = {d for d, p, f in rows if first[f] != (d, p)}
-    return hits, losers
+    # strip: union of [pos, pos+W) covered indexes per doc over
+    # non-canonical windows; rebuild from the RAW (case-preserving) tokens
+    covered = {}
+    for d, p, f in rows:
+        if first[f] != (d, p):
+            covered.setdefault(d, set()).update(range(p, p + W))
+    stripped = {}
+    for doc_id, text in docs:
+        if doc_id in covered:
+            raw = [t for t in (text or "").split() if t]
+            stripped[doc_id] = " ".join(
+                t for i, t in enumerate(raw) if i not in covered[doc_id]
+            )
+        else:
+            stripped[doc_id] = text or ""
+    return hits, losers, stripped
 
 
 def main():
@@ -51,7 +66,7 @@ def main():
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
     )
     docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
-    py_hits, py_losers = replay(docs)
+    py_hits, py_losers, py_strip = replay(docs)
     all_ids = {d for d, _ in docs}
     py_kept = all_ids - py_losers
 
@@ -61,6 +76,7 @@ def main():
         for r in con.execute(oracle["q_dedup_passages"]).fetchall()
     }
     sql_kept = {r[0] for r in con.execute(oracle["q_passage_apply"]).fetchall()}
+    sql_strip = dict(con.execute(oracle["q_passage_strip"]).fetchall())
 
     spark_hits = {
         tuple(r)
@@ -69,17 +85,31 @@ def main():
         ].itertuples(index=False)
     }
     spark_kept = set(pd.read_parquet(f"{dump}/q_passage_apply")["doc_id"])
+    sdf = pd.read_parquet(f"{dump}/q_passage_strip")
+    spark_strip = dict(zip(sdf["doc_id"], sdf["text"]))
 
-    ok = py_hits == sql_hits == spark_hits and py_kept == sql_kept == spark_kept
+    ok = (
+        py_hits == sql_hits == spark_hits
+        and py_kept == sql_kept == spark_kept
+        and py_strip == sql_strip == spark_strip
+    )
+    n_rewritten = sum(1 for d, t in docs if py_strip[d] != (t or ""))
     print(
         f"PASSAGE_CHECK sf={sf} hits py={len(py_hits)} sql={len(sql_hits)} "
         f"spark={len(spark_hits)} kept py={len(py_kept)} sql={len(sql_kept)} "
-        f"spark={len(spark_kept)} equal={ok}"
+        f"spark={len(spark_kept)} strip_rewritten={n_rewritten} equal={ok}"
     )
     if not ok:
         print("only_py_hits", sorted(py_hits - sql_hits)[:5])
         print("only_sql_hits", sorted(sql_hits - py_hits)[:5])
         print("kept_diff", sorted(py_kept ^ sql_kept)[:5], sorted(py_kept ^ spark_kept)[:5])
+        sdiff = [d for d in py_strip if py_strip[d] != sql_strip.get(d)
+                 or py_strip[d] != spark_strip.get(d)]
+        print("strip_diff_ids", sorted(sdiff)[:5])
+        for d in sorted(sdiff)[:2]:
+            print("py  :", repr(py_strip[d])[:120])
+            print("sql :", repr(sql_strip.get(d))[:120])
+            print("spark:", repr(spark_strip.get(d))[:120])
         sys.exit(1)
 
 
