@@ -185,6 +185,51 @@ object OpsScale {
     require(candsDirect - candsTwoPhase >= 1900000L,
       "the exact pre-pass must remove the clone class's quadratic candidate mass")
 
+    // ---- repeated-passage dedup under boilerplate load (round 7) ----
+    // plant one identical 60-token boilerplate paragraph at the END of
+    // every 10th doc of the amplified corpus: a cross-doc repeated passage
+    // the doc-level operators above cannot see (the surrounding page
+    // differs per doc). Each planted doc contributes exactly 11 windows
+    // fully inside the paragraph (offsets 0..10 of a 60-token run at
+    // w=50), whose union covers all 60 boiler tokens — so the strip must
+    // excise the paragraph from every planted doc except the canonical
+    // (min doc_id) holder.
+    val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
+    val withBoiler = amped.withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(coalesce(col("text"), lit("")), lit(" " + boiler)))
+          .otherwise(col("text")))
+      .localCheckpoint()
+    val planted = withBoiler.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    val tPw = System.nanoTime()
+    val winRows = Dedup.passageFingerprints(withBoiler, w = 50).count()
+    val pfWall = (System.nanoTime() - tPw) / 1e9
+    val tPh = System.nanoTime()
+    val pHits = Dedup.duplicatePassages(spark, withBoiler, w = 50).localCheckpoint()
+    val hitRows = pHits.count()
+    val hitDocs = pHits.select("doc_id").distinct().count()
+    val phWall = (System.nanoTime() - tPh) / 1e9
+    val tPs = System.nanoTime()
+    val stripped = Dedup.stripDuplicatePassages(spark, withBoiler, w = 50)
+      .localCheckpoint()
+    val stripWall = (System.nanoTime() - tPs) / 1e9
+    val rewritten = stripped
+      .join(withBoiler.select(col("doc_id"), col("text").as("_orig")), "doc_id")
+      .filter(not(col("text") <=> col("_orig"))).count()
+    // boiler60 is the paragraph's unique last token: after the strip only
+    // the canonical holder may still carry it
+    val boilerSurvivors = stripped.filter(col("text").contains("boiler60")).count()
+    println(f"OPSSCALE passages planted=$planted window_rows=$winRows " +
+      f"fp_wall=$pfWall%.1fs dup_rows=$hitRows dup_docs=$hitDocs hits_wall=$phWall%.1fs " +
+      f"strip_rewritten=$rewritten boiler_survivors=$boilerSurvivors " +
+      f"strip_wall=$stripWall%.1fs")
+    require(hitDocs >= planted,
+      s"every planted doc must be flagged: $hitDocs flagged vs $planted planted")
+    require(boilerSurvivors == 1L,
+      s"exactly the canonical holder keeps the paragraph, got $boilerSurvivors")
+    require(rewritten >= planted - 1,
+      s"all non-canonical planted docs must be rewritten: $rewritten")
+
     // ---- CC at adversarial diameter: a 10k-node path graph ----
     // dup-cluster graphs are near-cliques (diameter 2-3); this is the
     // opposite extreme. Pointer jumping must converge in ~log2(10000)+O(1)
