@@ -387,6 +387,19 @@ object SparkEntry {
       Dedup.stripDuplicatePassages(s, t(s, dir, "documents"), w = 25)
         .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
         .orderBy(col("doc_id"))),
+    // the daily-ingest face: batch (even ids) windows matched against the
+    // PERSISTED corpus (odd ids) fingerprint artifact, deduped to one row
+    // per fingerprint before the join (a boilerplate fingerprint with
+    // millions of corpus occurrences joins as one row); the corpus is
+    // never re-fingerprinted
+    "q_passage_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.passageMatchesAgainst(
+        Dedup.passageFingerprints(
+          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0), w = 25),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), w = 25)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
     // oracle-checked end to end: the pigeonhole blocking is complete for
     // hamming <= 3, so the output equals ALL pairs at that distance and the
     // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
@@ -1459,6 +1472,21 @@ object SparkEntry {
         |LEFT JOIN strippedids s ON s.doc_id = d.doc_id
         |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // same replayed fingerprints split odd/even: batch (even) windows
+    // joined against the corpus (odd) side deduped to its canonical
+    // (lexicographic-min) occurrence per fingerprint
+    "q_passage_incr" ->
+      s"""$PassageCtes,
+        |pcanon AS (
+        |  SELECT fp, doc_id AS corpus_id, pos AS corpus_pos FROM (
+        |    SELECT fp, doc_id, pos,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+        |    FROM fps WHERE doc_id % 2 <> 0)
+        |  WHERE rk = 1)
+        |SELECT b.doc_id, b.pos, b.fp, c.corpus_id, c.corpus_pos
+        |FROM fps b JOIN pcanon c ON c.fp = b.fp
+        |WHERE b.doc_id % 2 = 0
+        |ORDER BY b.doc_id, b.pos""".stripMargin,
     // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
     // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)
     "q_fingerprint" ->

@@ -917,9 +917,22 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text", w: Int = 50): DataFrame = {
     val byFp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))
-    val covered = passageFingerprints(df, idCol, textCol, w)
+    val nonCanonical = passageFingerprints(df, idCol, textCol, w)
       .withColumn("_rk", row_number().over(byFp))
       .filter(col("_rk") > 1)
+      .select(col("doc_id"), col("pos"))
+    exciseWindows(df, nonCanonical, idCol, textCol, w)
+  }
+
+  /** Excise the `w`-token windows listed in `windows` (doc_id, pos) from
+    * `df`: covered-index union folded to one sorted int array per
+    * rewritten doc, key-equality join, map-side rebuild from the raw
+    * case-preserving tokens (see [[stripDuplicatePassages]]'s contract:
+    * untouched docs byte-exact, rewritten docs single-space rebuilt).
+    */
+  private def exciseWindows(df: DataFrame, windows: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    val covered = windows
       .select(col("doc_id").as("_strip_id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("_ti"))
       .distinct()
@@ -934,6 +947,51 @@ object Dedup {
             filter(rawToks, (t, i) => not(array_contains(col("_cov"), i))))))
       .drop("_strip_id", "_cov")
   }
+
+  /** One row per DISTINCT fingerprint of a (doc_id, pos, fp) window set,
+    * carrying its canonical (lexicographic-min) occurrence — the compacted
+    * corpus-side artifact for incremental/streaming passage screens: a
+    * boilerplate fingerprint with millions of corpus occurrences joins as
+    * ONE row instead of amplifying every batch match by its corpus
+    * multiplicity.
+    */
+  def canonicalPassageFps(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_c"))
+      .select(col("fp"), col("_c.doc_id").as("corpus_id"), col("_c.pos").as("corpus_pos"))
+
+  /** Passage matches BETWEEN a batch and a corpus fingerprint set — the
+    * daily-ingest face of passage dedup ([[minhashPairsBetween]]'s
+    * analogue): `corpusFps` is a persisted [[passageFingerprints]] output
+    * (plain scalar parquet — doc_id, pos, fp — the passage analogue of
+    * the MinhashIndex banded artifact), so each ingest pays O(batch
+    * tokens) map work plus one key-equality join; the corpus is never
+    * re-fingerprinted. The corpus side is deduped to one row per
+    * fingerprint ([[canonicalPassageFps]]) BEFORE the join, so a
+    * million-occurrence boilerplate fingerprint cannot amplify the match
+    * stream. Returns one row per batch window whose fingerprint the
+    * corpus already holds: (doc_id, pos, fp, corpus_id, corpus_pos),
+    * unsorted.
+    */
+  def passageMatchesAgainst(corpusFps: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 50): DataFrame =
+    passageFingerprints(batch, idCol, textCol, w)
+      .join(canonicalPassageFps(corpusFps), Seq("fp"))
+      .select(col("doc_id"), col("pos"), col("fp"), col("corpus_id"), col("corpus_pos"))
+
+  /** Incremental passage STRIP: excise from `batch` every window already
+    * present in the corpus fingerprint set (every corpus match is
+    * non-canonical by construction — the corpus came first). In-batch
+    * self-duplication is [[stripDuplicatePassages]]' job; a full daily
+    * ingest composes the two (corpus screen, then in-batch), then appends
+    * the surviving batch's [[passageFingerprints]] to the corpus artifact.
+    */
+  def stripPassagesAgainst(corpusFps: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 50): DataFrame =
+    exciseWindows(batch,
+      passageMatchesAgainst(corpusFps, batch, idCol, textCol, w)
+        .select(col("doc_id"), col("pos")),
+      idCol, textCol, w)
 
   /** Exact n-gram Jaccard for a candidate pair set (verification stage). */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {

@@ -437,6 +437,30 @@ object StreamingPipeline {
       .select(col("doc_id"), col("eval_id"), col("ngram"))
   }
 
+  /** Streaming passage screen: every arriving doc's `w`-token windows
+    * matched against a STATIC corpus passage-fingerprint set — the
+    * streaming face of [[graft.ops.Dedup.passageMatchesAgainst]] (flag
+    * boilerplate passages the corpus already holds, as docs land).
+    * Fully STATELESS, the [[contaminationMatches]] shape: the doc side is
+    * a map-side fingerprint projection into a stream-static inner join on
+    * the 8-byte fingerprint — no watermark, no state store. The corpus
+    * side is deduped to one row per fingerprint and materialized ONCE at
+    * query start (stream-static re-evaluates the static plan per
+    * micro-batch; [[graft.ops.Materialize.iterative]]). Emits one row per
+    * matched (doc window, canonical corpus occurrence) in append mode;
+    * distinct rows equal the batch operator's output over the same docs
+    * (StreamingSpec-pinned).
+    */
+  def passageMatches(docs: DataFrame, corpusFps: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 50): DataFrame = {
+    import graft.ops.{Dedup, Materialize}
+    val canon = Materialize.iterative(Dedup.canonicalPassageFps(corpusFps),
+      Materialize.fromEnv)
+    Dedup.passageFingerprints(docs, idCol, textCol, w)
+      .join(canon, Seq("fp"))
+      .select(col("doc_id"), col("pos"), col("fp"), col("corpus_id"), col("corpus_pos"))
+  }
+
   /** Streaming decontamination APPLY — the kept/flagged verdict per
     * arriving doc ([[contaminationMatches]] stops at match events; this
     * closes the loop, mirroring [[dedupApplyStream]]'s verdict surface):

@@ -459,6 +459,31 @@ class OpsSpec extends AnyFunSuite {
     assert(outU(2L) == "p q")
   }
 
+  test("incremental passage screen matches and strips against a corpus fp set") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      (1L, s"c1 c2 $shared"), // canonical occurrence at (1, 2)
+      (3L, s"x $shared") // second corpus occurrence at (3, 1)
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"n1 n2 $shared n3"),
+      (12L, "fresh content with nothing shared at all present here")
+    ).toDF("doc_id", "text")
+    val corpusFps = Dedup.passageFingerprints(corpus, w = 5)
+    // one row per matched batch window, against the corpus CANONICAL
+    // occurrence (min (doc_id, pos)) — never one per corpus occurrence
+    val m = Dedup.passageMatchesAgainst(corpusFps, batch, w = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getInt(4)))
+    assert(m.toSeq == Seq((10L, 2, 1L, 2)))
+    // strip-against: the corpus-held window excised from the batch doc,
+    // the clean doc byte-exact
+    val kept = Dedup.stripPassagesAgainst(corpusFps, batch, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(10L) == "n1 n2 n3")
+    assert(kept(12L) == "fresh content with nothing shared at all present here")
+  }
+
   test("gopher metrics tally exactly and the fold-gate filter agrees") {
     import spark.implicits._
     // 13 words x 10: mean word length 400/130 ~ 3.08, 80 stop hits -> pass

@@ -436,6 +436,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming passage screen reproduces the batch incremental operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Dedup
+    val shared = "alpha beta gamma delta epsilon"
+    val corpus = Seq((1L, s"c1 c2 $shared"), (3L, s"x $shared"))
+      .toDF("doc_id", "text")
+    val corpusFps = Dedup.passageFingerprints(corpus, w = 5)
+    val arrivals = Seq(
+      (10L, s"n1 n2 $shared n3"), // holds the corpus passage
+      (12L, "fresh content with nothing shared at all present here"),
+      (14L, s"$shared trailing words") // second micro-batch, also matches
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.passageMatches(
+        mem.toDS().toDF("doc_id", "text"), corpusFps, w = 5)
+      .writeStream.format("memory").queryName("pscreen").outputMode("append").start()
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, pos, fp, corpus_id, corpus_pos FROM pscreen")
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .toSet
+      val batch = Dedup.passageMatchesAgainst(corpusFps,
+          arrivals.toDF("doc_id", "text"), w = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .toSet
+      assert(streamed == batch && streamed.map(_._1) == Set(10L, 14L),
+        s"streamed screen must equal batch: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming decontamination apply: kept set equals batch decontaminate") {
     import spark.implicits._
     import graft.ops.Dedup

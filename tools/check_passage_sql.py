@@ -56,7 +56,18 @@ def replay(docs):
             )
         else:
             stripped[doc_id] = text or ""
-    return hits, losers, stripped
+    # incremental: even-id (batch) windows whose fp the odd-id (corpus)
+    # side holds, matched to the corpus-side canonical occurrence
+    canon = {}
+    for d, p, f in sorted(rows):
+        if d % 2 != 0:
+            canon.setdefault(f, (d, p))
+    incr = {
+        (d, p, f, canon[f][0], canon[f][1])
+        for d, p, f in rows
+        if d % 2 == 0 and f in canon
+    }
+    return hits, losers, stripped, incr
 
 
 def main():
@@ -66,7 +77,7 @@ def main():
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
     )
     docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
-    py_hits, py_losers, py_strip = replay(docs)
+    py_hits, py_losers, py_strip, py_incr = replay(docs)
     all_ids = {d for d, _ in docs}
     py_kept = all_ids - py_losers
 
@@ -77,6 +88,7 @@ def main():
     }
     sql_kept = {r[0] for r in con.execute(oracle["q_passage_apply"]).fetchall()}
     sql_strip = dict(con.execute(oracle["q_passage_strip"]).fetchall())
+    sql_incr = {tuple(r) for r in con.execute(oracle["q_passage_incr"]).fetchall()}
 
     spark_hits = {
         tuple(r)
@@ -87,17 +99,26 @@ def main():
     spark_kept = set(pd.read_parquet(f"{dump}/q_passage_apply")["doc_id"])
     sdf = pd.read_parquet(f"{dump}/q_passage_strip")
     spark_strip = dict(zip(sdf["doc_id"], sdf["text"]))
+    spark_incr = {
+        tuple(r)
+        for r in pd.read_parquet(f"{dump}/q_passage_incr")[
+            ["doc_id", "pos", "fp", "corpus_id", "corpus_pos"]
+        ].itertuples(index=False)
+    }
 
     ok = (
         py_hits == sql_hits == spark_hits
         and py_kept == sql_kept == spark_kept
         and py_strip == sql_strip == spark_strip
+        and py_incr == sql_incr == spark_incr
     )
     n_rewritten = sum(1 for d, t in docs if py_strip[d] != (t or ""))
     print(
         f"PASSAGE_CHECK sf={sf} hits py={len(py_hits)} sql={len(sql_hits)} "
         f"spark={len(spark_hits)} kept py={len(py_kept)} sql={len(sql_kept)} "
-        f"spark={len(spark_kept)} strip_rewritten={n_rewritten} equal={ok}"
+        f"spark={len(spark_kept)} strip_rewritten={n_rewritten} "
+        f"incr py={len(py_incr)} sql={len(sql_incr)} spark={len(spark_incr)} "
+        f"equal={ok}"
     )
     if not ok:
         print("only_py_hits", sorted(py_hits - sql_hits)[:5])
