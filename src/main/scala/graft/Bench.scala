@@ -496,7 +496,19 @@ object Bench {
          |tokenize+shingle+signature stage is gone from the daily job;
          |and the exact-prepass two-phase dedup removed a planted
          |2000-doc exact clone class's entire 2.0M-pair candidate mass
-         |before banding (candidates 2,231,529 → 230,848).
+         |before banding (candidates 2,231,529 → 230,848). Round-7 run
+         |(same 50k-doc stress corpus): the repeated-passage family under
+         |a planted 60-token boilerplate paragraph in 5,000 docs —
+         |947,622 window rows through the scalar (doc_id, pos, fp)
+         |exchange in 7.1 s, 127,152 duplicated-window rows across 7,331
+         |docs in 8.3 s, and the Lee-et-al strip rewrote 6,196 docs in
+         |8.6 s leaving exactly ONE canonical paragraph holder
+         |(OPSSCALE-pinned). Round-7 single-evaluation tokenization cut
+         |the contamination screen's corpus map stage in half: warm
+         |sf0.1 QTime q_contamination 1.0-1.3 s / q_decontaminate
+         |~1.2 s (r6 driver window: 11.2 s / 5.2 s wall — window noise
+         |plus the double-evaluated split lambda, now plan-pinned to one
+         |evaluation).
          |
          |Single-node vs reference (BASELINE.md): the reference publishes
          |1M+ cells/s on its simple path and 100K+ cells/s on the island path
