@@ -193,6 +193,26 @@ object SparkEntry {
     "q_rep_ngrams" -> ((s, dir) =>
       TextOps.repetitionMetrics(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // PII detection + scrubbing (the Dolma/RefinedWeb masking stage): the
+    // synthetic corpus carries no PII, so every 13th doc is augmented with
+    // a deterministic email + international phone + IPv4 built from
+    // doc_id IDENTICALLY in both engines — the oracle then replays the
+    // same RE2-compatible patterns over the same augmented text, checking
+    // detection counts and the masked output strings end to end (the
+    // other 12/13 of the corpus passes through untouched, so identity
+    // preservation is checked too).
+    "q_pii" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com tel +1 202 555 0"),
+            pmod(col("doc_id"), lit(10)).cast("string"),
+            lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7")))
+          .otherwise(col("text")))
+      TextOps.piiMetrics(aug).orderBy(col("doc_id"))
+    }),
     // the full Gopher rule set (Rae et al. §A1.1) as per-doc exact-integer
     // inputs plus the composed pass verdict: word count/length bounds,
     // symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
@@ -873,6 +893,27 @@ object SparkEntry {
         |      list_filter(string_split(coalesce(text, ''), ' '), x -> length(x) > 0) AS w
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // the identical doc_id-built PII augmentation, the same RE2 patterns
+    // (no lookaround/backrefs — java.util.regex and RE2 agree), counts on
+    // the original text, and the same ordered email->phone->ip mask chain
+    // (DuckDB regexp_replace needs the 'g' flag; Spark's is global)
+    "q_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN
+        |      coalesce(text,'') || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com tel +1 202 555 0' || CAST(doc_id % 10 AS VARCHAR)
+        |        || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(coalesce(text,''), '\+\d{1,3}[ -]?\d{3}[ -]?\d{3}[ -]?\d{2,4}'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(coalesce(text,''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(coalesce(text,''),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,3}[ -]?\d{3}[ -]?\d{3}[ -]?\d{2,4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_scrubbed
+        |FROM aug ORDER BY doc_id""".stripMargin,
     // the Gopher tallies + gate replayed: same \s+ tokenization as the
     // minhash toks CTE, lines on chr(10), '#'/'…' char counts + "..."
     // non-overlapping run count (both engines' replace scans left to

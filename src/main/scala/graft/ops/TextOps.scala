@@ -205,6 +205,50 @@ object TextOps {
     df.filter(passWords && passLines)
   }
 
+  // ---- PII detection + scrubbing (the Dolma/RefinedWeb masking stage) ----
+
+  /** RE2-compatible pattern subset (no lookaround, no backreferences, no
+    * alternation-order traps) so the DuckDB oracle replays the EXACT same
+    * patterns: java.util.regex and RE2 agree on these constructs, and \b
+    * is the ASCII word boundary in both on ASCII text (the same
+    * cross-engine discipline as [[BpeTokenPattern]]).
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-prefix phone form (leading '+' required — keeps the
+    * pattern disjoint from IPv4 dotted quads and bare number runs).
+    */
+  val PhoneRe: String = "\\+\\d{1,3}[ -]?\\d{3}[ -]?\\d{3}[ -]?\\d{2,4}"
+
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Mask emails, then phones, then IPv4s with typed placeholders — the
+    * pre-release PII scrub every published pipeline runs. Order is part of
+    * the contract (placeholders contain no digits, so later passes never
+    * re-match earlier masks). Codegen'd regexp_replace chain — map-side,
+    * no UDF; null text scrubs to the empty string.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(coalesce(text, lit("")), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-doc PII hit counts (on the ORIGINAL text) plus the scrubbed text
+    * — one map-side projection. Counts use regexp_extract_all so the
+    * detection and the masking are the same pattern by construction.
+    */
+  def piiMetrics(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      scrubPii(col(textCol)).as("text_scrubbed"))
+  }
+
   // ---- language ID: stopword-hit heuristic (pure Scala, broadcastable) ----
 
   /** Declared ORDER defines tie-breaking (first max wins) — part of the

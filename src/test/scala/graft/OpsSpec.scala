@@ -484,6 +484,27 @@ class OpsSpec extends AnyFunSuite {
     assert(kept(12L) == "fresh content with nothing shared at all present here")
   }
 
+  test("pii metrics and scrub mask emails, phones, ips exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach jane.doe+spam@sub.example.org or +44 123 456 7890 from 192.168.0.1 ok"),
+      (2L, "two mails a@b.co and c.d@e-f.io here"),
+      (3L, "no pii in this text at all"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "10.0.0.1"), // ip at both string edges (\b at start/end)
+      (6L, "version 1.2.3.4.5 ok") // the regex takes the first dotted quad
+    ).toDF("doc_id", "text")
+    val m = graft.ops.TextOps.piiMetrics(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(m(1L) == (1L, 1L, 1L, "reach <EMAIL> or <PHONE> from <IP> ok"))
+    assert(m(2L) == (2L, 0L, 0L, "two mails <EMAIL> and <EMAIL> here"))
+    assert(m(3L) == (0L, 0L, 0L, "no pii in this text at all"))
+    assert(m(4L) == (0L, 0L, 0L, ""))
+    assert(m(5L) == (0L, 0L, 1L, "<IP>"))
+    assert(m(6L) == (0L, 0L, 1L, "version <IP>.5 ok"))
+  }
+
   test("gopher metrics tally exactly and the fold-gate filter agrees") {
     import spark.implicits._
     // 13 words x 10: mean word length 400/130 ~ 3.08, 80 stop hits -> pass

@@ -253,6 +253,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "one tokenization per doc")
   }
 
+  test("gopher filter: map-side only, one tokenization per gate side") {
+    // the composed gate is two aggregate() folds finishing to booleans,
+    // with the symbol count threaded through the word fold's init — so
+    // even after Catalyst pushes the predicate to the scan, the plan
+    // holds exactly TWO split() calls (one \s+ word fold, one \n line
+    // fold) and no exchange at all
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.ops.TextOps.gopherFilter(docs)
+    df.collect()
+    assert(nodes(df).collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "gopher filter must not shuffle")
+    // count inside the Filter CONDITION (the scan node's DataFilters line
+    // echoes the same predicate text, which would double-count)
+    val conds = nodes(df).collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    assert(conds.nonEmpty, "expected a Filter node")
+    val splits = conds.map(c => "split\\(".r.findAllIn(c).length).sum
+    assert(splits == 2, s"expected one split per fold, found $splits in $conds")
+    assert(df.count() > 0, "non-vacuous: some docs pass")
+  }
+
   test("index-fed IVF search plans no corpus-side assignment expression") {
     import graft.ops.IvfIndex
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -472,6 +472,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gopher filter and pii scrub run unchanged on a stream (stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.TextOps
+    val passDoc = Seq.fill(10)("the cat and dog have fun with that toy to be of note")
+      .mkString(" ")
+    val arrivals = Seq(
+      (1L, passDoc),
+      (2L, "too short to pass"),
+      (3L, s"$passDoc reach me at a@b.co from 10.0.0.1"))
+    val mem = MemoryStream[(Long, String)]
+    val q = TextOps.piiMetrics(
+        TextOps.gopherFilter(mem.toDS().toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("gpii").outputMode("append").start()
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, n_emails, n_ips FROM gpii")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = TextOps.piiMetrics(
+          TextOps.gopherFilter(arrivals.toDF("doc_id", "text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      // doc 2 fails the word floor; docs 1 and 3 pass, doc 3 carries pii
+      assert(streamed.map(_._1) == Set(1L, 3L))
+      assert(streamed == batch,
+        s"stateless ops must be batch-identical on a stream: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming decontamination apply: kept set equals batch decontaminate") {
     import spark.implicits._
     import graft.ops.Dedup
