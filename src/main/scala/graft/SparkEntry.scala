@@ -19,6 +19,30 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic messy-URL synthesizer for the URL-canonicalization
+    * surfaces (the documents table has no URL column): 100 URL classes
+    * keyed by doc_id % 100, each rendered in one of five equivalent messy
+    * variants chosen by doc_id div 100 — scheme/host case, default port,
+    * tracking params, trailing slash + fragment — built with identical
+    * integer/concat arithmetic in both engines so the oracle constructs
+    * the same strings.
+    */
+  private def synthUrls(docs: DataFrame): DataFrame = {
+    val r = pmod(col("doc_id"), lit(100)).cast("string")
+    val v = pmod(expr("doc_id div 100"), lit(5))
+    val base = concat(lit("https://www.example"), r, lit(".com/articles/item"), r)
+    docs.select(col("doc_id"),
+      when(v === 0, base)
+        .when(v === 1, concat(lit("HTTPS://WWW.EXAMPLE"), r,
+          lit(".COM/articles/item"), r))
+        .when(v === 2, concat(lit("https://www.example"), r,
+          lit(".com:443/articles/item"), r))
+        .when(v === 3, concat(base, lit("?utm_source=feed&gclid=g"),
+          col("doc_id").cast("string")))
+        .otherwise(concat(base, lit("/#sec"), col("doc_id").cast("string")))
+        .as("url"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full extraction pipeline over the synthesized page corpus.
     */
@@ -193,6 +217,25 @@ object SparkEntry {
     "q_rep_ngrams" -> ((s, dir) =>
       TextOps.repetitionMetrics(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // URL canonicalization: five messy-but-equivalent renderings of each
+    // URL class (case, default port, tracking params, trailing slash +
+    // fragment) must normalize to ONE canonical form — the oracle replays
+    // every regexp/param-filter step over the identically synthesized URLs
+    "q_url_canon" -> ((s, dir) =>
+      synthUrls(t(s, dir, "documents"))
+        .select(col("doc_id"), col("url"),
+          TextOps.canonicalUrl(col("url")).as("canonical_url"))
+        .orderBy(col("doc_id"))),
+    // URL-level dedup (the cheapest dedup tier, upstream of content
+    // dedup): keepFirst keyed by the canonical URL — the five variants of
+    // each class collapse to the min-id holder (100 survivors of 500)
+    "q_url_dedup" -> ((s, dir) => {
+      val withCanon = synthUrls(t(s, dir, "documents"))
+        .withColumn("curl", TextOps.canonicalUrl(col("url")))
+      Dedup.keepFirst(withCanon, idCol = "doc_id", textCol = "curl")
+        .select(col("doc_id"), col("curl"))
+        .orderBy(col("doc_id"))
+    }),
     // PII detection + scrubbing (the Dolma/RefinedWeb masking stage): the
     // synthetic corpus carries no PII, so every 13th doc is augmented with
     // a deterministic email + international phone + IPv4 built from
@@ -733,6 +776,45 @@ object SparkEntry {
       |        (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS m
       |    FROM win))""".stripMargin
 
+  /** Shared URL-canonicalization CTEs: the synthUrls construction (same
+    * integer/concat arithmetic) and every canonicalUrl step — fragment
+    * strip, scheme/host lowering, default-port strip, tracking-param
+    * filter, trailing-slash strip — replayed with the same RE2 patterns.
+    * Ends in `ucanon` (doc_id, url, canonical_url). Shared by
+    * q_url_canon and q_url_dedup.
+    */
+  private val UrlCtes: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    CASE (doc_id // 100) % 5
+      |      WHEN 0 THEN 'https://www.example' || CAST(doc_id % 100 AS VARCHAR) || '.com/articles/item' || CAST(doc_id % 100 AS VARCHAR)
+      |      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE' || CAST(doc_id % 100 AS VARCHAR) || '.COM/articles/item' || CAST(doc_id % 100 AS VARCHAR)
+      |      WHEN 2 THEN 'https://www.example' || CAST(doc_id % 100 AS VARCHAR) || '.com:443/articles/item' || CAST(doc_id % 100 AS VARCHAR)
+      |      WHEN 3 THEN 'https://www.example' || CAST(doc_id % 100 AS VARCHAR) || '.com/articles/item' || CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed&gclid=g' || CAST(doc_id AS VARCHAR)
+      |      ELSE 'https://www.example' || CAST(doc_id % 100 AS VARCHAR) || '.com/articles/item' || CAST(doc_id % 100 AS VARCHAR) || '/#sec' || CAST(doc_id AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |ucanon AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN scheme = '' THEN u
+      |      ELSE scheme || '://' || host || upath ||
+      |        CASE WHEN len(qstr) > 0 THEN '?' || qstr ELSE '' END
+      |    END AS canonical_url
+      |  FROM (
+      |    SELECT doc_id, url, u, scheme,
+      |      CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |           WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |           ELSE hostport END AS host,
+      |      regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') AS upath,
+      |      array_to_string(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+      |        p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)')), '&') AS qstr
+      |    FROM (
+      |      SELECT doc_id, url, u,
+      |        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS pathq
+      |      FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM urls))))""".stripMargin
+
   /** Recursive-CTE connected-components closure over a pair CTE (id_a,
     * id_b): nodes, symmetric edges, reachability. ONE definition shared by
     * all four cluster/apply oracles (minhash + cosine) — closure-semantics
@@ -892,6 +974,17 @@ object SparkEntry {
         |    SELECT doc_id,
         |      list_filter(string_split(coalesce(text, ''), ' '), x -> length(x) > 0) AS w
         |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q_url_canon" ->
+      s"""$UrlCtes
+        |SELECT doc_id, url, canonical_url FROM ucanon ORDER BY doc_id""".stripMargin,
+    // keepFirst keyed by the canonical URL (the q_dedup_keep window shape)
+    "q_url_dedup" ->
+      s"""$UrlCtes
+        |SELECT doc_id, curl FROM (
+        |  SELECT doc_id, canonical_url AS curl,
+        |    min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id
+        |  FROM ucanon) WHERE doc_id = keep_id
         |ORDER BY doc_id""".stripMargin,
     // the identical doc_id-built PII augmentation, the same RE2 patterns
     // (no lookaround/backrefs — java.util.regex and RE2 agree), counts on

@@ -249,6 +249,43 @@ object TextOps {
       scrubPii(col(textCol)).as("text_scrubbed"))
   }
 
+  // ---- URL canonicalization (crawl-pipeline URL dedup) ----
+
+  /** Canonical URL form — the normalization a crawl pipeline applies
+    * BEFORE URL-level dedup (the cheapest dedup tier: the same page
+    * fetched as `HTTPS://Host:443/x/?utm_source=…#frag` and
+    * `https://host/x` must collide). The contract, each rule a
+    * codegen'd regexp/HOF step (RE2-compatible patterns — the oracle
+    * replays them verbatim):
+    *  1. fragment stripped;
+    *  2. scheme and host:port lowercased (path/query case preserved —
+    *     paths are case-sensitive);
+    *  3. default ports stripped (`:80` for http, `:443` for https);
+    *  4. tracking parameters removed (`utm_*`, `gclid`, `fbclid`),
+    *     other parameters preserved in order, `?` dropped when none
+    *     remain;
+    *  5. a single trailing slash dropped (the root path `/` normalizes
+    *     to the bare authority).
+    * Non-`scheme://` strings pass through fragment-stripped; null → ''.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = regexp_replace(coalesce(url, lit("")), "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val pathq = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"))
+    val qstr = concat_ws("&", kept)
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(length(qstr) > 0, concat(lit("?"), qstr)).otherwise(lit(""))))
+  }
+
   // ---- language ID: stopword-hit heuristic (pure Scala, broadcastable) ----
 
   /** Declared ORDER defines tie-breaking (first max wins) — part of the

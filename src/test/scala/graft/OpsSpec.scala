@@ -484,6 +484,32 @@ class OpsSpec extends AnyFunSuite {
     assert(kept(12L) == "fresh content with nothing shared at all present here")
   }
 
+  test("url canonicalization: case, ports, tracking params, slash, fragment") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme/host lowered, default https port stripped, fragment gone,
+      // trailing slash gone; PATH CASE PRESERVED
+      (1L, "HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=a&id=7&fbclid=x#frag"),
+      (2L, "http://host.org:80/"),
+      (3L, "http://host.org:8080/x"), // non-default port kept
+      (4L, "https://a.com/x?id=1&ref=2&utm_campaign=c&gclid"), // order kept, bare gclid dropped
+      (5L, "https://a.com/x?utm_source=only"), // '?' dropped when nothing remains
+      (6L, "not a url at all #tail"), // passthrough minus fragment
+      (7L, null.asInstanceOf[String]),
+      (8L, "https://a.com/utm_source/x") // utm in the PATH is untouched
+    ).toDF("doc_id", "url")
+    val got = cases.select(col("doc_id"),
+        graft.ops.TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = Seq(1L -> "https://www.example.com/Path/Sub?id=7",
+      2L -> "http://host.org", 3L -> "http://host.org:8080/x",
+      4L -> "https://a.com/x?id=1&ref=2", 5L -> "https://a.com/x",
+      6L -> "not a url at all ", 7L -> "", 8L -> "https://a.com/utm_source/x").toMap
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got '${got(id)}', want '$e'")
+    }
+  }
+
   test("pii metrics and scrub mask emails, phones, ips exactly") {
     import spark.implicits._
     val docs = Seq(
