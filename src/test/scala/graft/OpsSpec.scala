@@ -510,6 +510,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalUrl and scrubPii are idempotent and total on hostile strings") {
+    import spark.implicits._
+    // canonical forms are fixpoints (re-canonicalizing/re-scrubbing is the
+    // identity) and neither op may throw on arbitrary unicode — the
+    // operators run over raw crawl text. Seeded pseudorandom strings over
+    // a hostile alphabet (separators, regex metachars, '@', dots, digits,
+    // schemes, surrogate-free unicode) plus targeted edge strings.
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab:/?#&=.@+-%_ \t\n…•１２ＡαИ中 <>()[]{}|\\^$*"
+    val rand = (0 until 300).map { i =>
+      (i.toLong, (0 until rng.nextInt(60)).map(_ =>
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    }
+    val edges = Seq(
+      (1000L, "https://"), (1001L, "://x"), (1002L, "a@b@c@d.com.com"),
+      (1003L, "+1 2+3 4+5 6"), (1004L, "1.2.3.4.5.6.7.8"),
+      (1005L, "https://h.com/?"), (1006L, "https://h.com?utm_"),
+      (1007L, "HTTP://U:P@H.COM:80/#a#b"), (1008L, ""),
+      (1009L, null.asInstanceOf[String]))
+    val df = (rand ++ edges).toDF("id", "s")
+    val out = df.select(col("id"),
+        graft.ops.TextOps.canonicalUrl(col("s")).as("c1"),
+        graft.ops.TextOps.scrubPii(col("s")).as("p1"))
+      .select(col("id"), col("c1"), col("p1"),
+        graft.ops.TextOps.canonicalUrl(col("c1")).as("c2"),
+        graft.ops.TextOps.scrubPii(col("p1")).as("p2"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(3),
+        s"canonicalUrl not idempotent on id=${r.getLong(0)}: " +
+          s"'${r.getString(1)}' -> '${r.getString(3)}'")
+      assert(r.getString(2) == r.getString(4),
+        s"scrubPii not idempotent on id=${r.getLong(0)}")
+    }
+    // gopher metrics are total on the same hostile inputs
+    assert(graft.ops.TextOps.gopherMetrics(df, idCol = "id", textCol = "s")
+      .collect().length == out.length)
+  }
+
   test("pii metrics and scrub mask emails, phones, ips exactly") {
     import spark.implicits._
     val docs = Seq(
