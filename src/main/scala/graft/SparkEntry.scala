@@ -217,6 +217,14 @@ object SparkEntry {
     "q_rep_ngrams" -> ((s, dir) =>
       TextOps.repetitionMetrics(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // corpus-wide n-gram statistics (boilerplate discovery): top 50 word
+    // 3-grams by occurrence count with document frequency — total order
+    // (count desc, ngram asc) so the rank-50 boundary is deterministic in
+    // both engines; the aggregate is the map-side-combine showcase
+    "q_top_ngrams" -> ((s, dir) =>
+      TextOps.ngramStats(t(s, dir, "documents"), n = 3)
+        .orderBy(col("n_occurrences").desc, col("ngram"))
+        .limit(50)),
     // URL canonicalization: five messy-but-equivalent renderings of each
     // URL class (case, default port, tracking params, trailing slash +
     // fragment) must normalize to ONE canonical form — the oracle replays
@@ -975,6 +983,20 @@ object SparkEntry {
         |      list_filter(string_split(coalesce(text, ''), ' '), x -> length(x) > 0) AS w
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // the minhash toks tokenization, strict 3-gram windows, count +
+    // distinct-doc frequency, deterministic (count desc, ngram) top-50
+    "q_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |    j -> array_to_string(tk[j:j+2], ' '))) AS ngram
+        |  FROM toks WHERE len(tk) >= 3)
+        |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM ng GROUP BY 1
+        |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
     "q_url_canon" ->
       s"""$UrlCtes
         |SELECT doc_id, url, canonical_url FROM ucanon ORDER BY doc_id""".stripMargin,

@@ -205,6 +205,26 @@ object TextOps {
     df.filter(passWords && passLines)
   }
 
+  /** Corpus-wide n-gram statistics: occurrence count and document
+    * frequency per distinct word n-gram (the standard corpus-analysis /
+    * boilerplate-discovery rollup — the most frequent n-grams of a crawl
+    * ARE its boilerplate, feeding the passage-dedup and contamination
+    * screens' parameter choices). Same strict tokenization as
+    * [[Dedup.wordNgrams]].
+    *
+    * Scale shape: the n-gram aggregate is the classic map-side-combine
+    * case — partial counts collapse the (huge) per-token stream before
+    * the one hash exchange; the document frequency rides the same
+    * aggregate as a two-phase count-distinct. Consumers take top-k via
+    * sort-limit (TakeOrdered — no global sort materialization).
+    */
+  def ngramStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    Dedup.wordNgrams(df, idCol, textCol, n, "doc_id")
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   // ---- PII detection + scrubbing (the Dolma/RefinedWeb masking stage) ----
 
   /** RE2-compatible pattern subset (no lookaround, no backreferences, no
