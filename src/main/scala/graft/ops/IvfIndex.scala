@@ -1,12 +1,6 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
-import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** A prebuilt IVF (inverted-file) ANN index: the trained centroid matrix
   * plus the assigned corpus — (neighbor_id long, cvec array<float>,
@@ -28,14 +22,15 @@ final case class IvfIndex(
 }
 
 /** Parquet persistence for [[IvfIndex]] with the same commit discipline as
-  * [[MinhashIndex]]: data directories land first, the `index.json`
-  * manifest ATOMIC_MOVE is the commit point, and assigned-segment appends
-  * are idempotent under the segment name. Centroids are stored as parquet
-  * rows (cell, vec array<double>) — bit-exact doubles, no text round-trip.
+  * [[MinhashIndex]] (the shared [[SegmentedManifest]] contract): data
+  * directories land first, the `index.json` manifest ATOMIC_MOVE is the
+  * commit point, assigned-segment appends are idempotent under the segment
+  * name (absorbed names keep replays no-ops across [[compact]]), and
+  * [[vacuum]] reclaims non-live data. Centroids are stored as parquet rows
+  * (cell, vec array<double>) — bit-exact doubles, no text round-trip.
+  * SINGLE WRITER per directory.
   */
 object IvfIndex {
-
-  private val mapper = new ObjectMapper()
 
   /** `absorbed` = segment names rewritten into a compacted segment; kept on
     * record so [[appendSegment]]'s idempotency survives [[compact]] (same
@@ -45,35 +40,15 @@ object IvfIndex {
     def committed: Set[String] = segments.toSet ++ absorbed
   }
 
-  private def manifestPath(dir: String) = Paths.get(dir, "index.json")
-
   def readMeta(dir: String): Meta = {
-    val p = manifestPath(dir)
-    require(Files.exists(p), s"no IvfIndex manifest at $p")
-    val root = mapper.readTree(Files.readAllBytes(p))
-    val absorbed = // absent in pre-round-7 manifests
-      if (root.has("absorbed")) root.get("absorbed").elements().asScala.map(_.asText()).toSeq
-      else Seq.empty
-    Meta(root.get("n_list").asInt(),
-      root.get("segments").elements().asScala.map(_.asText()).toSeq,
-      absorbed)
+    val root = SegmentedManifest.readTree(dir, "IvfIndex")
+    val (segments, absorbed) = SegmentedManifest.readSegments(root)
+    Meta(root.get("n_list").asInt(), segments, absorbed)
   }
 
   private def commitManifest(dir: String, nList: Int, segments: Seq[String],
-      absorbed: Seq[String]): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val root = mapper.createObjectNode()
-    root.put("format", 1)
-    root.put("n_list", nList)
-    val arr = root.putArray("segments")
-    segments.foreach(arr.add)
-    val abs = root.putArray("absorbed")
-    absorbed.foreach(abs.add)
-    val tmp = Paths.get(dir, ".index.json.tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+      absorbed: Seq[String]): Unit =
+    SegmentedManifest.commit(dir, segments, absorbed)(_.put("n_list", nList))
 
   private def writeAssigned(assigned: DataFrame, dir: String, segment: String): Unit =
     assigned.select("neighbor_id", "cvec", "cell").write.mode("overwrite")
@@ -100,16 +75,10 @@ object IvfIndex {
     * must be assigned against THIS index's centroids
     * ([[Similarity.assignVectors]] on a loaded index) — cell ids from
     * different centroids are not comparable, which is also why centroids
-    * are immutable here.
-    *
-    * SINGLE WRITER: the manifest update is an unguarded read-modify-write
-    * (same contract as [[MinhashIndex.appendSegment]]) — all mutators of
-    * one index directory must be serialized by the caller.
+    * are immutable here. Single-writer ([[SegmentedManifest]]).
     */
   def appendSegment(delta: DataFrame, dir: String, segment: String): Boolean = {
-    require(segment.nonEmpty && segment.forall(c =>
-        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-      s"segment name '$segment' must be a plain file-name token")
+    SegmentedManifest.checkSegmentName(segment)
     val m = readMeta(dir)
     if (m.committed.contains(segment)) return false
     writeAssigned(delta, dir, segment)
@@ -128,8 +97,7 @@ object IvfIndex {
   def compact(spark: SparkSession, dir: String): Option[String] = {
     val m = readMeta(dir)
     if (m.segments.size <= 1) return None
-    val taken = m.committed
-    val name = Iterator.from(0).map(i => s"compacted_$i").find(!taken.contains(_)).get
+    val name = SegmentedManifest.freshCompactName(m.committed)
     val live = spark.read.parquet(m.segments.map(s => s"$dir/assigned/$s"): _*)
     live.write.mode("overwrite").parquet(s"$dir/assigned/$name")
     commitManifest(dir, m.nList, Seq(name), (m.absorbed ++ m.segments).distinct)
@@ -141,27 +109,8 @@ object IvfIndex {
     * Never touches live segments, the centroids, or the manifest. Returns
     * the deleted directory names. Single-writer, like [[appendSegment]].
     */
-  def vacuum(dir: String): Seq[String] = {
-    val live = readMeta(dir).segments.toSet
-    val p = Paths.get(dir, "assigned")
-    if (!Files.isDirectory(p)) return Seq.empty
-    val ds = Files.list(p)
-    val children = try ds.iterator().asScala.toVector finally ds.close()
-    children.filter(c => Files.isDirectory(c) && !live.contains(c.getFileName.toString))
-      .map { c =>
-        deleteRecursively(c)
-        s"assigned/${c.getFileName}"
-      }
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val ds = Files.list(p)
-      val children = try ds.iterator().asScala.toVector finally ds.close()
-      children.foreach(deleteRecursively)
-    }
-    Files.deleteIfExists(p)
-  }
+  def vacuum(dir: String): Seq[String] =
+    SegmentedManifest.vacuum(dir, Seq("assigned"), readMeta(dir).segments.toSet)
 
   /** Load the committed index: centroids into the driver-side matrix (it
     * rides search plans as a codegen reference object), assigned as a

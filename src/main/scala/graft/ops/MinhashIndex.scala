@@ -1,11 +1,5 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
-import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A MinHash-LSH corpus index: the signature set plus the banded candidate
@@ -47,10 +41,12 @@ final case class MinhashIndex(
   * Loaded frames are plain parquet scans: stable storage IS the
   * materialization, so multi-branch consumers re-read columnar local data
   * instead of holding executor-local checkpoint blocks.
+  *
+  * Commit/idempotency/maintenance mechanics are the shared
+  * [[SegmentedManifest]] contract (absorbed-name record, compact, vacuum,
+  * SINGLE WRITER per directory).
   */
 object MinhashIndex {
-
-  private val mapper = new ObjectMapper()
 
   /** `segments` hold the LIVE data; `absorbed` are segment NAMES whose rows
     * were rewritten into a compacted segment ([[compact]]) — their data
@@ -66,43 +62,20 @@ object MinhashIndex {
     def committed: Set[String] = segments.toSet ++ absorbed
   }
 
-  private def manifestPath(dir: String) = Paths.get(dir, "index.json")
-
-  private def checkSegmentName(segment: String): Unit =
-    require(segment.nonEmpty && segment.forall(c =>
-        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-      s"segment name '$segment' must be a plain file-name token")
-
   def readMeta(dir: String): Meta = {
-    val p = manifestPath(dir)
-    require(Files.exists(p), s"no MinhashIndex manifest at $p")
-    val root = mapper.readTree(Files.readAllBytes(p))
-    val absorbed = // absent in pre-round-7 manifests
-      if (root.has("absorbed")) root.get("absorbed").elements().asScala.map(_.asText()).toSeq
-      else Seq.empty
+    val root = SegmentedManifest.readTree(dir, "MinhashIndex")
+    val (segments, absorbed) = SegmentedManifest.readSegments(root)
     Meta(root.get("k").asInt(), root.get("bands").asInt(),
-      root.get("shingle_n").asInt(),
-      root.get("segments").elements().asScala.map(_.asText()).toSeq,
-      absorbed)
+      root.get("shingle_n").asInt(), segments, absorbed)
   }
 
   private def commitManifest(dir: String, k: Int, bands: Int, shingleN: Int,
-      segments: Seq[String], absorbed: Seq[String]): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val root = mapper.createObjectNode()
-    root.put("format", 1)
-    root.put("k", k)
-    root.put("bands", bands)
-    root.put("shingle_n", shingleN)
-    val arr = root.putArray("segments")
-    segments.foreach(arr.add)
-    val abs = root.putArray("absorbed")
-    absorbed.foreach(abs.add)
-    val tmp = Paths.get(dir, s".index.json.tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+      segments: Seq[String], absorbed: Seq[String]): Unit =
+    SegmentedManifest.commit(dir, segments, absorbed) { root =>
+      root.put("k", k)
+      root.put("bands", bands)
+      root.put("shingle_n", shingleN)
+    }
 
   private def writeSegmentFiles(idx: MinhashIndex, dir: String, segment: String): Unit = {
     idx.sigs.select("id", "sig").write.mode("overwrite")
@@ -127,18 +100,11 @@ object MinhashIndex {
     * committed (live OR compacted away — see [[Meta.absorbed]]) — the
     * restart contract for streaming ingest, whose segment name is the
     * micro-batch id. Fails loudly on a parameter mismatch: signatures from
-    * a different (k, bands, shingleN) are not comparable.
-    *
-    * SINGLE WRITER: the manifest update is a read-modify-write with the
-    * ATOMIC_MOVE as its only guard — concurrent appenders (or an append
-    * racing [[compact]]/[[vacuum]]) can each commit a manifest missing the
-    * other's segment, silently orphaning committed data. All mutators of
-    * one index directory must be serialized by the caller; the streaming
-    * ingest satisfies this by construction (foreachBatch runs micro-batches
-    * serially).
+    * a different (k, bands, shingleN) are not comparable. Single-writer
+    * ([[SegmentedManifest]]).
     */
   def appendSegment(delta: MinhashIndex, dir: String, segment: String): Boolean = {
-    checkSegmentName(segment)
+    SegmentedManifest.checkSegmentName(segment)
     val m = readMeta(dir)
     require(m.k == delta.k && m.bands == delta.bands && m.shingleN == delta.shingleN,
       s"index at $dir has (k=${m.k}, bands=${m.bands}, shingleN=${m.shingleN}); " +
@@ -169,8 +135,7 @@ object MinhashIndex {
   def compact(spark: SparkSession, dir: String): Option[String] = {
     val m = readMeta(dir)
     if (m.segments.size <= 1) return None
-    val taken = m.committed
-    val name = Iterator.from(0).map(i => s"compacted_$i").find(!taken.contains(_)).get
+    val name = SegmentedManifest.freshCompactName(m.committed)
     val live = load(spark, dir)
     // plain rewrite of the live scans: many tiny per-ingest files coalesce
     // into the writer's task-sized parquet files in one pass per side
@@ -189,32 +154,8 @@ object MinhashIndex {
     * must not run concurrently with an in-flight append (whose segment is
     * not yet committed and would be swept).
     */
-  def vacuum(dir: String): Seq[String] = {
-    val live = readMeta(dir).segments.toSet
-    val deleted = Seq.newBuilder[String]
-    for (sub <- Seq("sigs", "banded")) {
-      val p = Paths.get(dir, sub)
-      if (Files.isDirectory(p)) {
-        val ds = Files.list(p)
-        val children = try ds.iterator().asScala.toVector finally ds.close()
-        children.filter(c => Files.isDirectory(c) && !live.contains(c.getFileName.toString))
-          .foreach { c =>
-            deleteRecursively(c)
-            deleted += s"$sub/${c.getFileName}"
-          }
-      }
-    }
-    deleted.result()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val ds = Files.list(p)
-      val children = try ds.iterator().asScala.toVector finally ds.close()
-      children.foreach(deleteRecursively)
-    }
-    Files.deleteIfExists(p)
-  }
+  def vacuum(dir: String): Seq[String] =
+    SegmentedManifest.vacuum(dir, Seq("sigs", "banded"), readMeta(dir).segments.toSet)
 
   /** Load the committed index. The returned frames are parquet scans of the
     * manifest-listed segments only (an uncommitted crash leftover is never

@@ -461,6 +461,70 @@ object StreamingPipeline {
       .select(col("doc_id"), col("pos"), col("fp"), col("corpus_id"), col("corpus_pos"))
   }
 
+  /** One passage-ingest micro-batch against the PERSISTED passage index —
+    * the transform analogue of [[ingestMicroBatch]]: the batch is stripped
+    * of every window the corpus already holds
+    * ([[graft.ops.Dedup.stripPassagesAgainst]]), then self-stripped within
+    * the batch ([[graft.ops.Dedup.stripDuplicatePassages]]); the rewritten
+    * rows land in `outDir/rewritten/<segment>`, and the REWRITTEN docs'
+    * fingerprints (what the corpus now actually holds) append to the index
+    * — so later arrivals dedup against every passage kept before them.
+    *
+    * Idempotent under `segment` with the index append as the COMMIT POINT
+    * (the [[ingestMicroBatch]] contract): a replay before the append
+    * recomputes identically (the pipeline is deterministic given the index
+    * state); a replay after it is a no-op — recomputing would excise the
+    * batch against its OWN appended fingerprints, whose canonical
+    * occurrences now live in the index. `maxSegments > 0` bounds segment
+    * growth via post-commit compact+vacuum. Single-writer per index dir.
+    */
+  def ingestPassageMicroBatch(batch: DataFrame, indexDir: String, outDir: String,
+      segment: String, idCol: String = "doc_id", textCol: String = "text",
+      maxSegments: Int = 0): Boolean = {
+    import graft.ops.{Dedup, PassageIndex}
+    if (PassageIndex.readMeta(indexDir).committed.contains(segment)) return false
+    val spark = batch.sparkSession
+    val idx = PassageIndex.load(spark, indexDir)
+    val rewritten = Dedup.stripDuplicatePassages(spark,
+      Dedup.stripPassagesAgainst(idx.fps, batch, idCol, textCol, idx.w),
+      idCol, textCol, idx.w)
+    rewritten.write.mode("overwrite").parquet(s"$outDir/rewritten/$segment")
+    val delta = Dedup.passageFingerprints(
+      spark.read.parquet(s"$outDir/rewritten/$segment"), idCol, textCol, idx.w)
+    PassageIndex.appendSegment(graft.ops.PassageIndex(delta, idx.w),
+      indexDir, segment)
+    if (maxSegments > 0 && PassageIndex.readMeta(indexDir).segments.size > maxSegments) {
+      PassageIndex.compact(spark, indexDir)
+      PassageIndex.vacuum(indexDir)
+    }
+    true
+  }
+
+  /** Streaming passage APPLY — each arriving doc rewritten with every
+    * already-seen passage excised, the index growing with what survives:
+    * the streaming face of the Lee-et-al strip, mirroring
+    * [[dedupApplyStream]] (no Spark state store — the persisted
+    * [[graft.ops.PassageIndex]] IS the state, shared with the batch
+    * operators; micro-batch = ingest unit; earlier-kept passages win
+    * across batches, component-canonical within one).
+    *
+    * `indexDir` must hold an initialized index
+    * ([[graft.ops.PassageIndex.write]] of the corpus fingerprints — or of
+    * an empty frame to start cold).
+    */
+  def passageApplyStream(docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
+      availableNow: Boolean = false, maxSegments: Int = 16): StreamingQuery = {
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestPassageMicroBatch(b.toDF(), indexDir, outDir, s"batch_$batchId",
+          idCol, textCol, maxSegments)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Streaming decontamination APPLY — the kept/flagged verdict per
     * arriving doc ([[contaminationMatches]] stops at match events; this
     * closes the loop, mirroring [[dedupApplyStream]]'s verdict surface):

@@ -459,6 +459,42 @@ class OpsSpec extends AnyFunSuite {
     assert(outU(2L) == "p q")
   }
 
+  test("passage index: round-trip, idempotent append, compaction, param guard") {
+    import spark.implicits._
+    import graft.ops.PassageIndex
+    val a = Seq((1L, "one two three four five six seven")).toDF("doc_id", "text")
+    val b = Seq((2L, "eight nine ten eleven twelve thirteen")).toDF("doc_id", "text")
+    def rows(idx: PassageIndex) =
+      idx.fps.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("pfp_idx").toString
+    PassageIndex.write(PassageIndex(Dedup.passageFingerprints(a, w = 5), 5), dir)
+    val loaded = PassageIndex.load(spark, dir)
+    assert(loaded.w == 5 && rows(loaded) == rows(
+      PassageIndex(Dedup.passageFingerprints(a, w = 5), 5)))
+    val delta = PassageIndex(Dedup.passageFingerprints(b, w = 5), 5)
+    assert(PassageIndex.appendSegment(delta, dir, "day_1"))
+    assert(!PassageIndex.appendSegment(delta, dir, "day_1"), "replay = no-op")
+    intercept[IllegalArgumentException] {
+      PassageIndex.appendSegment(
+        PassageIndex(Dedup.passageFingerprints(b, w = 4), 4), dir, "day_2")
+    }
+    val before = rows(PassageIndex.load(spark, dir))
+    assert(before == rows(PassageIndex(
+      Dedup.passageFingerprints(a.union(b), w = 5), 5)))
+    // compact: one live segment, identical rows, replays stay no-ops,
+    // vacuum reclaims exactly the absorbed dirs (shared-machinery pins —
+    // the exhaustive crash/orphan cases live in the MinhashIndex test)
+    val seg = PassageIndex.compact(spark, dir)
+    assert(seg.isDefined)
+    val m = PassageIndex.readMeta(dir)
+    assert(m.segments == Seq(seg.get) && m.absorbed.toSet == Set("base", "day_1"))
+    assert(rows(PassageIndex.load(spark, dir)) == before)
+    assert(!PassageIndex.appendSegment(delta, dir, "day_1"),
+      "replay after compaction must stay a no-op")
+    assert(PassageIndex.vacuum(dir).toSet == Set("fps/base", "fps/day_1"))
+    assert(rows(PassageIndex.load(spark, dir)) == before)
+  }
+
   test("incremental passage screen matches and strips against a corpus fp set") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon"

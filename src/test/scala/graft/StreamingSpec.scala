@@ -503,6 +503,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming passage apply folds micro-batches over the growing index") {
+    import spark.implicits._
+    import graft.ops.{Dedup, PassageIndex}
+    val corpus = Seq((1L, "c1 c2 alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "n1 n2 alpha beta gamma delta epsilon p1 p2 p3 p4 p5"), // corpus passage + a NEW one
+      (12L, "q1 alpha beta gamma delta epsilon")) // corpus passage only
+    val b2 = Seq(
+      (20L, "z1 p1 p2 p3 p4 p5 z2"), // matches batch-1's SURVIVING passage
+      (22L, "fresh words entirely unlike anything else here")) // untouched
+    val indexDir = Files.createTempDirectory("pas_idx").toString
+    val inDir = Files.createTempDirectory("pas_in").toString
+    val outDir = Files.createTempDirectory("pas_out").toString
+    val ckpt = Files.createTempDirectory("pas_ckpt").toString
+    PassageIndex.write(
+      PassageIndex(Dedup.passageFingerprints(corpus, w = 5), 5), indexDir)
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100)
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    val src = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingPipeline.passageApplyStream(src, indexDir, outDir, ckpt,
+      availableNow = true)
+    q.awaitTermination(120000)
+    def seg(name: String) = spark.read.parquet(s"$outDir/rewritten/$name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch 0: the corpus-held passage excised from BOTH docs; doc 10's
+    // fresh p-run survives and its fingerprints join the index
+    assert(seg("batch_0") == Map(
+      10L -> "n1 n2 p1 p2 p3 p4 p5", 12L -> "q1"))
+    // batch 1: the p-run is now corpus-held (earlier-kept wins across
+    // micro-batches) — excised from doc 20; clean doc byte-exact
+    assert(seg("batch_1") == Map(
+      20L -> "z1 z2", 22L -> "fresh words entirely unlike anything else here"))
+    // the fold replay with the batch operators over the observed segments
+    var grownFps = Dedup.passageFingerprints(corpus, w = 5)
+    for ((rows, name) <- Seq(b1 -> "batch_0", b2 -> "batch_1")) {
+      val expect = Dedup.stripDuplicatePassages(spark,
+          Dedup.stripPassagesAgainst(grownFps, rows.toDF("doc_id", "text"), w = 5),
+          w = 5)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(seg(name) == expect, s"$name must equal the batch composition")
+      grownFps = grownFps.union(Dedup.passageFingerprints(
+        expect.toSeq.toDF("doc_id", "text"), w = 5))
+    }
+    // the grown index holds corpus + rewritten fps exactly, and a segment
+    // replay after the commit point is a no-op
+    val idxRows = PassageIndex.load(spark, indexDir).fps
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expectRows = grownFps
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(idxRows == expectRows)
+    assert(!StreamingPipeline.ingestPassageMicroBatch(
+      b1.toDF("doc_id", "text"), indexDir, outDir, "batch_0"))
+  }
+
   test("streaming decontamination apply: kept set equals batch decontaminate") {
     import spark.implicits._
     import graft.ops.Dedup
