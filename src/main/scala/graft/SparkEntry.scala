@@ -43,6 +43,42 @@ object SparkEntry {
         .as("url"))
   }
 
+  /** Deterministic multi-line page synthesizer for the line-level surfaces
+    * (C4 cleaning + line dedup — the documents table is single-line):
+    * seven lines per doc, built with identical integer/concat arithmetic
+    * in both engines. The layout exercises every C4 line rule and gives
+    * line dedup corpus-wide, class-wide, and per-doc-unique lines:
+    * nav boilerplate (no terminal punct, duplicated in all docs), a
+    * content sentence from the doc's own first 20 tokens, a javascript
+    * notice (duplicated), newsletter boilerplate on every 3rd doc vs a
+    * second content sentence, an unterminated token run, a lorem-ipsum
+    * page-kill on every 17th doc vs a unique closing note, and a
+    * curly-bracket page-kill on every 23rd doc vs one of 7 shared
+    * contact lines. The construction is oracle contract — keep the Spark
+    * builder and the SQL `LinesCtes` in lockstep.
+    */
+  private def synthLines(docs: DataFrame): DataFrame = {
+    val tk = filter(split(coalesce(col("text"), lit("")), "\\s+"),
+      t => length(t) > 0)
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      concat_ws("\n",
+        lit("nav menu login"),
+        concat(concat_ws(" ", slice(tk, 1, 20)), lit(".")),
+        lit("Please enable JavaScript to view this page."),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("Subscribe to our newsletter today!"))
+          .otherwise(concat(concat_ws(" ", slice(tk, 21, 20)), lit("?"))),
+        concat_ws(" ", slice(tk, 41, 5)),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit("lorem ipsum dolor sit amet."))
+          .otherwise(concat(lit("Closing note number "),
+            col("doc_id").cast("string"), lit("."))),
+        when(pmod(col("doc_id"), lit(23)) === 0, lit("var x = { a: 1 };"))
+          .otherwise(concat(lit("Contact page "),
+            pmod(col("doc_id"), lit(7)).cast("string"), lit("!"))))
+        .as("text"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full extraction pipeline over the synthesized page corpus.
     */
@@ -471,6 +507,43 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), w = 25)
         .orderBy(col("doc_id"), col("pos"))
     }),
+    // C4 line-level cleaning (Raffel et al. §2.2) over the synthesized
+    // multi-line pages: per-line terminal-punctuation / >=3-words /
+    // javascript rules, the lorem-ipsum and curly-bracket page kills, and
+    // the sentence-count proxy gate (minSentences=4: the 7-line layout
+    // yields at most 4 kept lines, so the published default 5 would fail
+    // every page — 4 splits 406/94 at sf0.01, exercising all three page
+    // gates). The oracle replays every per-line predicate, the kept-line
+    // rebuild, and the terminal-mark count.
+    "q_c4_clean" -> ((s, dir) =>
+      TextOps.c4Metrics(synthLines(t(s, dir, "documents")), minSentences = 4L)
+        .orderBy(col("doc_id"))),
+    // cross-doc exact LINE dedup (the CCNet line-hash screen): every
+    // normalized (lower + trim) line whose fingerprint occurs >= 2 times
+    // — the all-doc nav/javascript boilerplate, the every-3rd newsletter
+    // line, and the 7 contact-line classes all hit; the oracle replays
+    // normalization + the hugeint fingerprint fold + occurrence counts
+    "q_dedup_lines" -> ((s, dir) =>
+      Dedup.duplicateLines(s, synthLines(t(s, dir, "documents")))
+        .orderBy(col("doc_id"), col("line_no"))),
+    // the line-excision transform: non-canonical duplicated lines removed
+    // (canonical = lexicographic-min (doc_id, line_no)), surviving raw
+    // lines rejoined byte-exact — the driver hash-compares the full
+    // rewritten text strings
+    "q_line_strip" -> ((s, dir) =>
+      Dedup.stripDuplicateLines(s, synthLines(t(s, dir, "documents")))
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+    // the daily-ingest face: batch (even ids) lines matched against the
+    // persisted corpus (odd ids) line-fingerprint artifact, corpus side
+    // deduped to one canonical row per fingerprint before the join
+    "q_line_incr" -> ((s, dir) => {
+      val docs = synthLines(t(s, dir, "documents"))
+      Dedup.lineMatchesAgainst(
+        Dedup.lineFingerprints(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .orderBy(col("doc_id"), col("line_no"))
+    }),
     // oracle-checked end to end: the pigeonhole blocking is complete for
     // hamming <= 3, so the output equals ALL pairs at that distance and the
     // DuckDB oracle replays simhash itself (FNV + splitmix finalizer in
@@ -783,6 +856,50 @@ object SparkEntry {
       |          c -> unicode(c)::HUGEINT)),
       |        (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS m
       |    FROM win))""".stripMargin
+
+  /** Shared line-level CTEs: the synthLines construction (same
+    * integer/concat arithmetic as the Spark builder — oracle contract),
+    * per-line normalization (lower + trim of space/tab/CR), and the
+    * q_fingerprint hugeint 31-poly fold per non-empty normalized line.
+    * Ends in `ldocs` (doc_id, lang, n_chars, text) and `lfps` (doc_id,
+    * line_no, fp). Shared by q_c4_clean, q_dedup_lines, q_line_strip and
+    * q_line_incr.
+    */
+  private val LinesCtes: String =
+    """WITH ltoks AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    list_filter(string_split_regex(coalesce(text,''), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |ldocs AS MATERIALIZED (
+      |  SELECT doc_id, lang, n_chars,
+      |    'nav menu login' || chr(10) ||
+      |    coalesce(array_to_string(tk[1:20], ' '), '') || '.' || chr(10) ||
+      |    'Please enable JavaScript to view this page.' || chr(10) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter today!'
+      |         ELSE coalesce(array_to_string(tk[21:40], ' '), '') || '?' END || chr(10) ||
+      |    coalesce(array_to_string(tk[41:45], ' '), '') || chr(10) ||
+      |    CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet.'
+      |         ELSE 'Closing note number ' || CAST(doc_id AS VARCHAR) || '.' END || chr(10) ||
+      |    CASE WHEN doc_id % 23 = 0 THEN 'var x = { a: 1 };'
+      |         ELSE 'Contact page ' || CAST(doc_id % 7 AS VARCHAR) || '!' END AS text
+      |  FROM ltoks),
+      |lrows AS (
+      |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS j, ls
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ldocs)),
+      |lnorm AS (
+      |  SELECT doc_id, CAST(j - 1 AS INT) AS line_no,
+      |    lower(trim(ls[j], ' ' || chr(9) || chr(13))) AS nl
+      |  FROM lrows),
+      |lfps AS MATERIALIZED (
+      |  SELECT doc_id, line_no,
+      |    CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+      |      THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp
+      |  FROM (
+      |    SELECT doc_id, line_no,
+      |      list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |        list_transform(string_split(nl, ''), c -> unicode(c)::HUGEINT)),
+      |        (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS m
+      |    FROM lnorm WHERE len(nl) > 0))""".stripMargin
 
   /** Shared URL-canonicalization CTEs: the synthUrls construction (same
     * integer/concat arithmetic) and every canonicalUrl step — fragment
@@ -1643,6 +1760,70 @@ object SparkEntry {
         |FROM fps b JOIN pcanon c ON c.fp = b.fp
         |WHERE b.doc_id % 2 = 0
         |ORDER BY b.doc_id, b.pos""".stripMargin,
+    // the C4 line rules replayed over the identically synthesized pages:
+    // trim/terminal-punct/word-count/javascript per line, the kept-line
+    // rebuild, the terminal-mark sentence proxy, and the three page gates
+    "q_c4_clean" ->
+      s"""$LinesCtes,
+        |c4k AS (
+        |  SELECT doc_id, text AS tx,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    list_filter(
+        |      list_transform(string_split(text, chr(10)), l -> trim(l, ' ' || chr(9) || chr(13))),
+        |      l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+        |        AND len(list_filter(string_split_regex(l, '\\s+'), x -> len(x) > 0)) >= 3
+        |        AND NOT contains(lower(l), 'javascript')) AS kl
+        |  FROM ldocs),
+        |c4m AS (
+        |  SELECT doc_id, tx, n_lines, len(kl)::BIGINT AS n_kept_lines,
+        |    array_to_string(kl, chr(10)) AS text_clean
+        |  FROM c4k)
+        |SELECT doc_id, n_lines, n_kept_lines,
+        |  (len(text_clean) - len(replace(replace(replace(text_clean, '.', ''), '!', ''), '?', '')))::BIGINT AS n_sentences,
+        |  (NOT contains(lower(tx), 'lorem ipsum') AND NOT contains(tx, '{')
+        |   AND len(text_clean) - len(replace(replace(replace(text_clean, '.', ''), '!', ''), '?', '')) >= 4) AS page_pass,
+        |  text_clean
+        |FROM c4m ORDER BY doc_id""".stripMargin,
+    // duplicated normalized lines: same replayed fingerprints, window count
+    "q_dedup_lines" ->
+      s"""$LinesCtes
+        |SELECT doc_id, line_no, fp, n_occurrences FROM (
+        |  SELECT doc_id, line_no, fp,
+        |    count(*) OVER (PARTITION BY fp) AS n_occurrences
+        |  FROM lfps)
+        |WHERE n_occurrences >= 2
+        |ORDER BY doc_id, line_no""".stripMargin,
+    // non-canonical duplicated lines excised; surviving RAW lines rejoin
+    // byte-exact, untouched docs pass through byte-exact
+    "q_line_strip" ->
+      s"""$LinesCtes,
+        |lnoncanon AS (
+        |  SELECT doc_id, line_no FROM (
+        |    SELECT doc_id, line_no,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, line_no) AS rk
+        |    FROM lfps) WHERE rk > 1),
+        |lcov AS (
+        |  SELECT doc_id, list_sort(list(line_no)) AS cv FROM lnoncanon GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN c.cv IS NULL THEN d.text
+        |    ELSE coalesce(array_to_string(list_filter(string_split(d.text, chr(10)),
+        |      (l, i) -> NOT list_contains(c.cv, i - 1)), chr(10)), '') END AS text
+        |FROM ldocs d LEFT JOIN lcov c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // same replayed line fingerprints split odd/even: batch (even) lines
+    // joined against the corpus (odd) side's canonical occurrence per fp
+    "q_line_incr" ->
+      s"""$LinesCtes,
+        |lcanon AS (
+        |  SELECT fp, doc_id AS corpus_id, line_no AS corpus_line FROM (
+        |    SELECT fp, doc_id, line_no,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, line_no) AS rk
+        |    FROM lfps WHERE doc_id % 2 <> 0)
+        |  WHERE rk = 1)
+        |SELECT b.doc_id, b.line_no, b.fp, c.corpus_id, c.corpus_line
+        |FROM lfps b JOIN lcanon c ON c.fp = b.fp
+        |WHERE b.doc_id % 2 = 0
+        |ORDER BY b.doc_id, b.line_no""".stripMargin,
     // Java's 31·h+c polynomial over UTF-16 units replayed in exact hugeint
     // arithmetic mod 2^64 (corpus is BMP-only so codepoints == UTF-16 units)
     "q_fingerprint" ->

@@ -993,6 +993,132 @@ object Dedup {
         .select(col("doc_id"), col("pos")),
       idCol, textCol, w)
 
+  // ---- cross-doc exact line dedup (the CCNet/RefinedWeb line-level screen) ----
+
+  /** Fingerprints of every non-empty line of every doc — LINE-level
+    * identity, the cheapest cross-doc boilerplate screen (CCNet dedups
+    * the corpus per line hash; RefinedWeb removes lines duplicated across
+    * pages of a site). Lines split on `\n`; each is normalized for
+    * MATCHING as `lower(trim(l, " \t\r"))` (case/edge-whitespace variants
+    * of a boilerplate line must collide) while `line_no` keeps the
+    * ORIGINAL 0-based index so the excision face can address raw lines;
+    * lines empty after normalization emit nothing (blank separators are
+    * not boilerplate). Fingerprint = the native [[TextOps.fingerprint]]
+    * polynomial via the codegen'd Fingerprint64 expression — map-side
+    * Tungsten work, no UDF.
+    *
+    * Returns (doc_id, line_no, fp).
+    */
+  def lineFingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
+      .toDF("doc_id", "line_no", "l")
+      .select(col("doc_id"), col("line_no"),
+        lower(trim(col("l"), graft.ops.TextOps.LineTrimChars)).as("nl"))
+      .filter(length(col("nl")) > 0)
+      .select(col("doc_id"), col("line_no"),
+        graft.functions.GraftFunctions.fingerprint64(col("nl")).as("fp"))
+
+  /** Duplicated lines: every line whose normalized fingerprint occurs at
+    * least twice in the corpus (within OR across docs). Returns (doc_id,
+    * line_no, fp, n_occurrences), unsorted (operator contract).
+    *
+    * Scale shape (100 TB): ONE hash exchange keyed by the 8-byte
+    * fingerprint carrying (fp, doc_id, line_no) — line text never
+    * shuffles — and the count is a window aggregate over that exchange
+    * (the [[duplicatePassages]] shape). Line granularity is strictly
+    * cheaper than passages: one fingerprint per line instead of one per
+    * token position.
+    */
+  def duplicateLines(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    lineFingerprints(df, idCol, textCol)
+      .withColumn("n_occurrences", count(lit(1)).over(byFp))
+      .filter(col("n_occurrences") >= 2)
+  }
+
+  /** Line dedup applied as a TRANSFORM: for every duplicated fingerprint
+    * the CANONICAL occurrence — lexicographic-min (doc_id, line_no) —
+    * survives verbatim; every other occurrence is EXCISED from its doc.
+    * Untouched docs keep their text byte-exact; rewritten docs are
+    * rebuilt from their surviving RAW lines joined by `\n` (surviving
+    * line bytes are preserved exactly — unlike the token-level passage
+    * rewrite, a line excision needs no re-tokenization).
+    *
+    * Scale: the [[lineFingerprints]] exchange + a within-partition
+    * row_number (no range exchange), one O(duplicated lines) doc-keyed
+    * fold to a sorted index array, and a key-equality left join back to
+    * the corpus; the rebuild is a map-side indexed filter.
+    */
+  def stripDuplicateLines(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"), col("line_no"))
+    val nonCanonical = lineFingerprints(df, idCol, textCol)
+      .withColumn("_rk", row_number().over(byFp))
+      .filter(col("_rk") > 1)
+      .select(col("doc_id"), col("line_no"))
+    exciseLines(df, nonCanonical, idCol, textCol)
+  }
+
+  /** Excise the 0-based line indexes listed in `lines` (doc_id, line_no)
+    * from `df`: per-doc sorted index array, key-equality join, map-side
+    * rebuild from the raw lines (see [[stripDuplicateLines]]'s contract).
+    */
+  private def exciseLines(df: DataFrame, lines: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val covered = lines
+      .select(col("doc_id").as("_lstrip_id"), col("line_no"))
+      .groupBy(col("_lstrip_id"))
+      .agg(sort_array(collect_set(col("line_no"))).as("_lcov"))
+    df.join(covered, df(idCol) === col("_lstrip_id"), "left")
+      .withColumn(textCol,
+        when(col("_lcov").isNull, col(textCol))
+          .otherwise(concat_ws("\n",
+            filter(split(coalesce(col(textCol), lit("")), "\n"),
+              (l, i) => not(array_contains(col("_lcov"), i))))))
+      .drop("_lstrip_id", "_lcov")
+  }
+
+  /** One row per DISTINCT line fingerprint with its canonical occurrence
+    * — the compacted corpus-side artifact for incremental line screens
+    * (the [[canonicalPassageFps]] analogue: a boilerplate line with
+    * millions of corpus occurrences joins as ONE row).
+    */
+  def canonicalLineFps(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("_c"))
+      .select(col("fp"), col("_c.doc_id").as("corpus_id"),
+        col("_c.line_no").as("corpus_line"))
+
+  /** Line matches BETWEEN a batch and a persisted corpus line-fingerprint
+    * set — the daily-ingest face: O(batch lines) map work plus one
+    * key-equality join against the fp-deduped corpus side; the corpus is
+    * never re-fingerprinted. Returns (doc_id, line_no, fp, corpus_id,
+    * corpus_line), unsorted.
+    */
+  def lineMatchesAgainst(corpusFps: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lineFingerprints(batch, idCol, textCol)
+      .join(canonicalLineFps(corpusFps), Seq("fp"))
+      .select(col("doc_id"), col("line_no"), col("fp"),
+        col("corpus_id"), col("corpus_line"))
+
+  /** Incremental line STRIP: excise from `batch` every line already held
+    * by the corpus fingerprint set (every corpus match is non-canonical —
+    * the corpus came first). In-batch self-duplication is
+    * [[stripDuplicateLines]]' job; a full ingest composes the two, then
+    * appends the surviving batch's [[lineFingerprints]].
+    */
+  def stripLinesAgainst(corpusFps: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exciseLines(batch,
+      lineMatchesAgainst(corpusFps, batch, idCol, textCol)
+        .select(col("doc_id"), col("line_no")),
+      idCol, textCol)
+
   /** Exact n-gram Jaccard for a candidate pair set (verification stage). */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
     val sa = shingles(a, n).toSet

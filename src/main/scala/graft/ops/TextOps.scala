@@ -205,6 +205,89 @@ object TextOps {
     df.filter(passWords && passLines)
   }
 
+  // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2) ----
+
+  /** Characters trimmed from both ends of every line before the C4 rules
+    * apply (space, tab, CR — CRLF corpora normalize for free). Part of
+    * the cross-engine contract: DuckDB `trim(l, ' '||chr(9)||chr(13))`.
+    */
+  val LineTrimChars: String = " \t\r"
+
+  /** The kept-lines array of the C4 line rules over `t` — the published
+    * per-line screen: a line survives iff (1) it ends in a terminal
+    * punctuation mark (`.` `!` `?` `"`), (2) it has at least three
+    * whitespace-separated words, and (3) it does not contain the word
+    * "javascript" (case-insensitive). Lines are trimmed of
+    * [[LineTrimChars]] first and kept in TRIMMED form (the C4 rules are
+    * defined over stripped lines). One codegen'd higher-order expression —
+    * both surfaces below share it so filter and metrics can never drift.
+    */
+  private def c4KeptLines(t: Column): Column =
+    filter(
+      transform(split(t, "\n"), l => trim(l, LineTrimChars)),
+      l =>
+        (endswith(l, lit(".")) || endswith(l, lit("!")) ||
+          endswith(l, lit("?")) || endswith(l, lit("\""))) &&
+          size(filter(split(l, "\\s+"), x => length(x) > 0)) >= 3 &&
+          !contains(lower(l), lit("javascript")))
+
+  /** Terminal-mark count of `c` — the deterministic sentence-count proxy
+    * (count of `.` `!` `?` characters; the reference pipeline used a
+    * sentence splitter, which is model state a cross-engine oracle cannot
+    * replay — the proxy is exact, monotone in sentence count on prose,
+    * and part of the declared contract).
+    */
+  private def terminalMarks(c: Column): Column =
+    (length(c) - length(translate(c, ".!?", ""))).cast("long")
+
+  /** Per-doc C4 cleaning metrics + the cleaned text: line tallies, the
+    * sentence-count proxy over the KEPT lines, the page verdict
+    * (no "lorem ipsum", no `{`, at least `minSentences` sentences — the
+    * published page-level gates), and `text_clean` = the kept trimmed
+    * lines joined by `\n`. Untouched structure: one map-side projection
+    * chain of codegen'd built-ins, each source array computed ONCE (the
+    * gopherMetrics multi-referenced-alias shape); no UDF, no shuffle.
+    */
+  def c4Metrics(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minSentences: Long = 5L): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    df.select(col(idCol), t.as("tx"),
+        size(split(t, "\n")).cast("long").as("n_lines"),
+        c4KeptLines(t).as("kept"))
+      .select(col(idCol), col("tx"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept_lines"),
+        concat_ws("\n", col("kept")).as("text_clean"))
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
+        terminalMarks(col("text_clean")).as("n_sentences"),
+        col("text_clean"), col("tx"))
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"), col("n_sentences"),
+        (!contains(lower(col("tx")), lit("lorem ipsum")) &&
+          !contains(col("tx"), lit("{")) &&
+          col("n_sentences") >= minSentences).as("page_pass"),
+        col("text_clean"))
+  }
+
+  /** The composed C4 FILTER + TRANSFORM: pages passing the page gates
+    * survive with `textCol` replaced by the cleaned text. The gate is one
+    * Filter node whose sentence tally folds the kept-lines array once
+    * (`aggregate` over [[c4KeptLines]] — the gopherFilter shape, safe
+    * under maximal pushdown); the rewrite projection evaluates the kept
+    * array a second time — inherent to filter-then-transform over the
+    * same derived array without a materialization barrier (two map-side
+    * evaluations total, vs. the metrics surface's one — pick
+    * [[c4Metrics]] + a downstream filter on its columns when the metrics
+    * are wanted anyway). OpsSpec pins row- and byte-parity with
+    * `c4Metrics(...).filter(page_pass)`.
+    */
+  def c4Filter(df: DataFrame, textCol: String = "text",
+      minSentences: Long = 5L): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val nSent = aggregate(c4KeptLines(t), lit(0L), (a, l) => a + terminalMarks(l))
+    df.filter(!contains(lower(t), lit("lorem ipsum")) &&
+        !contains(t, lit("{")) && nSent >= minSentences)
+      .withColumn(textCol, concat_ws("\n", c4KeptLines(t)))
+  }
+
   /** Corpus-wide n-gram statistics: occurrence count and document
     * frequency per distinct word n-gram (the standard corpus-analysis /
     * boilerplate-discovery rollup — the most frequent n-grams of a crawl

@@ -459,6 +459,82 @@ class OpsSpec extends AnyFunSuite {
     assert(outU(2L) == "p q")
   }
 
+  test("C4 line cleaning applies every published rule; filter == metrics gate") {
+    import spark.implicits._
+    val docs = Seq(
+      // kept content + dropped nav (no terminal punct) + dropped short line
+      (1L, "nav menu home\nThis line has enough words to survive the screen.\nToo short."),
+      // javascript line dropped case-insensitively; trailing CR/tab trimmed
+      (2L, "Enable JAVASCRIPT to proceed now.\nA perfectly fine prose sentence here!\t\r"),
+      // lorem-ipsum page kill (line rules would otherwise keep it)
+      (3L, "Lorem Ipsum dolor sit amet consectetur.\nAnother good long sentence right here."),
+      // curly-bracket page kill
+      (4L, "A good sentence that would survive cleanly.\nfunction f() { return 1; }"),
+      // quote-terminated line kept
+      (5L, "He said \"this is the quoted ending line.\"\nshort one."),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val m = TextOps.c4Metrics(docs, minSentences = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5))).toMap
+    assert(m(1L) == ((3L, 1L, 1L, true,
+      "This line has enough words to survive the screen.")))
+    assert(m(2L) == ((2L, 1L, 1L, true,
+      "A perfectly fine prose sentence here!")), "javascript dropped, CR/tab trimmed")
+    assert(m(3L)._4 == false && m(3L)._2 == 2L, "lorem ipsum kills the page")
+    assert(m(4L)._4 == false, "curly bracket kills the page")
+    assert(m(5L) == ((2L, 1L, 1L, true,
+      "He said \"this is the quoted ending line.\"")), "quote-terminated kept")
+    assert(m(6L) == ((1L, 0L, 0L, false, "")), "null text -> empty, page fails")
+    // the composed filter == metrics gate + rewrite, byte-identical
+    val viaMetrics = TextOps.c4Metrics(docs, minSentences = 1L)
+      .filter(col("page_pass"))
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaFilter = TextOps.c4Filter(docs, minSentences = 1L)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaFilter == viaMetrics, "c4Filter == c4Metrics.filter(page_pass)")
+  }
+
+  test("line dedup strips non-canonical duplicated lines, keeps raw bytes") {
+    import spark.implicits._
+    val boiler = "Subscribe to our newsletter today!"
+    val docs = Seq(
+      (1L, s"Unique opening line one.\n$boiler\nUnique closing line one."),
+      // same boilerplate at a different position, CASE + edge-whitespace
+      // variant: normalization must collide them
+      (2L, s"  ${boiler.toUpperCase}\t\nUnique middle line two."),
+      (3L, "Totally unique document.\n\nWith an empty separator line kept."),
+      // a doc repeating its OWN line: first occurrence canonical, repeat excised
+      (4L, "repeat me now\nsomething else entirely\nrepeat me now"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val dups = Dedup.duplicateLines(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    assert(dups == Set((1L, 1, 2L), (2L, 0, 2L), (4L, 0, 2L), (4L, 2, 2L)))
+    val out = Dedup.stripDuplicateLines(spark, docs)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out(1L) == s"Unique opening line one.\n$boiler\nUnique closing line one.",
+      "canonical holder byte-exact")
+    assert(out(2L) == "Unique middle line two.", "case/whitespace variant excised")
+    assert(out(3L) == "Totally unique document.\n\nWith an empty separator line kept.",
+      "untouched doc byte-exact incl. empty line")
+    assert(out(4L) == "repeat me now\nsomething else entirely", "self-repeat excised")
+    assert(out(5L) == null, "null text passes through")
+    // incremental face: batch lines already in the corpus fps are excised
+    val corpusFps = Dedup.lineFingerprints(docs)
+    val batch = Seq((10L, s"Fresh batch line.\n$boiler")).toDF("doc_id", "text")
+    val incr = Dedup.stripLinesAgainst(corpusFps, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(incr == Set((10L, "Fresh batch line.")))
+    // and matches carry the corpus-canonical occurrence
+    val mrows = Dedup.lineMatchesAgainst(corpusFps, batch)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getInt(4))).toSet
+    assert(mrows == Set((10L, 1, 1L, 1)))
+  }
+
   test("passage index: round-trip, idempotent append, compaction, param guard") {
     import spark.implicits._
     import graft.ops.PassageIndex
