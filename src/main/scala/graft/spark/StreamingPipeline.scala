@@ -525,6 +525,87 @@ object StreamingPipeline {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Streaming line screen: every arriving doc's normalized lines matched
+    * against a STATIC corpus line-fingerprint set — the streaming face of
+    * [[graft.ops.Dedup.lineMatchesAgainst]] (flag boilerplate lines the
+    * corpus already holds, as docs land). Fully STATELESS, the
+    * [[passageMatches]] shape: map-side fingerprint projection into a
+    * stream-static inner join on the 8-byte fingerprint — no watermark,
+    * no state store; the corpus side is deduped to one row per
+    * fingerprint and materialized ONCE at query start.
+    */
+  def lineMatches(docs: DataFrame, corpusFps: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.ops.{Dedup, Materialize}
+    val canon = Materialize.iterative(Dedup.canonicalLineFps(corpusFps),
+      Materialize.fromEnv)
+    Dedup.lineFingerprints(docs, idCol, textCol)
+      .join(canon, Seq("fp"))
+      .select(col("doc_id"), col("line_no"), col("fp"),
+        col("corpus_id"), col("corpus_line"))
+  }
+
+  /** One line-ingest micro-batch against the PERSISTED line index — the
+    * line analogue of [[ingestPassageMicroBatch]]: the batch is stripped
+    * of every line the corpus already holds
+    * ([[graft.ops.Dedup.stripLinesAgainst]]), then self-stripped within
+    * the batch ([[graft.ops.Dedup.stripDuplicateLines]]); the rewritten
+    * rows land in `outDir/rewritten/<segment>`, and the rewritten docs'
+    * line fingerprints append to the index. (A line excision cannot
+    * create NEW lines — unlike the passage rewrite — so fingerprinting
+    * the rewritten parquet is a single-source-of-truth choice, not a
+    * semantic necessity: the index holds exactly what the written corpus
+    * holds.)
+    *
+    * Idempotent under `segment` with the index append as the COMMIT POINT
+    * (the [[ingestMicroBatch]] contract); `maxSegments > 0` bounds
+    * segment growth via post-commit compact+vacuum. Single-writer per
+    * index dir.
+    */
+  def ingestLineMicroBatch(batch: DataFrame, indexDir: String, outDir: String,
+      segment: String, idCol: String = "doc_id", textCol: String = "text",
+      maxSegments: Int = 0): Boolean = {
+    import graft.ops.{Dedup, LineIndex}
+    if (LineIndex.readMeta(indexDir).committed.contains(segment)) return false
+    val spark = batch.sparkSession
+    val idx = LineIndex.load(spark, indexDir)
+    val rewritten = Dedup.stripDuplicateLines(spark,
+      Dedup.stripLinesAgainst(idx.fps, batch, idCol, textCol), idCol, textCol)
+    rewritten.write.mode("overwrite").parquet(s"$outDir/rewritten/$segment")
+    val delta = Dedup.lineFingerprints(
+      spark.read.parquet(s"$outDir/rewritten/$segment"), idCol, textCol)
+    LineIndex.appendSegment(graft.ops.LineIndex(delta), indexDir, segment)
+    if (maxSegments > 0 && LineIndex.readMeta(indexDir).segments.size > maxSegments) {
+      LineIndex.compact(spark, indexDir)
+      LineIndex.vacuum(indexDir)
+    }
+    true
+  }
+
+  /** Streaming line APPLY — each arriving doc rewritten with every
+    * already-seen boilerplate line excised, the index growing with what
+    * survives: the streaming face of the CCNet line screen, mirroring
+    * [[passageApplyStream]] (no Spark state store — the persisted
+    * [[graft.ops.LineIndex]] IS the state, shared with the batch
+    * operators; earlier-kept lines win across batches).
+    *
+    * `indexDir` must hold an initialized index
+    * ([[graft.ops.LineIndex.write]] of the corpus fingerprints — or of an
+    * empty frame to start cold).
+    */
+  def lineApplyStream(docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
+      availableNow: Boolean = false, maxSegments: Int = 16): StreamingQuery = {
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestLineMicroBatch(b.toDF(), indexDir, outDir, s"batch_$batchId",
+          idCol, textCol, maxSegments)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Streaming decontamination APPLY — the kept/flagged verdict per
     * arriving doc ([[contaminationMatches]] stops at match events; this
     * closes the loop, mirroring [[dedupApplyStream]]'s verdict surface):

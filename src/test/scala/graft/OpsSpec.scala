@@ -571,6 +571,33 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(PassageIndex.load(spark, dir)) == before)
   }
 
+  test("line index: round-trip, idempotent append, compaction, vacuum") {
+    import spark.implicits._
+    import graft.ops.LineIndex
+    val a = Seq((1L, "first corpus line.\nsecond corpus line.")).toDF("doc_id", "text")
+    val b = Seq((2L, "a later ingest line.")).toDF("doc_id", "text")
+    def rows(idx: LineIndex) =
+      idx.fps.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("lfp_idx").toString
+    LineIndex.write(LineIndex(Dedup.lineFingerprints(a)), dir)
+    assert(rows(LineIndex.load(spark, dir)) ==
+      rows(LineIndex(Dedup.lineFingerprints(a))))
+    val delta = LineIndex(Dedup.lineFingerprints(b))
+    assert(LineIndex.appendSegment(delta, dir, "day_1"))
+    assert(!LineIndex.appendSegment(delta, dir, "day_1"), "replay = no-op")
+    val before = rows(LineIndex.load(spark, dir))
+    assert(before == rows(LineIndex(Dedup.lineFingerprints(a.union(b)))))
+    val seg = LineIndex.compact(spark, dir)
+    assert(seg.isDefined)
+    val m = LineIndex.readMeta(dir)
+    assert(m.segments == Seq(seg.get) && m.absorbed.toSet == Set("base", "day_1"))
+    assert(rows(LineIndex.load(spark, dir)) == before)
+    assert(!LineIndex.appendSegment(delta, dir, "day_1"),
+      "replay after compaction must stay a no-op")
+    assert(LineIndex.vacuum(dir).toSet == Set("fps/base", "fps/day_1"))
+    assert(rows(LineIndex.load(spark, dir)) == before)
+  }
+
   test("incremental passage screen matches and strips against a corpus fp set") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon"

@@ -253,6 +253,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "one tokenization per doc")
   }
 
+  test("line dedup: one fp-keyed scalar exchange, no range partitioning") {
+    // line fingerprinting shuffles one row per non-empty line — pin that
+    // the exchange carries ONLY (doc_id, line_no, fp) scalars (the line
+    // text never shuffles), that the occurrence count rides ONE hash
+    // exchange, and that the operator return is unsorted
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = Dedup.duplicateLines(spark, docs)
+    df.collect() // finalize AQE
+    val shuffles = nodes(df).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"expected one fp exchange: $shuffles")
+    assert(shuffles.head.output.map(_.name).toSet == Set("doc_id", "line_no", "fp"),
+      s"fp exchange must carry scalars only: ${shuffles.head.output}")
+    assert(!df.queryExecution.executedPlan.toString.toLowerCase
+      .contains("rangepartitioning"), "unsorted operator return")
+    val projStr = Dedup.lineFingerprints(docs)
+      .queryExecution.executedPlan.toString
+    assert(projStr.contains("graft_fingerprint64"), "native fp expression in-plan")
+    assert(!projStr.contains("DeserializeToObject"))
+  }
+
   test("gopher filter: map-side only, one tokenization per gate side") {
     // the composed gate is two aggregate() folds finishing to booleans,
     // with the symbol count threaded through the word fold's init — so

@@ -559,6 +559,68 @@ class StreamingSpec extends AnyFunSuite {
       b1.toDF("doc_id", "text"), indexDir, outDir, "batch_0"))
   }
 
+  test("streaming line apply folds micro-batches over the growing index") {
+    import spark.implicits._
+    import graft.ops.{Dedup, LineIndex}
+    val boiler = "Subscribe to our newsletter today!"
+    val corpus = Seq((1L, s"corpus opening line.\n$boiler")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, s"$boiler\nNew promo line batch one!\nUnique ten."), // corpus line + a NEW shared line
+      (12L, s"Unique twelve.\n$boiler")) // corpus line only
+    val b2 = Seq(
+      (20L, "New promo line batch one!\nUnique twenty."), // matches batch-1's SURVIVING line
+      (22L, "Fresh line unlike anything.")) // untouched
+    val indexDir = Files.createTempDirectory("ln_idx").toString
+    val inDir = Files.createTempDirectory("ln_in").toString
+    val outDir = Files.createTempDirectory("ln_out").toString
+    val ckpt = Files.createTempDirectory("ln_ckpt").toString
+    LineIndex.write(LineIndex(Dedup.lineFingerprints(corpus)), indexDir)
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100)
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    val src = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingPipeline.lineApplyStream(src, indexDir, outDir, ckpt,
+      availableNow = true)
+    q.awaitTermination(120000)
+    def seg(name: String) = spark.read.parquet(s"$outDir/rewritten/$name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch 0: the corpus-held boilerplate excised from BOTH docs; doc
+    // 10's fresh promo line survives and its fingerprint joins the index
+    assert(seg("batch_0") == Map(
+      10L -> "New promo line batch one!\nUnique ten.", 12L -> "Unique twelve."))
+    // batch 1: the promo line is now corpus-held (earlier-kept wins
+    // across micro-batches); clean doc byte-exact
+    assert(seg("batch_1") == Map(
+      20L -> "Unique twenty.", 22L -> "Fresh line unlike anything."))
+    // fold replay with the batch operators over the observed segments
+    var grownFps = Dedup.lineFingerprints(corpus)
+    for ((rows, name) <- Seq(b1 -> "batch_0", b2 -> "batch_1")) {
+      val expect = Dedup.stripDuplicateLines(spark,
+          Dedup.stripLinesAgainst(grownFps, rows.toDF("doc_id", "text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(seg(name) == expect, s"$name must equal the batch composition")
+      grownFps = grownFps.union(Dedup.lineFingerprints(
+        expect.toSeq.toDF("doc_id", "text")))
+    }
+    // grown index = corpus + rewritten fps exactly; post-commit replay no-op
+    val idxRows = LineIndex.load(spark, indexDir).fps
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expectRows = grownFps
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(idxRows == expectRows)
+    assert(!StreamingPipeline.ingestLineMicroBatch(
+      b1.toDF("doc_id", "text"), indexDir, outDir, "batch_0"))
+    // the stateless match screen equals the batch incremental operator
+    val matches = StreamingPipeline.lineMatches(
+      b1.toDF("doc_id", "text"), Dedup.lineFingerprints(corpus))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batchMatches = Dedup.lineMatchesAgainst(
+      Dedup.lineFingerprints(corpus), b1.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(matches == batchMatches && matches == Set((10L, 0), (12L, 1)))
+  }
+
   test("streaming decontamination apply: kept set equals batch decontaminate") {
     import spark.implicits._
     import graft.ops.Dedup
