@@ -893,11 +893,7 @@ final class IslandDetector(
       borderSignatureOf(nibs), cellCount)
   }
 
-  // bucket order matches Python dict insertion order for ties:
-  // all, none, horizontal, vertical, mixed, outer
-  private val SigBuckets = Array(FmtConst.AllBorders, FmtConst.NoBorders,
-    FmtConst.HorizontalOnly, FmtConst.VerticalOnly, FmtConst.MixedBorders,
-    FmtConst.OuterOnly)
+  import IslandDetector.{SigBuckets, SimilarityMap}
 
   /** reference: island_detector.py:1858-1938. Allocation-free per call:
     * bucket counts live in a 6-slot array indexed in the Python dict
@@ -939,27 +935,6 @@ final class IslandDetector(
     i = 0
     while (i < 6 && counts(i) != maxCount) i += 1
     SigBuckets(i)
-  }
-
-  private val SimilarityMap: Map[(String, String), Double] = {
-    import FmtConst._
-    Map(
-      (HorizontalOnly, AllBorders) -> 0.7,
-      (VerticalOnly, AllBorders) -> 0.7,
-      (HorizontalOnly, MixedBorders) -> 0.6,
-      (VerticalOnly, MixedBorders) -> 0.6,
-      (AllBorders, MixedBorders) -> 0.8,
-      (OuterOnly, AllBorders) -> 0.8,
-      (OuterOnly, MixedBorders) -> 0.7,
-      (NoBorders, AllBorders) -> 0.2,
-      (NoBorders, HorizontalOnly) -> 0.3,
-      (NoBorders, VerticalOnly) -> 0.3,
-      (NoBorders, MixedBorders) -> 0.2,
-      (NoBorders, OuterOnly) -> 0.2,
-      (HorizontalOnly, VerticalOnly) -> 0.5,
-      (HorizontalOnly, OuterOnly) -> 0.6,
-      (VerticalOnly, OuterOnly) -> 0.6
-    )
   }
 
   /** reference: island_detector.py:1940-1985. */
@@ -1165,5 +1140,36 @@ final class IslandDetector(
         ))
       }
     }
+  }
+}
+
+object IslandDetector {
+  // bucket order matches Python dict insertion order for ties:
+  // all, none, horizontal, vertical, mixed, outer. Module-level (one
+  // allocation per JVM): the cascade constructs a fresh detector per
+  // grid, so per-instance constants would be rebuilt per grid.
+  private[detect] val SigBuckets = Array(FmtConst.AllBorders, FmtConst.NoBorders,
+    FmtConst.HorizontalOnly, FmtConst.VerticalOnly, FmtConst.MixedBorders,
+    FmtConst.OuterOnly)
+
+  private[detect] val SimilarityMap: Map[(String, String), Double] = {
+    import FmtConst._
+    Map(
+      (HorizontalOnly, AllBorders) -> 0.7,
+      (VerticalOnly, AllBorders) -> 0.7,
+      (HorizontalOnly, MixedBorders) -> 0.6,
+      (VerticalOnly, MixedBorders) -> 0.6,
+      (AllBorders, MixedBorders) -> 0.8,
+      (OuterOnly, AllBorders) -> 0.8,
+      (OuterOnly, MixedBorders) -> 0.7,
+      (NoBorders, AllBorders) -> 0.2,
+      (NoBorders, HorizontalOnly) -> 0.3,
+      (NoBorders, VerticalOnly) -> 0.3,
+      (NoBorders, MixedBorders) -> 0.2,
+      (NoBorders, OuterOnly) -> 0.2,
+      (HorizontalOnly, VerticalOnly) -> 0.5,
+      (HorizontalOnly, OuterOnly) -> 0.6,
+      (VerticalOnly, OuterOnly) -> 0.6
+    )
   }
 }

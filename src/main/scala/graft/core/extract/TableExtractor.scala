@@ -174,8 +174,10 @@ private[graft] final class SpanStats(val g: CellGrid, val r0: Int, val c0: Int,
   * (transposed) detection, title-row skipping, multi-row merged-aware
   * header extraction, and the 4-component quality score.
   */
-final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
-
+object TableExtractor {
+  // module-level (one allocation per JVM): a TableExtractor is
+  // constructed per extracted span, so instance constants would be
+  // rebuilt per table
   private val PlateFormats: Seq[(Int, Seq[(Int, Int)])] = Seq(
     6 -> Seq((2, 3), (3, 2)),
     24 -> Seq((4, 6), (6, 4)),
@@ -183,6 +185,10 @@ final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
     384 -> Seq((16, 24), (24, 16)),
     1536 -> Seq((32, 48), (48, 32))
   )
+}
+
+final class TableExtractor(minDataRows: Int = 2, minDataDensity: Double = 0.3) {
+  import TableExtractor.PlateFormats
 
   /** The cursor-backed span view (see [[SpanStats]]); None iff the span is
     * degenerate. Shared by [[extract]] and [[extractStats]] so the two

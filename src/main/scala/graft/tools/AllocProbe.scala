@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.core.detect.{Cascade, DetectConfig, IslandDetector}
+import graft.core.detect.{BoxTable, Cascade, DetectConfig, IslandDetector, SimpleCase}
 import graft.spark.PageGen
 
 /** One-off allocation probe for the island-detect hot path. */
@@ -31,6 +31,40 @@ object AllocProbe {
     measure("no formatting splits") { grids.foreach(detNoFmt.detectIslands) }
     val detNoGap = new IslandDetector(useFormattingBoundaries = false, emptyRowTolerance = 0)
     measure("no fmt, no reconnect") { grids.foreach(detNoGap.detectIslands) }
+    measure("simplecase only") { grids.foreach(g => SimpleCase.detect(g)) }
+    val box = new BoxTable(cfg.minTableRows, cfg.minTableCols)
+    measure("boxtable only") { grids.foreach(g => box.detect(g)) }
+    measure("islands+toTableHits") { grids.foreach { g =>
+      val is = det.detectIslands(g).filter(_.confidence >= cfg.confidenceThreshold)
+      det.toTableHits(is, cfg.confidenceThreshold, g)
+    } }
+    val detCascade = new IslandDetector(
+      maxGap = graft.core.detect.IslandConst.ExcelFileMaxGap,
+      adaptiveThresholds = cfg.adaptiveThresholds,
+      emptyRowTolerance = cfg.emptyRowTolerance,
+      useFormattingBoundaries = cfg.useBorderDetection)
+    measure("cascade-cfg islands+hits") { grids.foreach { g =>
+      val is = detCascade.detectIslands(g).filter(_.confidence >= cfg.confidenceThreshold)
+      detCascade.toTableHits(is, cfg.confidenceThreshold, g)
+    } }
+    val hist = grids.map(g => Cascade.detect(g, graft.core.detect.GridKind.Formatted, cfg).methodUsed)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    println(s"cascade methods: $hist")
+    measure("cascade full (rerun)") { grids.foreach(g => Cascade.detect(g, graft.core.detect.GridKind.Formatted, cfg)) }
+    measure("manual replica") { grids.foreach { g =>
+      SimpleCase.detect(g)
+      new BoxTable(cfg.minTableRows, cfg.minTableCols).detect(g)
+      val d = new IslandDetector(
+        maxGap = graft.core.detect.IslandConst.ExcelFileMaxGap,
+        adaptiveThresholds = cfg.adaptiveThresholds,
+        emptyRowTolerance = cfg.emptyRowTolerance,
+        useFormattingBoundaries = cfg.useBorderDetection)
+      val is = d.detectIslands(g).filter(_.confidence >= cfg.confidenceThreshold)
+      var ts = d.toTableHits(is, cfg.confidenceThreshold, g)
+      val minCells = (g.size * cfg.minTablePercentage).toInt
+      ts = ts.filter(t => Cascade.tableCellCount(t.span, g) >= minCells)
+      if (ts.size > 1) ts = ts.sortBy(t => -Cascade.tableCellCount(t.span, g))
+    } }
 
     // extract-tables path: detection + TableExtractor per span
     val cfgX = DetectConfig(extractTables = true)
