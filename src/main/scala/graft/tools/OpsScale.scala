@@ -230,6 +230,44 @@ object OpsScale {
     require(rewritten >= planted - 1,
       s"all non-canonical planted docs must be rewritten: $rewritten")
 
+    // ---- line dedup under boilerplate load (round 7) ----
+    // plant one identical boilerplate LINE on every 5th doc (the corpus is
+    // single-line, so the planted docs become two-line pages): the line
+    // screen must excise it everywhere but the canonical (min (doc_id,
+    // line_no)) holder, at one fp row per line instead of one per token
+    // position — the cheap tier below passages.
+    val boilLine = "subscribe to our newsletter for updates today"
+    val withLines = amped.withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(coalesce(col("text"), lit("")), lit("\n" + boilLine)))
+          .otherwise(col("text")))
+      .localCheckpoint()
+    val plantedL = withLines.filter(pmod(col("doc_id"), lit(5)) === 0).count()
+    val tLf = System.nanoTime()
+    val lineRows = Dedup.lineFingerprints(withLines).count()
+    val lfWall = (System.nanoTime() - tLf) / 1e9
+    val tLh = System.nanoTime()
+    val lHits = Dedup.duplicateLines(spark, withLines).localCheckpoint()
+    val lHitRows = lHits.count()
+    val lHitDocs = lHits.select("doc_id").distinct().count()
+    val lhWall = (System.nanoTime() - tLh) / 1e9
+    val tLs = System.nanoTime()
+    val lStripped = Dedup.stripDuplicateLines(spark, withLines).localCheckpoint()
+    val lsWall = (System.nanoTime() - tLs) / 1e9
+    val lRewritten = lStripped
+      .join(withLines.select(col("doc_id"), col("text").as("_orig")), "doc_id")
+      .filter(not(col("text") <=> col("_orig"))).count()
+    val lSurvivors = lStripped.filter(col("text").contains(boilLine)).count()
+    println(f"OPSSCALE lines planted=$plantedL line_rows=$lineRows " +
+      f"fp_wall=$lfWall%.1fs dup_rows=$lHitRows dup_docs=$lHitDocs hits_wall=$lhWall%.1fs " +
+      f"strip_rewritten=$lRewritten line_survivors=$lSurvivors strip_wall=$lsWall%.1fs")
+    require(lHitDocs >= plantedL,
+      s"every planted doc must be flagged: $lHitDocs flagged vs $plantedL planted")
+    require(lSurvivors == 1L,
+      s"exactly the canonical holder keeps the line, got $lSurvivors")
+    require(lRewritten >= plantedL - 1,
+      s"all non-canonical planted docs must be rewritten: $lRewritten")
+
     // ---- CC at adversarial diameter: a 10k-node path graph ----
     // dup-cluster graphs are near-cliques (diameter 2-3); this is the
     // opposite extreme. Pointer jumping must converge in ~log2(10000)+O(1)
