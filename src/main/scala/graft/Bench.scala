@@ -508,7 +508,19 @@ object Bench {
          |sf0.1 QTime q_contamination 1.0-1.3 s / q_decontaminate
          |~1.2 s (r6 driver window: 11.2 s / 5.2 s wall — window noise
          |plus the double-evaluated split lambda, now plan-pinned to one
-         |evaluation).
+         |evaluation). Late round 7 on the same stress corpus: the LINE
+         |tier (CCNet screen) under a boilerplate line planted in 10,000
+         |docs — 60,000 fp rows (one per line, not per token position)
+         |through the scalar exchange in 0.5 s, duplicate detection
+         |0.9 s, and the excision strip rewrote 10,063 docs in 1.0 s
+         |leaving exactly ONE canonical holder — roughly 10x cheaper
+         |than the passage tier on the same corpus, which is the point
+         |of running it first. Late-round-7 constant hoist (the cascade
+         |constructs a detector PER GRID; its instance-val constants —
+         |border-similarity map, signature buckets, plate formats —
+         |moved to companions): cascade 13.1k → 9.9k B/grid, kernel
+         |51.8k → 49.8k B/doc, extract-ON 57.8k → 54.9k B/doc,
+         |behavior-identical (goldens float-exact).
          |
          |Single-node vs reference (BASELINE.md): the reference publishes
          |1M+ cells/s on its simple path and 100K+ cells/s on the island path

@@ -310,6 +310,16 @@ object SparkEntry {
     "q_gopher" -> ((s, dir) =>
       TextOps.gopherMetrics(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // corpus-frequency quality (the CCNet-family signal with exact
+    // integers): per-doc token count + count of tokens in the corpus's
+    // top-20 vocabulary (31 distinct tokens at sf0.01 — k=20 leaves a
+    // real out-of-vocabulary tail, splitting the 7/10 gate 194/306), the
+    // two-stage derive-then-apply pattern: vocabulary aggregate, top-k
+    // broadcast back over the corpus, integer-product gate
+    "q_freq_quality" -> ((s, dir) =>
+      TextOps.tokenFrequencyQuality(t(s, dir, "documents"), k = 20)
+        .withColumn("pass", col("n_common") * 10 >= col("n_tokens") * 7)
+        .orderBy(col("doc_id"))),
     // deterministic hash-Bernoulli downsample: the 2/16 slice by the first
     // md5 nibble of doc_id (cross-engine hash so the oracle replays it
     // bit-for-bit; the production key is xxhash64 — Sampling.xxhashKey).
@@ -1179,6 +1189,26 @@ object SparkEntry {
         |   AND n_alpha_words * 10 >= n_words * 8
         |   AND n_stop_hits >= 2) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the identical tokenization, the deterministic (count desc, token)
+    // top-20 vocabulary, multiplicity-counted membership, integer gate
+    "q_freq_quality" ->
+      """WITH ftoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |ftokrows AS (SELECT doc_id, unnest(tk) AS token FROM ftoks),
+        |ftop AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n_occ FROM ftokrows
+        |    GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 20)),
+        |fcommon AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_common
+        |  FROM ftokrows JOIN ftop USING (token) GROUP BY 1)
+        |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+        |  coalesce(c.n_common, 0)::BIGINT AS n_common,
+        |  (coalesce(c.n_common, 0) * 10 >= len(t.tk) * 7) AS pass
+        |FROM ftoks t LEFT JOIN fcommon c ON c.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // md5 of the stringified id is identical in both engines (UTF-8 bytes,
     // lowercase hex); nibble = position in the hex alphabet
     "q_sample_hash" ->

@@ -308,6 +308,48 @@ object TextOps {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** The corpus's top-`k` tokens by occurrence count — deterministic
+    * total order (count desc, token asc) so the rank-k boundary is
+    * engine-independent. Map-side-combine aggregate + TakeOrdered; the
+    * result is a tiny reusable artifact (persist it between runs at
+    * production scale).
+    */
+  def topTokens(df: DataFrame, textCol: String = "text", k: Int = 1000): DataFrame =
+    df.select(explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        t => length(t) > 0)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(k)
+
+  /** Corpus-frequency quality signal (the CCNet-family idea with exact
+    * integers instead of an LM: prose drawn from the corpus's common
+    * vocabulary scores high, gibberish/rare-token spam scores low):
+    * per-doc whitespace-token count and the count of tokens (with
+    * multiplicity) that fall in the corpus's top-`k` vocabulary
+    * ([[topTokens]]). Downstream gates stay in integer products
+    * (`n_common * 10 >= n_tokens * 9`), never replayed float division.
+    *
+    * Scale shape (100 TB): two corpus scans — the vocabulary aggregate
+    * (map-side combine into one token-keyed exchange; at production
+    * scale persist the tiny top-k artifact and skip this scan per run)
+    * and the scoring pass: exploded tokens BROADCAST-joined against the
+    * top-k set (map-side), then ONE doc-keyed exchange of
+    * partially-aggregated match counts — O(matched tokens) pre-combined,
+    * not O(corpus tokens) — and a key-equality join back. No UDFs.
+    */
+  def tokenFrequencyQuality(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        t => length(t) > 0).as("tk"))
+    val common = toks.select(col("doc_id"), explode(col("tk")).as("token"))
+      .join(broadcast(topTokens(df, textCol, k).select(col("token"))), Seq("token"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(common, Seq("doc_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+  }
+
   // ---- PII detection + scrubbing (the Dolma/RefinedWeb masking stage) ----
 
   /** RE2-compatible pattern subset (no lookaround, no backreferences, no

@@ -497,6 +497,30 @@ class OpsSpec extends AnyFunSuite {
     assert(viaFilter == viaMetrics, "c4Filter == c4Metrics.filter(page_pass)")
   }
 
+  test("token-frequency quality scores common vocabulary high, gibberish low") {
+    import spark.implicits._
+    // vocabulary dominated by "the cat sat" variants; docs 4-5 are
+    // out-of-vocabulary gibberish; doc 6 content-free (zero tokens)
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat near the cat"),
+      (3L, "THE CAT sat"), // case-insensitive tokenization
+      (4L, "zzq wxv qqj zzq"),
+      (5L, "mmx kkz"),
+      (6L, "   ")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenFrequencyQuality(docs, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // counts: the=5 cat=4 sat=3 zzq=2, then a 1-count tail whose
+    // (count desc, token asc) tie-break picks kkz -> top5 = the, cat,
+    // sat, zzq, kkz (the deterministic rank-k boundary)
+    assert(out(1L) == ((6L, 4L)), "the x2 + cat + sat common; on/mat not")
+    assert(out(3L) == ((3L, 3L)), "case-insensitive: THE CAT count as common")
+    assert(out(4L) == ((4L, 2L)), "multiplicity: both zzq occurrences count")
+    assert(out(5L) == ((2L, 1L)), "kkz sits exactly on the rank-5 boundary")
+    assert(out(6L) == ((0L, 0L)), "content-free doc scores (0, 0)")
+  }
+
   test("line dedup strips non-canonical duplicated lines, keeps raw bytes") {
     import spark.implicits._
     val boiler = "Subscribe to our newsletter today!"

@@ -273,6 +273,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!projStr.contains("DeserializeToObject"))
   }
 
+  test("frequency quality: top-k vocabulary broadcasts into the scoring join") {
+    // the derive-then-apply pattern: the tiny top-k set must reach the
+    // per-token scoring join as a BROADCAST (a shuffled join here would
+    // exchange the full exploded token stream a second time)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.ops.TextOps.tokenFrequencyQuality(docs, k = 20)
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      "top-k vocabulary must broadcast into the token scoring join")
+    assert(!planStr.toLowerCase.contains("rangepartitioning"),
+      "unsorted operator return")
+  }
+
   test("gopher filter: map-side only, one tokenization per gate side") {
     // the composed gate is two aggregate() folds finishing to booleans,
     // with the symbol count threaded through the word fold's init — so

@@ -559,6 +559,33 @@ class StreamingSpec extends AnyFunSuite {
       b1.toDF("doc_id", "text"), indexDir, outDir, "batch_0"))
   }
 
+  test("C4 line cleaning runs unchanged on a stream (stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.TextOps
+    val arrivals = Seq(
+      (1L, "A first good sentence with words.\nshort.\nAnother keeper sentence here!"),
+      (2L, "lorem ipsum makes this page die.\nA fine sentence otherwise present."),
+      (3L, "Enable javascript to continue now.\nOnly one surviving sentence here."))
+    val mem = MemoryStream[(Long, String)]
+    val q = TextOps.c4Filter(mem.toDS().toDF("doc_id", "text"), minSentences = 1L)
+      .writeStream.format("memory").queryName("c4s").outputMode("append").start()
+    try {
+      mem.addData(arrivals.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, text FROM c4s")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = TextOps.c4Filter(arrivals.toDF("doc_id", "text"), minSentences = 1L)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // doc 2 dies on the lorem gate; 1 and 3 pass with lines cleaned
+      assert(streamed.map(_._1) == Set(1L, 3L))
+      assert(streamed == batch,
+        s"stateless ops must be batch-identical on a stream: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming line apply folds micro-batches over the growing index") {
     import spark.implicits._
     import graft.ops.{Dedup, LineIndex}
