@@ -716,7 +716,35 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("decode_ok"),
           col("format"), col("width"), col("height"), col("n_frames"),
           col("channels"), col("sample_rate"), col("duration_ms"))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+    // PDF main-content extraction (the north star's PDF/layout-parse leg),
+    // the q_multimodal pattern: REAL one-page PDFs are constructed from
+    // doc_id arithmetic (COS objects, declared /Length, BT/ET content
+    // stream exercising escaped literals, a TJ array, Td/T* line breaks,
+    // and a conditional hex string), the from-scratch parser extracts the
+    // text for real through the extractHtml payload sniff, and the oracle
+    // states the expected output via the same id arithmetic — so a parser
+    // regression in string escapes, length handling, or line geometry
+    // hash-mismatches immediately. (FlateDecode is PdfSpec-covered; SQL
+    // cannot deflate.)
+    "q_pdf_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val paid = if (id % 3 == 0) "T* <50414944> Tj\n" else ""
+          val content = s"BT\n72 720 Td (Invoice \\(No. $id\\)) Tj\n" +
+            s"0 -14 Td [(Total: ) (${id % 97}) ( units)] TJ\n" +
+            s"T* (Contact: billing@example${id % 10}.com) Tj\n" + paid + "ET"
+          val pdfBytes = ("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n" +
+            s"4 0 obj << /Length ${content.length} >>\nstream\n" + content +
+            "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val ex = graft.core.extract.Extractor.extractHtml(pdfBytes)
+          (id, ex.text, ex.text.length.toLong)
+        }
+        .toDF("doc_id", "text", "n_chars_out")
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB-equivalent SQL per `q_*` query (same column names/order). */
@@ -1956,6 +1984,19 @@ object SparkEntry {
         |  (CASE kind WHEN 'audio' THEN
         |      tlen * 1000 // (8000 * (1 + id % 6) * (1 + id % 2) * 2)
         |    WHEN 'video' THEN 500 + id % 120000 ELSE 0 END)::BIGINT AS duration_ms
-        |FROM media ORDER BY media_id""".stripMargin
+        |FROM media ORDER BY media_id""".stripMargin,
+    // the parser's expected OUTPUT stated via the same doc_id arithmetic
+    // that built the real PDFs (the q_multimodal oracle pattern): the
+    // Spark side decoded actual COS streams; the oracle knows what the
+    // construction must extract to
+    "q_pdf_extract" ->
+      """SELECT doc_id, text, len(text)::BIGINT AS n_chars_out FROM (
+        |  SELECT doc_id,
+        |    'Invoice (No. ' || CAST(doc_id AS VARCHAR) || ')' || chr(10) ||
+        |    'Total: ' || CAST(doc_id % 97 AS VARCHAR) || ' units' || chr(10) ||
+        |    'Contact: billing@example' || CAST(doc_id % 10 AS VARCHAR) || '.com' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'PAID' ELSE '' END AS text
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

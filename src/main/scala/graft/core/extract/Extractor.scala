@@ -267,6 +267,17 @@ object Extractor {
     * serialize.
     */
   def extractHtml(html: Array[Byte], config: DetectConfig = DetectConfig()): PageExtract = {
+    // PDF payloads sniff on the RAW bytes (binary — the encoding chain
+    // would mangle them) and route to the from-scratch PDF text parser;
+    // its text blocks flow through the same canonical-text serializer,
+    // so the downstream contract (text, sha, metrics) is format-blind.
+    if (graft.core.pdf.PdfText.isPdf(html)) {
+      val text = graft.core.pdf.PdfText.extractText(html)
+      val blocks = text.split('\n').iterator.filter(_.nonEmpty).toVector
+      val page = ParsedPage(blocks, Vector.empty,
+        math.max(0L, html.length.toLong - blocks.iterator.map(_.length + 1).sum))
+      return extract(page, config)
+    }
     val decoded = graft.core.html.Encoding.decode(html)
     val page =
       if (looksLikeHtml(decoded)) PageParser.parse(decoded)

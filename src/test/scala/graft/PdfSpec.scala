@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.pdf.PdfText
+
+/** The from-scratch PDF text parser: COS scan, FlateDecode, BT/ET text
+  * operators, string syntax (escapes/octal/nesting/hex), totality on
+  * hostile bytes, and the extractHtml payload routing.
+  */
+class PdfSpec extends AnyFunSuite {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
+
+  /** A minimal one-page PDF around the given content stream (no xref —
+    * the parser is scan-based, like the repair paths of real readers).
+    */
+  private def pdf(content: String, declareLength: Boolean = true): Array[Byte] = {
+    val body = bytes(content)
+    val len = if (declareLength) s" /Length ${body.length}" else ""
+    bytes(
+      s"""%PDF-1.4
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj
+         |4 0 obj <<$len >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |trailer << /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin)
+  }
+
+  private def flatePdf(content: String): Array[Byte] = {
+    val raw = bytes(content)
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(buf)
+    d.end()
+    val comp = java.util.Arrays.copyOf(buf, n)
+    val head = bytes(
+      s"%PDF-1.4\n4 0 obj << /Length ${comp.length} /Filter /FlateDecode >>\nstream\n")
+    val tail = bytes("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+    val out = new Array[Byte](head.length + comp.length + tail.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(comp, 0, out, head.length, comp.length)
+    System.arraycopy(tail, 0, out, head.length + comp.length, tail.length)
+    out
+  }
+
+  test("text operators: Tj, TJ arrays, quote ops, Td/T* line breaks") {
+    val content =
+      "BT\n72 720 Td (Hello world.) Tj\n" +
+        "0 -14 Td [(Total: ) (42) ( units)] TJ\n" +
+        "T* (third line) Tj\n" +
+        "(fourth via quote) '\n" +
+        "1 0 0 1 72 600 Tm (after Tm) Tj\nET"
+    assert(PdfText.extractText(pdf(content)) ==
+      "Hello world.\nTotal: 42 units\nthird line\nfourth via quote\nafter Tm\n")
+  }
+
+  test("string syntax: escapes, octal, nested parens, continuations, hex") {
+    val content =
+      "BT (paren \\(nested (deep) inside\\) end) Tj " +
+        "T* (tab\\there \\101\\102\\103) Tj " +
+        "T* (split\\\nline) Tj " +
+        "T* <48657820 6C696E65> Tj " +
+        "T* <4F6464> Tj ET"
+    assert(PdfText.extractText(pdf(content)) ==
+      "paren (nested (deep) inside) end\ntab\there ABC\nsplitline\nHex line\nOdd\n")
+  }
+
+  test("FlateDecode streams inflate and extract identically") {
+    val content = "BT (compressed content extracts) Tj ET"
+    assert(PdfText.extractText(flatePdf(content)) == "compressed content extracts\n")
+  }
+
+  test("text outside BT/ET never collects; non-Flate filters are skipped") {
+    val c = "(loose string) Tj BT (kept) Tj ET (also loose) Tj"
+    assert(PdfText.extractText(pdf(c)) == "kept\n")
+    val dct = bytes(
+      "%PDF-1.4\n5 0 obj << /Length 20 /Filter /DCTDecode >>\nstream\n" +
+        "BT (not text) Tj ET\nendstream endobj\n%%EOF\n")
+    assert(PdfText.extractText(dct) == "")
+  }
+
+  test("missing /Length falls back to the endstream scan") {
+    val content = "BT (no declared length) Tj ET"
+    assert(PdfText.extractText(pdf(content, declareLength = false)) ==
+      "no declared length\n")
+  }
+
+  test("total on hostile bytes: truncation, bogus lengths, corrupt deflate, fuzz") {
+    val good = pdf("BT (x) Tj ET")
+    // truncated mid-stream
+    assert(PdfText.extractText(java.util.Arrays.copyOf(good, good.length / 2)) != null)
+    // length far beyond the data: falls back to the endstream bound
+    val bogus = bytes(
+      "%PDF-1.4\n4 0 obj << /Length 999999 >>\nstream\nBT (bounded) Tj ET\nendstream endobj\n")
+    assert(PdfText.extractText(bogus) == "bounded\n")
+    // corrupt deflate body: skipped, not thrown
+    val corrupt = bytes(
+      "%PDF-1.4\n4 0 obj << /Length 8 /Filter /FlateDecode >>\nstream\nZZZZZZZZ\nendstream endobj\n")
+    assert(PdfText.extractText(corrupt) == "")
+    // deterministic byte fuzz with a PDF header
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(b)
+      val withMagic = bytes("%PDF-1.4\n") ++ b
+      val t = PdfText.extractText(withMagic) // must not throw
+      assert(t != null)
+    }
+  }
+
+  test("extractHtml routes PDF payloads through the parser end to end") {
+    import graft.core.extract.Extractor
+    val payload = pdf(
+      "BT 72 720 Td (Main document body text.) Tj 0 -14 Td (Second paragraph here.) Tj ET")
+    assert(PdfText.isPdf(payload))
+    val ex = Extractor.extractHtml(payload)
+    assert(ex.text == "Main document body text.\nSecond paragraph here.")
+    assert(ex.tables.isEmpty && ex.regions == 0)
+    assert(ex.sha256 == Extractor.sha256Hex(ex.text))
+    // HTML payloads are untouched by the sniff
+    val html = "<html><body><p>plain html page</p></body></html>".getBytes("UTF-8")
+    assert(!PdfText.isPdf(html))
+    assert(Extractor.extractHtml(html).text.contains("plain html page"))
+  }
+}
