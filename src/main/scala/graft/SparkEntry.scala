@@ -310,6 +310,23 @@ object SparkEntry {
     "q_gopher" -> ((s, dir) =>
       TextOps.gopherMetrics(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // Unicode normalization (UAX #15 NFC) as a native codegen'd
+    // expression over a deterministic decomposed augmentation (the ASCII
+    // corpus is vacuously normalized): combining acute + combining ring
+    // compose, lengths shrink accordingly; the oracle replays with
+    // DuckDB's utf8proc nfc_normalize — two independent UAX #15
+    // implementations must agree byte for byte
+    "q_unicode_norm" -> ((s, dir) => {
+      val raw = concat(lit("Cafe\u0301 menu "), col("doc_id").cast("string"),
+        lit(" A\u030angstrom"))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.unicodeNorm(col("raw"), "NFC").as("norm"),
+          length(col("raw")).cast("long").as("n_before"),
+          length(graft.functions.TextFunctions.unicodeNorm(col("raw"), "NFC"))
+            .cast("long").as("n_after"))
+        .orderBy(col("doc_id"))
+    }),
     // corpus-frequency quality (the CCNet-family signal with exact
     // integers): per-doc token count + count of tokens in the corpus's
     // top-20 vocabulary (31 distinct tokens at sf0.01 — k=20 leaves a
@@ -1217,6 +1234,18 @@ object SparkEntry {
         |   AND n_alpha_words * 10 >= n_words * 8
         |   AND n_stop_hits >= 2) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    // utf8proc NFC vs java.text.Normalizer NFC — both UAX #15; the
+    // augmentation builds the decomposed input with chr() codepoints
+    "q_unicode_norm" ->
+      """SELECT doc_id, nfc_normalize(raw) AS norm,
+        |  len(raw)::BIGINT AS n_before,
+        |  len(nfc_normalize(raw))::BIGINT AS n_after
+        |FROM (
+        |  SELECT doc_id,
+        |    'Cafe' || chr(769) || ' menu ' || CAST(doc_id AS VARCHAR) ||
+        |    ' A' || chr(778) || 'ngstrom' AS raw
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // the identical tokenization, the deterministic (count desc, token)
     // top-20 vocabulary, multiplicity-counted membership, integer gate
     "q_freq_quality" ->

@@ -45,7 +45,12 @@ object GraftFunctions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "graft_fingerprint64"),
-      (children: Seq[Expression]) => Fingerprint64(children.head))
+      (children: Seq[Expression]) => Fingerprint64(children.head)),
+    // graft_unicode_norm(s, form): form 0=NFC 1=NFD 2=NFKC 3=NFKD
+    (FunctionIdentifier("graft_unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNorm].getName, "graft_unicode_norm"),
+      (children: Seq[Expression]) => UnicodeNorm(children.head,
+        children(1).eval().asInstanceOf[Int]))
   )
 
   /** Session-level registration (idempotent) so `expr`/SQL can resolve the

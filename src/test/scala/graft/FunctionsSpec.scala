@@ -61,6 +61,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.isNullAt(0), "null in, null out")
   }
 
+  test("unicodeNorm matches java.text.Normalizer across forms, total on null") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      "Café composed",         // NFC composes the accent
+      "ﬁle fullwidth Ａ",   // NFKC: fi ligature -> fi, fullwidth A -> A
+      "already clean ascii",         // fast path: isNormalized short-circuit
+      null.asInstanceOf[String]
+    ).toDF("s")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = rows.select(TextFunctions.unicodeNorm(col("s"), form)).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      val want = Seq("Café composed", "ﬁle fullwidth Ａ",
+        "already clean ascii", null).map(s =>
+        if (s == null) null
+        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form)))
+      assert(got.toSeq == want, s"form $form")
+    }
+    // the plan stays codegen'd — no object-serde break
+    val plan = rows.select(TextFunctions.unicodeNorm(col("s"), "NFKC"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_unicode_norm") && !plan.contains("DeserializeToObject"))
+    intercept[IllegalArgumentException] {
+      TextFunctions.unicodeNorm(col("s"), "NFX")
+    }
+  }
+
   test("SQL-name registration and null handling") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT graft_fingerprint64('abc') AS fp, " +

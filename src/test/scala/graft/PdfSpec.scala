@@ -119,6 +119,25 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("the Spark pipeline extracts mixed HTML and PDF payloads in one pass") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import graft.spark.{Page, Pipeline}
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val pages = Seq(
+      Page("https://h/doc.pdf", ts,
+        pdf("BT (pdf body line one.) Tj T* (and line two.) Tj ET"), null, "en"),
+      Page("https://h/page.html", ts,
+        "<html><body><p>html body text</p></body></html>".getBytes("UTF-8"),
+        null, "en")
+    ).toDS()
+    val out = Pipeline.extract(spark, pages).collect()
+      .map(e => e.url -> e).toMap
+    assert(out("https://h/doc.pdf").text == "pdf body line one.\nand line two.")
+    assert(!out("https://h/doc.pdf").parse_failed)
+    assert(out("https://h/page.html").text.contains("html body text"))
+  }
+
   test("extractHtml routes PDF payloads through the parser end to end") {
     import graft.core.extract.Extractor
     val payload = pdf(
