@@ -515,7 +515,12 @@ object Bench {
          |0.9 s, and the excision strip rewrote 10,063 docs in 1.0 s
          |leaving exactly ONE canonical holder — roughly 10x cheaper
          |than the passage tier on the same corpus, which is the point
-         |of running it first. Late-round-7 constant hoist (the cascade
+         |of running it first. The extraction surface also grew the north
+         |rule's PDF leg (q_pdf_extract decodes real scan-built COS
+         |streams per doc — FlateDecode, BT/ET text operators, totality
+         |fuzz in PdfSpec) and codegen'd UAX-15 normalization
+         |(q_unicode_norm, byte-identical to DuckDB's independent
+         |utf8proc NFC). Late-round-7 constant hoist (the cascade
          |constructs a detector PER GRID; its instance-val constants —
          |border-similarity map, signature buckets, plate formats —
          |moved to companions): cascade 13.1k → 9.9k B/grid, kernel
