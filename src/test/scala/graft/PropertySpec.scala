@@ -272,6 +272,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("UnicodeNorm kernel == java.text.Normalizer over arbitrary unicode") {
+    // the codegen entry point (TextKernels.unicodeNorm over UTF8String)
+    // must agree with the platform Normalizer for every form, including
+    // surrogate pairs, lone combining marks, and unassigned codepoints;
+    // the UTF8String round-trip (String -> UTF8 bytes -> String) must not
+    // corrupt what normalization produces
+    import org.apache.spark.unsafe.types.UTF8String
+    val uniGen: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.choose(32, 126).map(_.toChar.toString),
+      3 -> Gen.oneOf("é", "é", "Å", "ﬁ", "Ａ", "½", "각",
+        "́", "ñ", "😀"),
+      1 -> Gen.choose(0x80, 0xFFF).map(cp => new String(Character.toChars(cp)))
+    )).map(_.mkString)
+    check(Prop.forAll(uniGen, Gen.choose(0, 3)) { (s, form) =>
+      val f = form match {
+        case 0 => java.text.Normalizer.Form.NFC
+        case 1 => java.text.Normalizer.Form.NFD
+        case 2 => java.text.Normalizer.Form.NFKC
+        case _ => java.text.Normalizer.Form.NFKD
+      }
+      val got = graft.functions.TextKernels
+        .unicodeNorm(UTF8String.fromString(s), form).toString
+      got == java.text.Normalizer.normalize(s, f)
+    })
+  }
+
   test("detection output is invariant to cell insertion order") {
     check(Prop.forAll(Gen.listOfN(50, cellGen)) { coords =>
       val distinct = coords.distinct
