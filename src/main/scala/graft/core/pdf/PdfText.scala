@@ -20,7 +20,9 @@ import java.util.zip.Inflater
   *
   * DECLARED SUBSET (documented, not silent): bytes map to text as Latin-1
   * — simple 8-bit fonts extract exactly; composite/Type0 fonts with CMaps
-  * (and any non-Flate filter) are skipped rather than mis-decoded. Line
+  * are skipped rather than mis-decoded. Filters: FlateDecode,
+  * ASCIIHexDecode, ASCII85Decode, and ordered arrays thereof (§7.4.1);
+  * image/legacy filters (DCT, CCITT, JBIG2, LZW) skip the stream. Line
   * geometry is approximated the way every text-dump tool does at this
   * tier: `Td`/`TD`/`T*`/`Tm` and the `'`/`"` operators start a new line,
   * `TJ` kerning adjustments do not insert spaces.
@@ -83,14 +85,10 @@ object PdfText {
             case _ => ()
           }
           if (dataEnd > dataStart) {
-            val flate = dict.contains("/FlateDecode")
-            val otherFilter = !flate && dict.contains("/Filter")
-            if (!otherFilter) {
-              val body =
-                if (flate) inflate(bytes, dataStart, dataEnd - dataStart)
-                else java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-              if (body != null) scanContent(body, out)
-            }
+            val body = applyFilters(
+              java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd),
+              filtersOf(dict))
+            if (body != null) scanContent(body, out)
           }
           from = if (endKw < 0) bytes.length else endKw + 9
         }
@@ -170,6 +168,119 @@ object PdfText {
     while (i < dict.length && dict.charAt(i) == ' ') i += 1
     if (any && i < dict.length && dict.charAt(i) >= '0' && dict.charAt(i) <= '9') None
     else if (any) Some(n.toInt) else None
+  }
+
+  /** The ordered /Filter names of a stream dict: a single name or an
+    * array `[/A /B]` (applied left to right per §7.4.1). DecodeParms are
+    * not consulted — predictors are image territory, and a mis-predicted
+    * content stream simply yields no BT/ET text.
+    */
+  private[pdf] def filtersOf(dict: String): Seq[String] = {
+    val k = dict.indexOf("/Filter")
+    if (k < 0) return Nil
+    var i = k + 7
+    while (i < dict.length && (dict.charAt(i) == ' ' || dict.charAt(i) == '\t' ||
+      dict.charAt(i) == '\r' || dict.charAt(i) == '\n')) i += 1
+    def name(from: Int): (String, Int) = {
+      var j = from + 1
+      while (j < dict.length && (dict.charAt(j).isLetterOrDigit)) j += 1
+      (dict.substring(from, j), j)
+    }
+    if (i < dict.length && dict.charAt(i) == '/') Seq(name(i)._1)
+    else if (i < dict.length && dict.charAt(i) == '[') {
+      val names = Seq.newBuilder[String]
+      var j = i + 1
+      while (j < dict.length && dict.charAt(j) != ']') {
+        if (dict.charAt(j) == '/') { val (nm, nj) = name(j); names += nm; j = nj }
+        else j += 1
+      }
+      names.result()
+    } else Nil
+  }
+
+  /** Apply the filter chain in order; null when any stage fails or an
+    * unsupported filter appears (DCT/JBIG2/CCITT/LZW — image or legacy
+    * territory; skipped rather than mis-decoded).
+    */
+  private def applyFilters(data: Array[Byte], filters: Seq[String]): Array[Byte] = {
+    var cur = data
+    filters.foreach { f =>
+      if (cur == null) return null
+      cur = f match {
+        case "/FlateDecode" | "/Fl" => inflate(cur, 0, cur.length)
+        case "/ASCIIHexDecode" | "/AHx" => asciiHexDecode(cur)
+        case "/ASCII85Decode" | "/A85" => ascii85Decode(cur)
+        case _ => null
+      }
+    }
+    cur
+  }
+
+  /** §7.4.2 ASCIIHexDecode: hex pairs, whitespace ignored, `>` is EOD, an
+    * odd final digit pads with 0.
+    */
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return out.toByteArray
+      }
+      val v =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else -1
+      if (v >= 0) {
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** §7.4.3 ASCII85Decode: 5 chars `!`..`u` -> 4 bytes base 85, `z` -> four
+    * zero bytes (group start only), whitespace ignored, `~>` is EOD, a
+    * final partial group of n chars yields n-1 bytes (pad with `u`).
+    * Returns null on out-of-range characters (corrupt data).
+    */
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var gn = 0
+    def flush(count: Int): Unit = {
+      var k = gn
+      while (k < 5) { grp(k) = 84; k += 1 } // pad with 'u'
+      var v = 0L
+      k = 0
+      while (k < 5) { v = v * 85 + grp(k); k += 1 }
+      var shift = 24
+      var w = 0
+      while (w < count) { out.write(((v >> shift) & 0xff).toInt); shift -= 8; w += 1 }
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '~') { // EOD
+        if (gn == 1) return null // a lone trailing char is illegal
+        if (gn > 1) flush(gn - 1)
+        return out.toByteArray
+      } else if (c == 'z' && gn == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (c >= '!' && c <= 'u') {
+        grp(gn) = c - '!'
+        gn += 1
+        if (gn == 5) { flush(4); gn = 0 }
+      } else if (!(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0))
+        return null
+      i += 1
+    }
+    if (gn == 1) return null
+    if (gn > 1) flush(gn - 1)
+    out.toByteArray
   }
 
   private def inflate(bytes: Array[Byte], off: Int, len: Int): Array[Byte] = {

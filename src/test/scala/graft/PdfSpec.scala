@@ -81,6 +81,53 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfText.extractText(flatePdf(content)) == "compressed content extracts\n")
   }
 
+  test("ASCIIHex / ASCII85 filters and ordered filter chains decode") {
+    val content = "BT (ascii filter text) Tj ET"
+    // ASCIIHexDecode with interspersed whitespace and the > EOD
+    val hex = content.getBytes(StandardCharsets.ISO_8859_1)
+      .map(b => f"$b%02x").mkString(" ") + ">"
+    val hexPdf = bytes(
+      s"%PDF-1.4\n4 0 obj << /Length ${hex.length} /Filter /ASCIIHexDecode >>\nstream\n" +
+        hex + "\nendstream endobj\n%%EOF\n")
+    assert(PdfText.extractText(hexPdf) == "ascii filter text\n")
+    // ASCII85Decode (encode here, decode in the parser), with ~> EOD
+    def a85(data: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < data.length) {
+        val n = math.min(4, data.length - i)
+        var v = 0L
+        (0 until 4).foreach(k => v = (v << 8) | (if (i + k < data.length) data(i + k) & 0xff else 0))
+        val cs = new Array[Char](5)
+        var rem = v
+        (4 to 0 by -1).foreach { k => cs(k) = ('!' + (rem % 85)).toChar; rem /= 85 }
+        sb.appendAll(cs, 0, n + 1)
+        i += 4
+      }
+      sb.append("~>").toString
+    }
+    val enc = a85(content.getBytes(StandardCharsets.ISO_8859_1))
+    val a85Pdf = bytes(
+      s"%PDF-1.4\n4 0 obj << /Length ${enc.length} /Filter /ASCII85Decode >>\nstream\n" +
+        enc + "\nendstream endobj\n%%EOF\n")
+    assert(PdfText.extractText(a85Pdf) == "ascii filter text\n")
+    // ordered chain: deflate THEN a85-encode; the decoder applies
+    // [/ASCII85Decode /FlateDecode] left to right
+    val d = new Deflater()
+    d.setInput(content.getBytes(StandardCharsets.ISO_8859_1)); d.finish()
+    val buf = new Array[Byte](512)
+    val nC = d.deflate(buf); d.end()
+    val chainEnc = a85(java.util.Arrays.copyOf(buf, nC))
+    val chainPdf = bytes(
+      s"%PDF-1.4\n4 0 obj << /Length ${chainEnc.length} /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n" +
+        chainEnc + "\nendstream endobj\n%%EOF\n")
+    assert(PdfText.extractText(chainPdf) == "ascii filter text\n")
+    // corrupt a85 (illegal character) skips the stream, never throws
+    val bad = bytes(
+      "%PDF-1.4\n4 0 obj << /Length 9 /Filter /ASCII85Decode >>\nstream\nÿgarbage!\nendstream endobj\n%%EOF\n")
+    assert(PdfText.extractText(bad) == "")
+  }
+
   test("text outside BT/ET never collects; non-Flate filters are skipped") {
     val c = "(loose string) Tj BT (kept) Tj ET (also loose) Tj"
     assert(PdfText.extractText(pdf(c)) == "kept\n")
