@@ -21,8 +21,9 @@ import java.util.zip.Inflater
   * DECLARED SUBSET (documented, not silent): bytes map to text as Latin-1
   * — simple 8-bit fonts extract exactly; composite/Type0 fonts with CMaps
   * are skipped rather than mis-decoded. Filters: FlateDecode,
-  * ASCIIHexDecode, ASCII85Decode, and ordered arrays thereof (§7.4.1);
-  * image/legacy filters (DCT, CCITT, JBIG2, LZW) skip the stream. Line
+  * ASCIIHexDecode, ASCII85Decode, LZWDecode (EarlyChange=1 default), and
+  * ordered arrays thereof (§7.4.1); image filters (DCT, CCITT, JBIG2)
+  * skip the stream. Line
   * geometry is approximated the way every text-dump tool does at this
   * tier: `Td`/`TD`/`T*`/`Tm` and the `'`/`"` operators start a new line,
   * `TJ` kerning adjustments do not insert spaces.
@@ -210,6 +211,7 @@ object PdfText {
         case "/FlateDecode" | "/Fl" => inflate(cur, 0, cur.length)
         case "/ASCIIHexDecode" | "/AHx" => asciiHexDecode(cur)
         case "/ASCII85Decode" | "/A85" => ascii85Decode(cur)
+        case "/LZWDecode" | "/LZW" => lzwDecode(cur)
         case _ => null
       }
     }
@@ -280,6 +282,55 @@ object PdfText {
     }
     if (gn == 1) return null
     if (gn > 1) flush(gn - 1)
+    out.toByteArray
+  }
+
+  /** §7.4.4 LZWDecode (TIFF-style LZW): MSB-first variable-width codes
+    * starting at 9 bits, 256 = clear table, 257 = EOD, new entries from
+    * 258, width grows at 511/1023/2047 under the spec-default
+    * EarlyChange=1 (DecodeParms are not consulted — EarlyChange=0
+    * streams are rare and simply fail to a null skip). Null on corrupt
+    * code sequences; output capped like the other decoders.
+    */
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bits = 0
+    var pos = 0
+    while (pos < data.length || bits >= width) {
+      if (bits < width) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff)
+        bits += 8
+        pos += 1
+      } else {
+        val code = ((bitBuf >>> (bits - width)) & ((1L << width) - 1)).toInt
+        bits -= width
+        if (code == 256) { next = 258; width = 9; prev = null }
+        else if (code == 257) return out.toByteArray
+        else {
+          val entry =
+            if (code < 256) table(code)
+            else if (code >= 258 && code < next) table(code)
+            else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+            else return null // corrupt
+          out.write(entry, 0, entry.length)
+          if (out.size > MaxInflatedPerStream) return null
+          if (prev != null && next < 4096) {
+            table(next) = prev :+ entry(0)
+            next += 1
+          }
+          prev = entry
+          // EarlyChange=1: the encoder widens one code early
+          if (next + 1 >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
     out.toByteArray
   }
 

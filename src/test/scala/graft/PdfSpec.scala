@@ -128,6 +128,85 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfText.extractText(bad) == "")
   }
 
+  /** Reference LZW encoder (TIFF/PDF variant, EarlyChange=1): keeps a
+    * SIMULATED decoder state and writes each code at the width the
+    * decoder will read it with — synchronization by construction.
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    import scala.collection.mutable
+    val out = mutable.ArrayBuffer[Byte]()
+    var acc = 0L
+    var accBits = 0
+    var decNext = 258
+    var decWidth = 9
+    var decHasPrev = false
+    def put(code: Int): Unit = {
+      acc = (acc << decWidth) | code
+      accBits += decWidth
+      while (accBits >= 8) {
+        out += ((acc >>> (accBits - 8)) & 0xff).toByte
+        accBits -= 8
+      }
+      if (code == 256) { decNext = 258; decWidth = 9; decHasPrev = false }
+      else if (code != 257) {
+        if (decHasPrev && decNext < 4096) decNext += 1
+        decHasPrev = true
+        if (decNext + 1 >= (1 << decWidth) && decWidth < 12) decWidth += 1
+      }
+    }
+    put(256)
+    val dict = mutable.HashMap[Seq[Byte], Int]()
+    var next = 258
+    var w = Vector.empty[Byte]
+    def codeOf(ws: Seq[Byte]): Int =
+      if (ws.length == 1) ws.head & 0xff else dict(ws)
+    data.foreach { b =>
+      val wb = w :+ b
+      if (wb.length == 1 || dict.contains(wb)) w = wb
+      else {
+        put(codeOf(w))
+        if (next < 4096) { dict(wb) = next; next += 1 }
+        w = Vector(b)
+      }
+    }
+    if (w.nonEmpty) put(codeOf(w))
+    put(257)
+    if (accBits > 0) out += ((acc << (8 - accBits)) & 0xff).toByte
+    out.toArray
+  }
+
+  test("LZWDecode round-trips, incl. KwKwK, width growth, and the PDF path") {
+    // KwKwK: runs of one byte force the code == next case immediately
+    val kwkwk = Array.fill[Byte](50)('a')
+    assert(java.util.Arrays.equals(PdfText.lzwDecode(lzwEncode(kwkwk)), kwkwk))
+    // width growth to 10/11 bits: enough distinct pairs to pass 511/1023
+    val rnd = new scala.util.Random(7)
+    val wide = Array.fill[Byte](6000)((rnd.nextInt(64) + 32).toByte)
+    assert(java.util.Arrays.equals(PdfText.lzwDecode(lzwEncode(wide)), wide))
+    // deterministic fuzz round trips (mixed run lengths)
+    (0 until 50).foreach { k =>
+      val r = new scala.util.Random(k)
+      val n = r.nextInt(2000)
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val run = 1 + r.nextInt(6)
+        val v = r.nextInt(256).toByte
+        var j = 0
+        while (j < run && i < n) { b(i) = v; i += 1; j += 1 }
+      }
+      assert(java.util.Arrays.equals(PdfText.lzwDecode(lzwEncode(b)), b), s"seed $k")
+    }
+    // corrupt code stream: out-of-range code -> null, never a throw
+    assert(PdfText.lzwDecode(Array[Byte](-1, -1, -1, -1)) == null)
+    // end-to-end: an LZW-compressed content stream through the PDF path
+    val content = "BT (lzw compressed body text) Tj ET"
+    val enc = lzwEncode(content.getBytes(StandardCharsets.ISO_8859_1))
+    val head = bytes(s"%PDF-1.4\n4 0 obj << /Length ${enc.length} /Filter /LZWDecode >>\nstream\n")
+    val tail = bytes("\nendstream endobj\n%%EOF\n")
+    assert(PdfText.extractText(head ++ enc ++ tail) == "lzw compressed body text\n")
+  }
+
   test("text outside BT/ET never collects; non-Flate filters are skipped") {
     val c = "(loose string) Tj BT (kept) Tj ET (also loose) Tj"
     assert(PdfText.extractText(pdf(c)) == "kept\n")
