@@ -752,8 +752,16 @@ object SparkEntry {
           val content = s"BT\n72 720 Td (Invoice \\(No. $id\\)) Tj\n" +
             s"0 -14 Td [(Total: ) (${id % 97}) ( units)] TJ\n" +
             s"T* (Contact: billing@example${id % 10}.com) Tj\n" + paid + "ET"
+          // odd docs ship the content stream ASCIIHex-ENCODED with a
+          // /Filter entry — the driver gate then exercises the filter
+          // chain per doc (expected text is identical by construction)
+          val (body, filt) =
+            if (id % 2 == 1)
+              (content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+                .map(b => f"$b%02x").mkString + ">", " /Filter /ASCIIHexDecode")
+            else (content, "")
           val pdfBytes = ("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n" +
-            s"4 0 obj << /Length ${content.length} >>\nstream\n" + content +
+            s"4 0 obj << /Length ${body.length}$filt >>\nstream\n" + body +
             "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
             .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val ex = graft.core.extract.Extractor.extractHtml(pdfBytes)
