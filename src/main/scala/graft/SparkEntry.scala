@@ -655,7 +655,12 @@ object SparkEntry {
       // this surface, so the index-build cost is deliberately INCLUDED in
       // the benched wall/CPU (documented here; q_ann_ivf is the build-free
       // comparator).
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q_ivf_idx"
+      // keyed by PID: two concurrent runs on one host (Verify + Bench, or
+      // two users) must not race write() vs load() on a shared directory
+      // (single-writer contract); one deterministic dir PER PROCESS still
+      // avoids the leak-a-dir-per-invocation problem
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q_ivf_idx_" +
+        java.lang.ProcessHandle.current().pid()
       graft.ops.IvfIndex.write(Similarity.ivfIndex(s, emb, nList = 16), idxDir)
       Similarity.ivfTopKFromIndex(graft.ops.IvfIndex.load(s, idxDir),
         queries, k = 5, nProbe = 8)

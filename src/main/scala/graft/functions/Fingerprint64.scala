@@ -49,8 +49,22 @@ object GraftFunctions {
     // graft_unicode_norm(s, form): form 0=NFC 1=NFD 2=NFKC 3=NFKD
     (FunctionIdentifier("graft_unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNorm].getName, "graft_unicode_norm"),
-      (children: Seq[Expression]) => UnicodeNorm(children.head,
-        children(1).eval().asInstanceOf[Int]))
+      (children: Seq[Expression]) => {
+        // a clear analysis-time error instead of a ClassCastException deep
+        // in eval: the form must be a foldable integer literal
+        def fail(msg: String) = throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            (s"graft_unicode_norm: $msg (usage: graft_unicode_norm(str, form) " +
+              "with form a literal int: 0=NFC 1=NFD 2=NFKC 3=NFKD)")))
+        if (children.length != 2) fail(s"expects 2 arguments, got ${children.length}")
+        if (!children(1).foldable) fail("the form argument must be a literal")
+        children(1).eval() match {
+          case i: Int => UnicodeNorm(children.head, i)
+          case other => fail(s"the form argument must be an integer literal, " +
+            s"got ${children(1).dataType.simpleString} value $other")
+        }
+      })
   )
 
   /** Session-level registration (idempotent) so `expr`/SQL can resolve the

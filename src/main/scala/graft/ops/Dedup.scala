@@ -401,9 +401,13 @@ object Dedup {
         .agg(min(col("corpus_id")).as("_match_id")),
       materialize)
     val dropped = corpusDrops.select(col("_dup_id"))
-    val remaining = Materialize.iterative(
-      batch.join(dropped, batch(idCol) === col("_dup_id"), "left_anti"),
-      materialize)
+    // NOT materialized (round 8): `remaining` has exactly one consumer (the
+    // survivors anti-join below — remSigs restricts bIdx.sigs, not this),
+    // and both its inputs are already materialized, so the lineage is one
+    // batch scan + a cheap anti-join; the former checkpoint copied the full
+    // batch TEXT into block storage for nothing (a round-5 leftover from a
+    // shape where two consumers re-ran the cross band-join)
+    val remaining = batch.join(dropped, batch(idCol) === col("_dup_id"), "left_anti")
     // in-batch self-dedup at the SIGNATURE level: restrict the batch index
     // to surviving docs (one id-keyed anti-join of 1-row-per-doc sigs) and
     // re-band — no second tokenize+shingle pass over the batch text
@@ -411,10 +415,12 @@ object Dedup {
     val remIdx = indexFromSigs(remSigs, bIdx.k, bIdx.bands, bIdx.shingleN, materialize)
     val inBatch = minhashPairsOfIndex(remIdx, threshold, bucketCap)
     val labels = connectedComponents(spark, inBatch, materialize = materialize)
-    val losers = Materialize.iterative(
-      labels.filter(col("id") =!= col("cluster_id"))
-        .select(col("id").as("_loser_id"), col("cluster_id").as("_match_id")),
-      materialize)
+    // NOT materialized (round 8): a filter+projection of the CC output,
+    // which connectedComponents already materialized — each of the three
+    // consumers re-runs only a narrow scan of that checkpoint, not the
+    // in-batch pair pipeline
+    val losers = labels.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("_loser_id"), col("cluster_id").as("_match_id"))
     val survivors = remaining.join(losers,
       remaining(idCol) === col("_loser_id"), "left_anti")
     val batchIds = batch.select(col(idCol).cast("long").as("id"))
@@ -546,43 +552,70 @@ object Dedup {
     // distinct + signature re-attach + verify — the job's biggest shuffle),
     // and the loop references edges once per round. Unmaterialized, every
     // round re-executes that entire pipeline — at 100 TB that is rounds ×
-    // the largest shuffle in the job. Loop state uses Materialize.iterative
-    // (Recompute upgraded to Local): a no-op here would nest the
-    // pointer-jumping self-join's double reference each round — lineage and
-    // recompute cost exponential in the iteration count.
+    // the largest shuffle in the job. The symmetrization is ONE explode of
+    // a 2-struct array, not union(pairs, pairs.swapped): a union's two
+    // branches are independent physical subtrees, so the (expensive,
+    // unmaterialized) pair pipeline's post-exchange tail — candidate join,
+    // pair distinct, both signature re-attach joins, the verify — would
+    // execute TWICE inside this one materialization job (ReuseExchange
+    // only dedups the exchanges themselves). Loop state uses
+    // Materialize.iterative (Recompute upgraded to Local): a no-op here
+    // would nest the pointer-jumping self-join's double reference each
+    // round — lineage and recompute cost exponential in the iteration
+    // count.
     val edges = Materialize.iterative(
-      pairs.select(col("id_a"), col("id_b"))
-        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
+      pairs.select(explode(array(
+          struct(col("id_a"), col("id_b")),
+          struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("_e"))
+        .select(col("_e.id_a").as("id_a"), col("_e.id_b").as("id_b")),
       materialize)
-    var labels = Materialize.iterative(
-      edges.select(col("id_a").as("id")).distinct()
-        .withColumn("label", col("id")),
-      materialize)
+    // fused round 0: labels start as the identity (label(v) = v), so the
+    // first propagate is exactly min(v, min over neighbors u of u) — one
+    // aggregate over the symmetric edge set (every node appears as id_b).
+    // This replaces the identity-labels materialization plus round 0's
+    // edges⋈labels join with a single groupBy, same labels by construction.
     var iter = 0
     var converged = false
+    var labels: DataFrame = null
     while (!converged && iter < maxIter) {
-      // 1) propagate: candidate label of v = min over neighbors' labels
-      val nbrMin = edges
-        .join(labels.select(col("id").as("id_a"), col("label").as("la")), Seq("id_a"))
-        .groupBy(col("id_b").as("id")).agg(min(col("la")).as("nl"))
-      // materialized: the pointer-jumping self-join references prop TWICE —
-      // without this each round runs the propagate join+groupBy twice
-      val prop = Materialize.iterative(
-        labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label")),
-        materialize)
+      // 1) propagate: candidate label of v = min over neighbors' labels,
+      //    carrying the pre-round label as _old for the convergence check
+      val prop =
+        if (iter == 0)
+          Materialize.iterative(
+            edges.groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("nl"))
+              .select(col("id"), least(col("id"), col("nl")).as("label"),
+                col("id").as("_old")),
+            materialize)
+        else {
+          val nbrMin = edges
+            .join(labels.select(col("id").as("id_a"), col("label").as("la")), Seq("id_a"))
+            .groupBy(col("id_b").as("id")).agg(min(col("la")).as("nl"))
+          // materialized: the pointer-jumping self-join references prop
+          // TWICE — without this each round runs the propagate join+groupBy
+          // twice
+          Materialize.iterative(
+            labels.join(nbrMin, Seq("id"), "left")
+              .select(col("id"),
+                least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+                col("label").as("_old")),
+            materialize)
+        }
       // 2) pointer jumping: label(v) <- label(label(v)) (halves chains)
       val jumped = Materialize.iterative(
         prop.join(prop.select(col("id").as("label"), col("label").as("ll")),
             Seq("label"), "left")
-          .select(col("id"), coalesce(col("ll"), col("label")).as("label")),
+          .select(col("id"), coalesce(col("ll"), col("label")).as("label"),
+            col("_old")),
         materialize)
-      // the first round always changes on a non-empty pair set (id_a <
-      // id_b, so some label strictly drops) — skip its convergence job
+      // convergence = no label moved this round. _old rides the
+      // materialized frame, so this is a narrow scan of the checkpoint —
+      // not the former jumped⋈labels shuffle join. The first round always
+      // changes on a non-empty pair set (id_a < id_b, so some label
+      // strictly drops) — skip its scan outright.
       val changed =
         if (iter == 0) 1L
-        else jumped.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-          .filter(col("label") =!= col("old")).limit(1).count()
+        else jumped.filter(col("label") =!= col("_old")).limit(1).count()
       labels = jumped
       converged = changed == 0
       iter += 1

@@ -64,6 +64,10 @@ object IvfIndex {
     import spark.implicits._
     idx.centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "vec")
+      // one file: the centroid matrix is <= nList rows by construction
+      // (driver-held at search time), so a file per local-relation slice
+      // is pure small-file overhead on every load (guide §6)
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     writeAssigned(idx.assigned, dir, "base")
     commitManifest(dir, idx.nList, Seq("base"), Seq.empty)
