@@ -25,6 +25,51 @@ object DedupKernels {
   def bandHashes(sig: ArrayData, bands: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
       graft.ops.Dedup.bandHashesOf(sig.toLongArray(), bands))
+
+  /** All `w`-token sliding-window fingerprints of a token array, value-
+    * identical to `fingerprint64(concat_ws(" ", slice(toks, i+1, w)))` for
+    * every 0-based start i (PropertySpec-pinned) — WITHOUT building any
+    * window string. The polynomial fingerprint distributes over
+    * concatenation (h(A+B) = h(A)·31^len(B) + poly(B) mod 2^64), so each
+    * token's (poly, 31^len) pair is computed once and every window is a
+    * fold of w precomputed pairs: O(chars + windows·w) long multiplies
+    * instead of O(windows·w·token_len) char appends plus a window-sized
+    * String allocation per position — the previous shape's dominant cost.
+    * Fewer than w tokens → empty array (the callers' guard semantics).
+    */
+  def passageFps(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < w) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val poly = new Array[Long](n)
+    val pow = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      // fingerprint() folds UTF-16 chars — decode once per token (the old
+      // shape decoded every token once per covering window)
+      val s = toks.getUTF8String(j).toString
+      var p = 0L
+      var pw = 1L
+      var i = 0
+      while (i < s.length) { p = 31L * p + s.charAt(i); pw *= 31L; i += 1 }
+      poly(j) = p
+      pow(j) = pw
+      j += 1
+    }
+    val out = new Array[Long](n - w + 1)
+    var s0 = 0
+    while (s0 <= n - w) {
+      var h = 1125899906842597L // fingerprint()'s H0
+      var k = s0
+      while (k < s0 + w) {
+        if (k > s0) h = 31L * h + ' '.toInt
+        h = h * pow(k) + poly(k)
+        k += 1
+      }
+      out(s0) = h
+      s0 += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** 64-bit simhash over whitespace tokens (graft.ops.Dedup.simhash). */
@@ -81,11 +126,34 @@ case class MinhashBandHashes(child: Expression, bands: Int) extends UnaryExpress
   override def prettyName: String = "graft_minhash_band_hashes"
 }
 
+/** Sliding-window passage fingerprints over a token array
+  * ([[DedupKernels.passageFps]]) — the map stage of the passage-dedup
+  * family, kept inside whole-stage codegen.
+  */
+case class PassageFps(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    DedupKernels.passageFps(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DedupKernels.passageFps($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): PassageFps =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_passage_fps"
+}
+
 object DedupFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   def simhash64(c: Column): Column =
     ColumnBridge.column(Simhash64(ColumnBridge.expression(c)))
+
+  def passageFps(c: Column, w: Int): Column =
+    ColumnBridge.column(PassageFps(ColumnBridge.expression(c), w))
 
   def minhashSig(c: Column, k: Int, shingleN: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(c), k, shingleN))

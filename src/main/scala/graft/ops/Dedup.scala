@@ -87,21 +87,43 @@ object Dedup {
 
   /** k-permutation minhash signature via per-seed remixing of one base hash
     * (map-side only, no shuffle).
+    *
+    * Round 8: the per-shingle FNV base hash folds the window's token chars
+    * (tokens joined by single spaces) directly — value-identical to
+    * `hash64(shingle.mkString(" "))` by construction (FNV-1a is a left
+    * fold over chars), without allocating a joined String per shingle
+    * (previously ~one window-sized String + copy per token position).
+    * Externally pinned: the q_dedup_minhash DuckDB oracle replays this
+    * exact FNV fold over the joined shingle text in hugeint arithmetic.
     */
   def minhashSignature(text: String, k: Int, shingleN: Int = 3): Array[Long] = {
-    val it = shingles(text, shingleN)
-    // no shingles → EMPTY signature (callers filter these out before
+    if (text == null) return Array.emptyLongArray
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // no tokens → EMPTY signature (callers filter these out before
     // banding; an all-MaxValue sentinel would band-collide uniformly)
-    if (!it.hasNext) return Array.emptyLongArray
+    if (toks.length == 0) return Array.emptyLongArray
     val sig = Array.fill(k)(Long.MaxValue)
-    it.foreach { sh =>
-      val base = hash64(sh)
+    def addWindow(from: Int, until: Int): Unit = {
+      var h = 0xcbf29ce484222325L
+      var j = from
+      while (j < until) {
+        if (j > from) { h ^= ' '; h *= 0x100000001b3L }
+        val s = toks(j)
+        var i = 0
+        while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+        j += 1
+      }
       var i = 0
       while (i < k) {
-        val h = mix64(base ^ (i.toLong * 0xA24BAED4963EE407L))
-        if (h < sig(i)) sig(i) = h
+        val m = mix64(h ^ (i.toLong * 0xA24BAED4963EE407L))
+        if (m < sig(i)) sig(i) = m
         i += 1
       }
+    }
+    if (toks.length < shingleN) addWindow(0, toks.length)
+    else {
+      var s0 = 0
+      while (s0 <= toks.length - shingleN) { addWindow(s0, s0 + shingleN); s0 += 1 }
     }
     sig
   }
@@ -855,16 +877,19 @@ object Dedup {
   def passageFingerprints(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 50): DataFrame = {
     require(w > 0, "w > 0")
+    // round 8: the window fingerprints come from the native PassageFps
+    // expression (per-token polynomial precompute + per-window fold of
+    // precomputed pairs) — value-identical to
+    // fingerprint64(concat_ws(" ", slice(toks, i+1, w))) per position
+    // (PropertySpec-pinned; the short-doc guard lives inside the
+    // expression: < w tokens → empty array, so posexplode emits nothing)
+    // — instead of materializing every window's ~w-token string just to
+    // hash it, which was the passage family's dominant map cost.
     df.select(col(idCol).cast("long").as("doc_id"),
         filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
           t => length(t) > 0).as("toks"))
       .select(col("doc_id"),
-        posexplode(
-          when(size(col("toks")) >= w,
-            transform(sequence(lit(0), size(col("toks")) - w),
-              i => graft.functions.GraftFunctions.fingerprint64(
-                concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
-            .otherwise(array().cast("array<long>"))))
+        posexplode(graft.functions.DedupFunctions.passageFps(col("toks"), w)))
       .toDF("doc_id", "pos", "fp")
   }
 

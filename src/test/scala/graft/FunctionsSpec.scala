@@ -14,6 +14,80 @@ class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("passageFps equals per-window fingerprint64 of the joined window") {
+    // the round-8 fast path (per-token polynomial fold) must be VALUE-
+    // identical to hashing each materialized window string — checked on
+    // the corpus at the query parameter w=25 plus a small-w sweep, and on
+    // edge tokens (unicode, combining marks, surrogate pairs, shorter-
+    // than-w docs, null text)
+    import spark.implicits._
+    import graft.functions.DedupFunctions
+    val toks = filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"),
+      t => length(t) > 0)
+    def slowFps(w: Int) =
+      when(size(toks) >= w, transform(sequence(lit(0), size(toks) - w),
+        i => GraftFunctions.fingerprint64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+        .otherwise(array().cast("array<long>"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val edge = Seq("á ño été δε", "one", "",
+      null, "x y z w v u t", "🙂 a 🙂 b 🙂")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (df <- Seq(docs.select(col("doc_id"), col("text")), edge); w <- Seq(1, 3, 25)) {
+      val fast = df.select(col("doc_id"), DedupFunctions.passageFps(toks, w).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val slow = df.select(col("doc_id"), slowFps(w).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fast == slow, s"w=$w")
+    }
+    // interpreted path (nullSafeEval) agrees with the Scala reference too
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array("foo", "baér", "z").map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    val got = graft.functions.DedupKernels.passageFps(arr, 2).toLongArray().toSeq
+    val want = Seq(TextOps.fingerprint("foo baér"), TextOps.fingerprint("baér z"))
+    assert(got == want)
+  }
+
+  test("minhashSignature equals the per-shingle-string reference formula") {
+    // round 8 folds the FNV base hash over token chars without building
+    // the joined shingle string — pin value-identity against a literal
+    // hash64(shingle.mkString(" ")) reference (plus the DuckDB oracle,
+    // which replays the same fold in hugeint arithmetic)
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.foreach { c => h ^= c; h *= 0x100000001b3L }
+      h
+    }
+    def mix64(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def refSig(text: String, k: Int, n: Int): Array[Long] = {
+      val sh = graft.ops.Dedup.shingles(text, n).toSeq
+      if (sh.isEmpty) Array.emptyLongArray
+      else {
+        val sig = Array.fill(k)(Long.MaxValue)
+        sh.foreach { s =>
+          val base = fnv(s)
+          (0 until k).foreach { i =>
+            val h = mix64(base ^ (i.toLong * 0xA24BAED4963EE407L))
+            if (h < sig(i)) sig(i) = h
+          }
+        }
+        sig
+      }
+    }
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq ++
+      Seq(null, "", "  ", "one", "one two", "Á déjà vu 🙂 mixed  CASE")
+    for (t <- texts; n <- Seq(1, 3)) {
+      assert(graft.ops.Dedup.minhashSignature(t, 8, n).toSeq == refSig(t, 8, n).toSeq,
+        s"n=$n text=${String.valueOf(t).take(40)}")
+    }
+  }
+
   test("fingerprint64 expression equals the Scala helper on the corpus") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -243,11 +243,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"fp exchange must carry scalars only: ${shuffles.head.output}")
     assert(!df.queryExecution.executedPlan.toString.toLowerCase
       .contains("rangepartitioning"), "unsorted operator return")
-    // the fingerprint is the native expression inside codegen, one
-    // tokenization per doc (the guard-in-projection shape)
+    // the window fingerprints are ONE native expression over the token
+    // array inside codegen (round 8: PassageFps — no per-window string
+    // materialization), one tokenization per doc
     val projStr = Dedup.passageFingerprints(docs, w = 25)
       .queryExecution.executedPlan.toString
-    assert(projStr.contains("graft_fingerprint64"), "native fp expression in-plan")
+    assert(projStr.contains("graft_passage_fps"), "native fp expression in-plan")
     assert(!projStr.contains("DeserializeToObject"))
     assert("split\\(lower\\(".r.findAllIn(projStr).length == 1,
       "one tokenization per doc")
