@@ -802,15 +802,34 @@ object Dedup {
     * is tokenized once at query start (materialized) instead of once per
     * micro-batch. Same plan shape: corpus n-grams map-side into the
     * broadcast join, the count-distinct is the only exchange.
+    *
+    * Round 8: matching is by the 64-bit polynomial FINGERPRINT of the
+    * n-gram (the [[PassageFps]] expression at w = n — per-token polynomial
+    * fold, no per-position n-gram String), the standard hash-based screen
+    * (published pipelines Bloom-filter their n-grams the same way). The
+    * corpus side builds NO n-gram strings at all; the (tiny) eval side
+    * fingerprints its materialized strings in the broadcast projection.
+    * A 64-bit collision between two distinct shared n-grams of one
+    * (doc, eval) pair could in principle lower shared_ngrams by one —
+    * probability ~2⁻⁶⁴ per pair of shared n-grams, and the DuckDB oracle
+    * (which replays the same fingerprint arithmetic in hugeint) verifies
+    * exact equality on the gate corpora.
     */
   def ngramContaminationAgainst(corpus: DataFrame, evalNgrams: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 13,
-      minShared: Int = 1): DataFrame =
-    wordNgrams(corpus, idCol, textCol, n, "doc_id")
-      .join(broadcast(evalNgrams), Seq("ngram"))
+      minShared: Int = 1): DataFrame = {
+    val evalFps = evalNgrams.select(col("eval_id"),
+      graft.functions.GraftFunctions.fingerprint64(col("ngram")).as("fp"))
+    corpus.select(col(idCol).cast("long").as("doc_id"),
+        filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.DedupFunctions.passageFps(col("toks"), n)).as("fp"))
+      .join(broadcast(evalFps), Seq("fp"))
       .groupBy(col("doc_id"), col("eval_id"))
-      .agg(countDistinct(col("ngram")).as("shared_ngrams"))
+      .agg(countDistinct(col("fp")).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
+  }
 
   /** Strict word n-grams of a doc column as (outId, ngram) rows — one
     * map-side codegen'd projection (split/transform/slice/explode

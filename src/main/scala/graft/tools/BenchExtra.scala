@@ -48,9 +48,20 @@ object BenchExtra {
       }
     }
 
+    import org.apache.spark.sql.functions._
     import spark.implicits._
     def pages = PageGen.pages(spark, sfDir)
     noop("pages_gen", pages.toDF())
+    noop("extract_agg_plain", Pipeline.extract(spark, pages).toDF().agg(
+      count(lit(1)).as("docs"), sum(col("n_tables")).as("t")))
+    noop("extract_agg_pruned", Pipeline.extract(spark, pages).toDF()
+      .select("url", "n_tables", "n_regions", "bytes_stripped", "parse_failed")
+      .groupBy(pmod(xxhash64(col("url")), lit(32)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tables")).as("t")))
+    noop("extract_metrics_nosort",
+      Pipeline.extract(spark, pages).toDF()
+        .groupBy(pmod(xxhash64(col("url")), lit(32)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tables")).as("t")))
     noop("extract_noshuffle",
       Pipeline.extract(spark, pages, skewMode = Pipeline.NoShuffle).toDF())
     noop("extract_auto", Pipeline.extract(spark, pages).toDF())
