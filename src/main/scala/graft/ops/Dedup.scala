@@ -159,14 +159,16 @@ object Dedup {
     out
   }
 
-  /** Build a [[MinhashIndex]] for a corpus: map-side signatures and the
-    * banded candidate index, both materialized.
+  /** Build a [[MinhashIndex]] for a corpus: map-side signatures
+    * (materialized — see [[Materialize]]) and the banded candidate index
+    * (derived per consumer from the signature checkpoint — see
+    * [[indexFromSigs]]).
     *
     * Materialization: the signatures feed the banding and both verify
-    * re-attach sides; the banded stream feeds three plan branches (the
-    * oversized-bucket aggregate + both self-join sides) — unmaterialized,
-    * the (expensive) shingling and the band fold re-run per branch.
-    * Durability/cost policy is explicit — see [[Materialize]].
+    * re-attach sides, and computing them is the expensive stage (tokenize
+    * + shingle + k-permutation fold) — unmaterialized, that map work
+    * re-runs per branch. Durability/cost policy is explicit — see
+    * [[Materialize]].
     *
     * Content-free docs (null/empty/whitespace-only text) have an EMPTY
     * signature and are dropped before banding: they carry no content
@@ -190,14 +192,24 @@ object Dedup {
     * NO tokenize/shingle pass. This is the signature-level entry that lets
     * [[applyIncrementalFromIndex]] reuse the batch signatures it already
     * computed instead of re-shingling the surviving docs from text.
+    *
+    * `banded` is deliberately NOT materialized (round 8): its consumers
+    * (the oversized-bucket aggregate and the salted join side(s)) each
+    * re-derive it as one scan of the ALREADY-materialized signature set
+    * plus the 16-fold band hash — trivial map work, cheaper at every scale
+    * than writing and re-reading a bands-amplified checkpoint (the fold is
+    * ~1k ALU ops/doc; the checkpoint was bands × 20 B/doc of block-store
+    * traffic plus one extra job per index build). The expensive stage
+    * (tokenize + shingle + signature) stays materialized upstream in
+    * `sigs`; persisted indexes still write banded rows once
+    * ([[MinhashIndex.write]]) and load them as plain parquet scans.
     */
   def indexFromSigs(sigs: DataFrame, k: Int, bands: Int, shingleN: Int,
       materialize: Materialize.Strategy = Materialize.fromEnv): MinhashIndex = {
     import graft.functions.DedupFunctions
-    val banded = Materialize(sigs.select(col("id"),
+    val banded = sigs.select(col("id"),
         posexplode(DedupFunctions.minhashBandHashes(col("sig"), bands)))
-      .toDF("id", "band", "bhash"),
-      materialize)
+      .toDF("id", "band", "bhash")
     MinhashIndex(sigs, banded, k, bands, shingleN)
   }
 
