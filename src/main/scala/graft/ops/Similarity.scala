@@ -117,12 +117,16 @@ object Similarity {
     val dim = dimRow(0).getInt(0)
     val planes = hyperplanes(nTables * nBits, dim, seed)
 
-    // the corpus is materialized ONCE (it feeds the signature map and both
-    // sides of the vector re-attach); durability/cost of the
-    // materialization is an explicit policy — see [[Materialize]]
-    val vecs = Materialize(
-      corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
-      materialize)
+    // NOT materialized (round 8): this is a narrow projection of the
+    // corpus — for the typical parquet-backed corpus each of its three
+    // consumers (the signature map and both verify re-attach sides) is a
+    // column-pruned scan, strictly cheaper at every scale than writing
+    // the ENTIRE vector corpus into block storage first (guide §5:
+    // cache only when recompute beats the memory pressure — a scan
+    // doesn't). The expensive stage (the nTables×nBits signature fold)
+    // is materialized below, so it still runs exactly once; callers with
+    // a costly derived corpus should materialize it themselves.
+    val vecs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
 
     // signatures are map-side and carry NO vector column — the candidate
     // shuffle moves 16 bytes × nTables per id, not the embedding × nTables
