@@ -79,6 +79,17 @@ object SparkEntry {
         .as("text"))
   }
 
+  /** Pages for the extraction queries, with generation parallelized to
+    * the session's parallelism (scale-adaptive, never a constant): the
+    * one-file documents table would otherwise synthesize all HTML in a
+    * single task, and the well-split result lets Pipeline.extract's Auto
+    * skew mode skip the salted exchange of the heavy HTML payload
+    * (round 8; results are per-doc functions — partitioning-invariant,
+    * ExtractGoldenParquetSpec-pinned).
+    */
+  private def genPages(s: SparkSession, dir: String) =
+    PageGen.pages(s, dir, genParallelism = s.sparkContext.defaultParallelism)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full extraction pipeline over the synthesized page corpus.
     */
@@ -359,13 +370,13 @@ object SparkEntry {
 
     // ---- extraction pipeline (rows-only check; golden-gated in sbt test) ----
     "x_extract_pages" -> ((s, dir) => {
-      Pipeline.extract(s, PageGen.pages(s, dir)).toDF()
+      Pipeline.extract(s, genPages(s, dir)).toDF()
         .select("url", "lang", "text_sha256", "n_regions", "n_tables", "bytes_stripped",
           "parse_failed")
         .orderBy(col("url"))
     }),
     "x_extract_spans" -> ((s, dir) => {
-      Pipeline.extract(s, PageGen.pages(s, dir)).toDF()
+      Pipeline.extract(s, genPages(s, dir)).toDF()
         .select(col("url"), explode(col("spans")).as("sp"))
         .select(col("url"), col("sp.region"), col("sp.origin"), col("sp.method"),
           col("sp.a1"), col("sp.confidence"), col("sp.has_headers"))
@@ -376,12 +387,12 @@ object SparkEntry {
     // partition-independent and golden-parquet oracle-checked like the
     // other x_* surfaces)
     "x_extract_metrics" -> ((s, dir) =>
-      Pipeline.metrics(Pipeline.extract(s, PageGen.pages(s, dir)))),
+      Pipeline.metrics(Pipeline.extract(s, genPages(s, dir)))),
     // corpus-level rollup of the same metrics: the DuckDB oracle
     // aggregates the committed pages golden — pinning the A7/A8 rollup
     // arithmetic end to end
     "q_extract_totals" -> ((s, dir) =>
-      Pipeline.extract(s, PageGen.pages(s, dir)).toDF().agg(
+      Pipeline.extract(s, genPages(s, dir)).toDF().agg(
         count(lit(1)).as("docs"),
         sum(col("n_tables")).as("tables_found"),
         sum(col("n_regions")).as("regions_found"),
@@ -391,7 +402,7 @@ object SparkEntry {
       // author-declared table metadata (caption/summary/semantic class) —
       // the ExcelMetadataExtractor-analogue surface, ridden on the same
       // kernel pass as detection
-      Pipeline.extract(s, PageGen.pages(s, dir)).toDF()
+      Pipeline.extract(s, genPages(s, dir)).toDF()
         .select(col("url"), explode(col("hints")).as("h"))
         .select(col("url"), col("h.region"), col("h.source"), col("h.name"),
           col("h.confidence"))
@@ -405,7 +416,7 @@ object SparkEntry {
       // unconditional repartition (the Pipeline's Auto skew policy decides
       // whether to exchange), and per-page failures surface as
       // parse_failed rows, never silent drops
-      Pipeline.extract(s, PageGen.pages(s, dir),
+      Pipeline.extract(s, genPages(s, dir),
           graft.core.detect.DetectConfig(extractTables = true)).toDF()
         .select(col("url"), explode(col("spans")).as("sp"))
         .select(col("url"), col("sp.region"), col("sp.a1"), col("sp.orientation"),

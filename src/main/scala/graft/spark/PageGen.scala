@@ -24,8 +24,13 @@ object PageGen {
       .selectExpr("doc_id", "text", "lang")
       .as[Doc]
     // documents.parquet is one small file; repartition the (tiny) docs BEFORE
-    // amplification so page generation itself parallelizes instead of one
-    // task building gigabytes of HTML
+    // amplification/HTML synthesis so page generation itself parallelizes
+    // instead of one task building the corpus serially — and so the
+    // generated pages arrive at Pipeline.extract already well-split, which
+    // lets its Auto skew mode skip the salted exchange of the (much heavier)
+    // HTML payload entirely. Opt-in (genParallelism > 0): an unconditional
+    // exchange here would cost the resumable-snapshot path its
+    // one-input-scan property (PipelineSpec bounds records read on resume).
     if (genParallelism > 0) docs = docs.repartition(genParallelism)
     if (factor <= 1) docs.map(d => makePage(d.doc_id, d.text, d.lang))
     else docs.flatMap { d =>
