@@ -30,17 +30,37 @@ import java.util.zip.Inflater
   */
 object PdfText {
 
-  /** %PDF- magic at offset 0 (the spec permits junk before the header;
-    * real crawls overwhelmingly ship it first — scan the first 1024 bytes
-    * like the readers do).
+  /** %PDF- magic at offset 0 accepts immediately; a later match within the
+    * first 1024 bytes (the spec permits junk before the header and readers
+    * scan for it) additionally requires a PDF structure marker
+    * (`stream`/`endobj`) somewhere in the payload — an HTML/text page
+    * merely MENTIONING "%PDF-" early must not be misrouted to the PDF
+    * parser and have its real content dropped (round-7 ADVICE).
     */
   def isPdf(bytes: Array[Byte]): Boolean = {
     if (bytes == null) return false
+    if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-') return true
     val n = math.min(bytes.length - 4, 1024)
-    var i = 0
-    while (i < n) {
+    var i = 1
+    var found = false
+    while (!found && i < n) {
       if (bytes(i) == '%' && bytes(i + 1) == 'P' && bytes(i + 2) == 'D' &&
-        bytes(i + 3) == 'F' && bytes(i + 4) == '-') return true
+        bytes(i + 3) == 'F' && bytes(i + 4) == '-') found = true
+      i += 1
+    }
+    if (!found) return false
+    // corroborate: real junk-prefixed PDFs carry object/stream structure
+    hasAscii(bytes, "endobj") || hasAscii(bytes, "stream")
+  }
+
+  private def hasAscii(bytes: Array[Byte], needle: String): Boolean = {
+    val m = needle.length
+    var i = 0
+    while (i + m <= bytes.length) {
+      var j = 0
+      while (j < m && bytes(i + j) == needle.charAt(j)) j += 1
+      if (j == m) return true
       i += 1
     }
     false
@@ -165,8 +185,11 @@ object PdfText {
       if (n > Int.MaxValue) return None
       i += 1
     }
-    // `N 0 R` = indirect reference, not a direct length
-    while (i < dict.length && dict.charAt(i) == ' ') i += 1
+    // `N 0 R` = indirect reference, not a direct length; any whitespace may
+    // separate the tokens ("/Length 12\n0 R" is common — round-7 ADVICE),
+    // mirroring the pre-digit whitespace skip above
+    while (i < dict.length && (dict.charAt(i) == ' ' || dict.charAt(i) == '\t' ||
+      dict.charAt(i) == '\r' || dict.charAt(i) == '\n')) i += 1
     if (any && i < dict.length && dict.charAt(i) >= '0' && dict.charAt(i) <= '9') None
     else if (any) Some(n.toInt) else None
   }

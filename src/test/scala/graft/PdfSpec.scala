@@ -216,6 +216,27 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfText.extractText(dct) == "")
   }
 
+  test("isPdf: offset-0 magic accepts; a late mention needs PDF structure") {
+    // offset 0 always routes
+    assert(PdfText.isPdf(bytes("%PDF-1.4\nwhatever")))
+    // junk-prefixed real PDF (spec-permitted) still routes: structure corroborates
+    val junked = bytes("  junk ") ++ pdf("BT (j) Tj ET")
+    assert(PdfText.isPdf(junked))
+    assert(PdfText.extractText(junked) == "j\n")
+    // an HTML page merely MENTIONING the magic early must NOT be misrouted
+    // (round-7 ADVICE: its real content would be dropped to near-empty)
+    assert(!PdfText.isPdf(bytes("<html><body><p>About the %PDF-1.7 format</p></body></html>")))
+    assert(!PdfText.isPdf(bytes("plain text that says %PDF- and nothing more")))
+  }
+
+  test("indirect /Length separated by any whitespace falls back to the scan") {
+    // "/Length 12\n0 R" (newline-separated indirect ref) must not be read
+    // as a direct length of 12 and truncate the stream (round-7 ADVICE)
+    val b = bytes(
+      "%PDF-1.4\n4 0 obj << /Length 12\n0 R >>\nstream\nBT (recovered text) Tj ET\nendstream endobj\n")
+    assert(PdfText.extractText(b) == "recovered text\n")
+  }
+
   test("missing /Length falls back to the endstream scan") {
     val content = "BT (no declared length) Tj ET"
     assert(PdfText.extractText(pdf(content, declareLength = false)) ==
