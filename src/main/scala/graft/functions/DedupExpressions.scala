@@ -26,22 +26,40 @@ object DedupKernels {
     UnsafeArrayData.fromPrimitiveArray(
       graft.ops.Dedup.bandHashesOf(sig.toLongArray(), bands))
 
+  /** Multiplicative inverse of 31 mod 2^64 (31 is odd, so it exists):
+    * rolling window removal divides by powers of 31 exactly.
+    */
+  private val Inv31: Long = {
+    var x = 1L
+    var i = 0
+    while (i < 6) { x = x * (2L - 31L * x); i += 1 } // Newton doubling
+    require(x * 31L == 1L)
+    x
+  }
+
   /** All `w`-token sliding-window fingerprints of a token array, value-
     * identical to `fingerprint64(concat_ws(" ", slice(toks, i+1, w)))` for
-    * every 0-based start i (PropertySpec-pinned) — WITHOUT building any
-    * window string. The polynomial fingerprint distributes over
-    * concatenation (h(A+B) = h(A)·31^len(B) + poly(B) mod 2^64), so each
-    * token's (poly, 31^len) pair is computed once and every window is a
-    * fold of w precomputed pairs: O(chars + windows·w) long multiplies
-    * instead of O(windows·w·token_len) char appends plus a window-sized
-    * String allocation per position — the previous shape's dominant cost.
-    * Fewer than w tokens → empty array (the callers' guard semantics).
+    * every 0-based start i (FunctionsSpec-pinned against that literal
+    * formula) — WITHOUT building any window string, in O(total chars +
+    * windows) long multiplies. Two exact identities over mod-2^64
+    * arithmetic make it rolling:
+    *  - concatenation: h(A+B) = h(A)·31^len(B) + poly(B), so each token's
+    *    (poly, 31^len) pair is computed once from its chars;
+    *  - prefix removal: poly(Rest) = poly(Pref+Rest) − poly(Pref)·31^len(Rest),
+    *    and dividing by 31^k is multiplication by Inv31^k (31 is odd —
+    *    exactly invertible mod 2^64).
+    * Window i+1 then derives from window i by removing the "tok_i ␣"
+    * prefix and appending "␣ tok_(i+w)" — ~6 multiplies per position
+    * instead of a w-token refold (and instead of the original shape's
+    * window-sized String build per position). Fewer than w tokens →
+    * empty array (the callers' guard semantics).
     */
   def passageFps(toks: ArrayData, w: Int): ArrayData = {
     val n = toks.numElements()
     if (n < w) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val poly = new Array[Long](n)
-    val pow = new Array[Long](n)
+    val pow = new Array[Long](n) // 31^len(tok)
+    val invPow1 = new Array[Long](n) // Inv31^(len(tok)+1)
     var j = 0
     while (j < n) {
       // fingerprint() folds UTF-16 chars — decode once per token (the old
@@ -49,24 +67,45 @@ object DedupKernels {
       val s = toks.getUTF8String(j).toString
       var p = 0L
       var pw = 1L
+      var ip = Inv31
       var i = 0
-      while (i < s.length) { p = 31L * p + s.charAt(i); pw *= 31L; i += 1 }
+      while (i < s.length) {
+        p = 31L * p + s.charAt(i); pw *= 31L; ip *= Inv31; i += 1
+      }
       poly(j) = p
       pow(j) = pw
+      invPow1(j) = ip
       j += 1
     }
+    val H0 = 1125899906842597L // fingerprint()'s seed
     val out = new Array[Long](n - w + 1)
-    var s0 = 0
-    while (s0 <= n - w) {
-      var h = 1125899906842597L // fingerprint()'s H0
-      var k = s0
-      while (k < s0 + w) {
-        if (k > s0) h = 31L * h + ' '.toInt
-        h = h * pow(k) + poly(k)
-        k += 1
-      }
-      out(s0) = h
-      s0 += 1
+    if (w == 1) {
+      // single-token windows: no separators, direct per-token hash
+      var i = 0
+      while (i < n) { out(i) = H0 * pow(i) + poly(i); i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    // first window: fold once; p = poly of the joined string, powL = 31^len
+    var p = 0L
+    var powL = 1L
+    var k = 0
+    while (k < w) {
+      if (k > 0) { p = 31L * p + ' '.toInt; powL *= 31L }
+      p = p * pow(k) + poly(k)
+      powL *= pow(k)
+      k += 1
+    }
+    out(0) = H0 * powL + p
+    var i = 0
+    while (i < n - w) {
+      // remove the "tok_i ␣" prefix (len_i + 1 chars), append "␣ tok_(i+w)"
+      val powTail = powL * invPow1(i) // 31^(len - len_i - 1)
+      val pref = poly(i) * 31L + ' '.toInt // poly("tok_i ␣")
+      val ap = pow(i + w)
+      p = (p - pref * powTail) * (31L * ap) + (' '.toInt * ap + poly(i + w))
+      powL = powTail * 31L * ap
+      out(i + 1) = H0 * powL + p
+      i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }

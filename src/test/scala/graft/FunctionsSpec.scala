@@ -45,6 +45,30 @@ class FunctionsSpec extends AnyFunSuite {
     val got = graft.functions.DedupKernels.passageFps(arr, 2).toLongArray().toSeq
     val want = Seq(TextOps.fingerprint("foo baér"), TextOps.fingerprint("baér z"))
     assert(got == want)
+    // deterministic random sweep: the rolling modular arithmetic must hold
+    // for arbitrary token shapes (random lengths, full BMP chars, w up to
+    // beyond the array length)
+    val rnd = new scala.util.Random(4242)
+    (0 until 300).foreach { _ =>
+      val nTok = rnd.nextInt(12)
+      // full BMP minus the surrogate block (an unpaired surrogate does not
+      // round-trip UTF-8, which would make the reference string diverge
+      // from what the UTF8String-backed kernel sees — not a kernel property)
+      def ch(): Char = {
+        val c = 1 + rnd.nextInt(0xFFFE)
+        if (c >= 0xD800 && c <= 0xDFFF) 'x' else c.toChar
+      }
+      val tk = Array.fill(nTok)(
+        (0 until (1 + rnd.nextInt(9))).map(_ => ch()).mkString)
+      val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        tk.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+      val w2 = 1 + rnd.nextInt(14)
+      val fast2 = graft.functions.DedupKernels.passageFps(ad, w2).toLongArray().toSeq
+      val want2 =
+        if (nTok < w2) Seq.empty
+        else (0 to nTok - w2).map(i => TextOps.fingerprint(tk.slice(i, i + w2).mkString(" ")))
+      assert(fast2 == want2, s"nTok=$nTok w=$w2")
+    }
   }
 
   test("minhashSignature equals the per-shingle-string reference formula") {
